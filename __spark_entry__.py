@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine layout: see ``ad_hoc_olap_query_processing_engine_spark/`` (SURVEY.md is the blueprint).
+The Phi (MF/EMF) golden queries come from the reference corpus
+(/root/reference/src/Ad_hoc_Input.txt, SURVEY.md §2.2); their oracle SQL is
+*generated* by phi/sqlgen.py in a deliberately different (naive join-agg)
+formulation than the optimized DataFrame plans, so agreement is a real check.
 """
 
 from __future__ import annotations
@@ -13,26 +18,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ad_hoc_olap_query_processing_engine_spark.phi import (
+    compile_phi,
+    golden_queries,
+    phi_to_sql,
+)
+from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return queries()["phi_q1"](spark, "/root/testdata/sf0.001")
+
+
+def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = golden_queries()[name]
+        return compile_phi(q, catalog.sales_df(spark, sf_dir))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in golden_queries():
+        out[name] = _phi_runner(name)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from ad_hoc_olap_query_processing_engine_spark.operators import registry
+
+    out.update(registry.spark_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each queries() key (tables pre-registered
+    as views; the `sales` relation is inlined as a CTE)."""
+    out = {
+        name: phi_to_sql(q, relation_sql=catalog.SALES_VIEW_SQL)
+        for name, q in golden_queries().items()
+    }
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import registry
+
+    out.update(registry.oracle_sqls())
+    return out

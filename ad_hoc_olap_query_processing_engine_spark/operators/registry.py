@@ -1,0 +1,61 @@
+"""Registry mapping operator/query names → (Spark callable, oracle SQL).
+
+Every operator claimed done in SURVEY.md §2 gets an entry here; the driver
+contract (__spark_entry__.py) re-exports them. Entries with ``oracle=None``
+are non-SQL-expressible (streaming, approximate sketches) and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+Runner = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    run: Runner
+    oracle: str | None  # ANSI SQL for DuckDB, or None for rows-only check
+
+
+_REGISTRY: dict[str, Op] = {}
+
+
+def register(name: str, run: Runner, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate operator registration: {name}")
+    _REGISTRY[name] = Op(name=name, run=run, oracle=oracle)
+
+
+def _load_all() -> None:
+    """Import every operator module for its registration side effects."""
+    from . import relational  # noqa: F401
+
+    try:
+        from . import dedup  # noqa: F401
+        from . import similarity  # noqa: F401
+        from . import text  # noqa: F401
+    except ImportError:  # pragma: no cover - modules land incrementally
+        pass
+    try:
+        from ..streaming import windows  # noqa: F401
+    except ImportError:  # pragma: no cover
+        pass
+
+
+def all_ops() -> dict[str, Op]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def spark_queries() -> dict[str, Runner]:
+    return {name: op.run for name, op in all_ops().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: op.oracle for name, op in all_ops().items() if op.oracle is not None}

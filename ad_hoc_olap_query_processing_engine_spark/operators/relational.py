@@ -1,0 +1,391 @@
+"""Relational completeness operators (SURVEY.md §2.3 rows 1-7).
+
+The reference has no joins, sorts, windows, set ops, or grouping sets — its
+one operator family is the Phi scan (SURVEY.md §0). These queries declare the
+full relational surface over the driver's TPC-H-ish tables, expressed so
+Catalyst gets the cheap plan by construction:
+
+- filters/projections sit directly on the parquet scans (pushdown + pruning);
+- dimension tables (nation/region) are broadcast-hinted, fact-fact joins are
+  left to AQE (sort-merge with runtime skew splitting);
+- top-k per group is window row_number with a deterministic tiebreak, never a
+  global sort;
+- rollup/cube run in one shuffle over the pre-projected join.
+
+Floating-point determinism policy: money aggregates are summed as
+DECIMAL(18,2) (exact, order-independent — a double sum would differ between
+Spark's partial-aggregation order and DuckDB's) and cast to DOUBLE at the
+end, so the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: str | Column, scale: int = 2) -> Column:
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# rel_pricing_summary — TPC-H Q1 shape: scan + conditional agg, one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+REL_PRICING_SUMMARY_SQL = """\
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)                                              AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# ---------------------------------------------------------------------------
+# rel_revenue_by_nation — 4-way join + agg (dims broadcast, facts AQE).
+# ---------------------------------------------------------------------------
+
+
+def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+REL_REVENUE_BY_NATION_SQL = """\
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)                        AS revenue,
+       COUNT(*)                               AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_top_customers — top-3 per nation: window row_number, deterministic ties.
+# ---------------------------------------------------------------------------
+
+
+def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_name", "revenue", "rank")
+    )
+
+
+REL_TOP_CUSTOMERS_SQL = """\
+WITH per_cust AS (
+  SELECT n_name, c_custkey, c_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name
+), ranked AS (
+  SELECT n_name, c_name, revenue,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rank
+  FROM per_cust
+)
+SELECT n_name, c_name, revenue, rank FROM ranked WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# rel_late_ship_priority — left-semi join with a cross-table condition.
+# ---------------------------------------------------------------------------
+
+
+def rel_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    cond = (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate)
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+REL_LATE_SHIP_PRIORITY_SQL = """\
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# rel_idle_customers — left-anti join (NOT EXISTS).
+# ---------------------------------------------------------------------------
+
+
+def rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.year("o_orderdate") == 1998)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+REL_IDLE_CUSTOMERS_SQL = """\
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998)
+GROUP BY c_mktsegment"""
+
+
+# ---------------------------------------------------------------------------
+# rel_set_ops — INTERSECT / EXCEPT over yearly active customer sets.
+# ---------------------------------------------------------------------------
+
+
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+
+    def active(year: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    return active(1996).intersect(active(1997)).exceptAll(active(1998)).distinct()
+
+
+REL_SET_OPS_SQL = """\
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""
+
+
+# ---------------------------------------------------------------------------
+# rel_rollup / rel_cube — grouping sets with GROUPING markers.
+# ---------------------------------------------------------------------------
+
+
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _dec("l_extendedprice").alias("price"),
+        )
+    )
+    return joined.rollup("n_name", "order_year").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("order_year").cast("int").alias("g_year"),
+    )
+
+
+REL_ROLLUP_REVENUE_SQL = """\
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(n_name) AS INT)                      AS g_nation,
+       CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS INT))"""
+
+
+def rel_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+REL_CUBE_LINEITEM_SQL = """\
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*)                                               AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INT)                    AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)                    AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_running_spend — ordered window (running sum per customer).
+# ---------------------------------------------------------------------------
+
+
+def rel_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+REL_RUNNING_SPEND_SQL = """\
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders"""
+
+
+# ---------------------------------------------------------------------------
+# func_json_extract — JSON path extraction on events.props.
+# ---------------------------------------------------------------------------
+
+
+def func_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("k").alias("avg_k"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+FUNC_JSON_EXTRACT_SQL = """\
+SELECT event_type,
+       COUNT(*)                                              AS n_events,
+       AVG(CAST(json_extract_string(props, '$.k') AS INT))   AS avg_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)     AS sum_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# func_daily_events — date_trunc + exact distinct.
+# ---------------------------------------------------------------------------
+
+
+def func_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+FUNC_DAILY_EVENTS_SQL = """\
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR)              AS day,
+       COUNT(*)                                       AS n_events,
+       COUNT(DISTINCT user_id)                        AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_approx_distinct — HLL sketch (approximate: rows-only check, no oracle —
+# Spark's HLL++ and DuckDB's HLL give different estimates by design).
+# ---------------------------------------------------------------------------
+
+
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_median_qty"),
+    )
+
+
+register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)
+register("rel_revenue_by_nation", rel_revenue_by_nation, REL_REVENUE_BY_NATION_SQL)
+register("rel_top_customers", rel_top_customers, REL_TOP_CUSTOMERS_SQL)
+register("rel_late_ship_priority", rel_late_ship_priority, REL_LATE_SHIP_PRIORITY_SQL)
+register("rel_idle_customers", rel_idle_customers, REL_IDLE_CUSTOMERS_SQL)
+register("rel_set_ops", rel_set_ops, REL_SET_OPS_SQL)
+register("rel_rollup_revenue", rel_rollup_revenue, REL_ROLLUP_REVENUE_SQL)
+register("rel_cube_lineitem", rel_cube_lineitem, REL_CUBE_LINEITEM_SQL)
+register("rel_running_spend", rel_running_spend, REL_RUNNING_SPEND_SQL)
+register("func_json_extract", func_json_extract, FUNC_JSON_EXTRACT_SQL)
+register("func_daily_events", func_daily_events, FUNC_DAILY_EVENTS_SQL)
+register("rel_approx_distinct", rel_approx_distinct, None)

@@ -1,0 +1,86 @@
+"""The six golden Phi queries (reference: src/Ad_hoc_Input.txt).
+
+Queries 2–6 are VERBATIM from the reference corpus. Query 1's select line is
+corrupt in the reference (``cust,prod,avg,quant_NY,...`` — a typo'd
+``avg_quant_NY`` that makes the generated QueryProcessor1 crash; SURVEY.md
+§2.4 B1); GOLDEN_Q1 below is the intended query: per-customer overall average
+quantity (group-0) plus per-state conditional averages.
+
+The literals (states NY/CT/NJ, year 1997) work unchanged against the driver
+test data because the `sales` derivation view maps the three most populous
+nations to those state names and 1997 exists in ``o_orderdate``
+(sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+from .ast import PhiQuery
+from .parser import parse_query
+
+# B1 fix: select = cust + group-0 avg_quant + the three GV aggregates.
+GOLDEN_Q1 = """\
+cust,avg_quant,avg_quant_NY,avg_quant_CT,avg_quant_NJ
+3
+cust
+avg_quant_NY,avg_quant_CT,avg_quant_NJ
+{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY},{MF.cust.avg_quant_CT}[=]{cust}:{state}[=]{CT},{MF.cust.avg_quant_NJ}[=]{cust}:{state}[=]{NJ}"""
+
+# Verbatim reference: src/Ad_hoc_Input.txt:7-11
+GOLDEN_Q2 = """\
+prod,month,sum_quant_1,sum_quant_tot
+2
+prod,month
+sum_quant_1,sum_quant_tot
+{MF.prod.sum_quant_1}[=]{prod}:{MF.month.sum_quant_1}[=]{month},{MF.prod.sum_quant_tot}[=]{prod},{year}[==]{1997}"""
+
+# Verbatim reference: src/Ad_hoc_Input.txt:13-17
+GOLDEN_Q3 = """\
+cust,month,avg_quant,avg_quant_before,avg_quant_after
+2
+cust,month
+avg_quant_before,avg_quant_after
+{MF.cust.avg_quant_before}[=]{cust}:{MF.month.avg_quant_before}[<]{month},{MF.cust.avg_quant_after}[=]{cust}:{MF.month.avg_quant_after}[>]{month},{year}[==]{1997}"""
+
+# Verbatim reference: src/Ad_hoc_Input.txt:19-23
+GOLDEN_Q4 = """\
+cust,prod,avg_quant_sale,avg_quant_othrcustsale
+2
+cust,prod
+avg_quant_sale,avg_quant_othrcustsale
+{MF.cust.avg_quant_sale}[=]{cust}:{MF.prod.avg_quant_sale}[=]{prod},{MF.prod.avg_quant_othrcustsale}[=]{prod}:{MF.cust.avg_quant_othrcustsale}[!=]{cust}"""
+
+# Verbatim reference: src/Ad_hoc_Input.txt:25-30
+GOLDEN_Q5 = """\
+cust,avg_quant_NY,avg_quant_CT,avg_quant_NJ
+3
+cust
+avg_quant_NY,avg_quant_CT,avg_quant_NJ
+{state}[=]{NY},{state}[=]{CT},{state}[=]{NJ},{year}[==]{1997}
+{avg_quant_NY,>,avg_quant_CT} [&&] {avg_quant_NY,>,avg_quant_NJ}"""
+
+# Verbatim reference: src/Ad_hoc_Input.txt:32-37
+GOLDEN_Q6 = """\
+prod,month,avg_quant_1,count_quant_2
+2
+prod,month
+avg_quant_1,count_quant_2
+{MF.prod.avg_quant_1}[=]{prod}:{MF.month.avg_quant_1}[=]{month},{MF.prod.count_quant_2}[=]{prod}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant},{year}[==]{1997}
+{MF.count_quant_2,>,0}"""
+
+GOLDEN_SPECS: dict[str, str] = {
+    "phi_q1": GOLDEN_Q1,
+    "phi_q2": GOLDEN_Q2,
+    "phi_q3": GOLDEN_Q3,
+    "phi_q4": GOLDEN_Q4,
+    "phi_q5": GOLDEN_Q5,
+    "phi_q6": GOLDEN_Q6,
+}
+
+SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}
+
+
+def golden_queries() -> dict[str, PhiQuery]:
+    return {
+        name: parse_query(spec.splitlines(), known_cols=SALES_COLUMNS)
+        for name, spec in GOLDEN_SPECS.items()
+    }

@@ -1,0 +1,328 @@
+"""Phi → Spark DataFrame compiler.
+
+The reference evaluates an n-GV query with 1 + n full scans of an in-heap
+table and an O(|sales| × |groups|) nested loop per grouping variable
+(reference: src/QueryProcessor1.java:113-172 scan 0, :200-302 GV scans). We
+compile the same semantics to a declarative DataFrame plan and let Catalyst /
+Tungsten / AQE pick physical strategies. Per grouping variable, the planner
+picks the cheapest of four strategies (SURVEY.md §2.2 compilation rules):
+
+COND_AGG   MF-predicates are same-group equalities covering every grouping
+           attribute (incl. the implicit synthesis of reference
+           QueryProcessor1.java:216-226). Compiles to a conditional aggregate
+           ``fn(CASE WHEN σ THEN src END)`` *fused into the single scan-0
+           groupBy* — all such GVs plus group-0 cost ONE shuffle total. This
+           is the MF "shared scan" idea done one better (the reference still
+           re-scans per GV).
+
+WINDOW     MF-predicates are equalities on a subset S of the grouping
+           attributes plus at most one θ (<,>,<=,>=) or one anti (!=)
+           condition comparing a grouping attribute with the tuple's same
+           attribute. Scan 0 additionally emits per-group partial aggregates
+           (sum/count/min/max of the GV's σ-matching tuples); the GV is then a
+           window over the *group table* (|G| rows, tiny vs |sales|):
+             - superset (no θ):   total over Window.partitionBy(S)
+             - θ:                 range frame over partitionBy(S).orderBy(m)
+             - anti (!=a):        partitionBy(S) total MINUS partitionBy(S+[a])
+                                  total (subtracts exactly the tuples sharing
+                                  the group's ``a`` value — correct for any
+                                  extra grouping attributes)
+           avg is computed as Σpartial_sum / Σpartial_count — tuple-weighted,
+           never avg-of-avgs. No second pass over sales at all.
+
+JOIN_AGG   Fully general fallback (arbitrary θ combinations, MF-field vs
+           MF-field, literals, and dependent aggregates — reference O10):
+           base ⋈ group-table on the MF-predicates, σ, groupBy(V), agg, then
+           left-join the result back onto the group table. Dependent GVs
+           (predicates referencing earlier GVs' aggregates, e.g. golden query
+           6) force these stages to run in GV index order against the
+           accumulating group table.
+
+Null policy (SURVEY.md §2.4 B4): a group with no matching tuples yields NULL
+for sum/avg/min/max (SQL semantics) and 0 for count — matching the generated
+oracle SQL (phi/sqlgen.py), not the reference's 0-sentinels.
+
+At 100 TB: scan 0 is one map-side-combined hash aggregation over the fact
+table (Catalyst pushes the WHERE into the parquet scan); windows and the
+join-back operate on the group table, which is orders of magnitude smaller;
+pure-θ join stages broadcast the group side explicitly so Catalyst never
+falls back to a shuffled nested-loop join.
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .ast import Cond, GroupingVar, Having, Operand, PhiQuery
+
+_PYOPS = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    "<": operator.lt,
+    ">": operator.gt,
+    "<=": operator.le,
+    ">=": operator.ge,
+}
+
+_AGG_FNS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}
+
+_THETA_FRAMES = {
+    "<": (W.unboundedPreceding, -1),
+    "<=": (W.unboundedPreceding, 0),
+    ">": (1, W.unboundedFollowing),
+    ">=": (0, W.unboundedFollowing),
+}
+
+
+class PhiPlanError(ValueError):
+    pass
+
+
+@dataclass
+class _GVPlan:
+    gv: GroupingVar
+    strategy: str  # "cond_agg" | "window" | "join"
+    eq_attrs: list[str] = field(default_factory=list)  # window: partition S
+    theta: tuple[str, str] | None = None  # window: (attr, op) range condition
+    anti_attr: str | None = None  # window: != attribute
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+
+def classify_gv(gv: GroupingVar, group_attrs: list[str]) -> _GVPlan:
+    """Pick the cheapest correct strategy for one grouping variable."""
+    eq_attrs: list[str] = []
+    theta: tuple[str, str] | None = None
+    anti_attr: str | None = None
+    simple = True  # every cond is  tuple.g <op> group.g  on the same attr g
+    for c in gv.mf_conds:
+        dep = any(
+            o.kind == "mf" and o.name not in group_attrs for o in (c.left, c.right)
+        )
+        if dep:
+            return _GVPlan(gv=gv, strategy="join")
+        same_attr = (
+            c.right.kind == "mf"
+            and c.left.kind == "col"
+            and c.left.name == c.right.name
+            and c.right.name in group_attrs
+        )
+        if not same_attr:
+            simple = False
+            continue
+        if c.op == "==":
+            eq_attrs.append(c.right.name)
+        elif c.op == "!=":
+            if anti_attr is not None:
+                simple = False
+            anti_attr = c.right.name
+        elif c.op in _THETA_FRAMES:
+            if theta is not None:
+                simple = False
+            theta = (c.right.name, c.op)
+        else:  # pragma: no cover - op set is closed
+            simple = False
+    if not simple:
+        return _GVPlan(gv=gv, strategy="join")
+    if theta is not None and anti_attr is not None:
+        return _GVPlan(gv=gv, strategy="join")
+    if theta is None and anti_attr is None and set(eq_attrs) == set(group_attrs):
+        return _GVPlan(gv=gv, strategy="cond_agg", eq_attrs=eq_attrs)
+    if anti_attr is not None and gv.agg.fn in ("min", "max"):
+        # min/max don't decompose under complement subtraction.
+        return _GVPlan(gv=gv, strategy="join")
+    return _GVPlan(gv=gv, strategy="window", eq_attrs=eq_attrs, theta=theta, anti_attr=anti_attr)
+
+
+# ---------------------------------------------------------------------------
+# expression translation
+# ---------------------------------------------------------------------------
+
+
+def _tuple_operand(o: Operand) -> Column:
+    if o.kind == "col":
+        return F.col(o.name)
+    if o.kind == "lit":
+        return F.lit(o.value)
+    raise PhiPlanError(f"MF operand {o!r} not valid in a tuple-side expression")
+
+
+def _tuple_cond(c: Cond) -> Column:
+    return _PYOPS[c.op](_tuple_operand(c.left), _tuple_operand(c.right))
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _sigma(conds: list[Cond]) -> Column | None:
+    return _and_all([_tuple_cond(c) for c in conds]) if conds else None
+
+
+def _agg_expr(fn: str, src: str, guard: Column | None, alias: str) -> Column:
+    """fn over tuples passing ``guard`` (conditional aggregation)."""
+    if fn == "count":
+        src_col = F.lit(1) if guard is None else F.when(guard, F.lit(1))
+        return F.count(src_col).alias(alias)
+    src_col = F.col(src) if guard is None else F.when(guard, F.col(src))
+    return _AGG_FNS[fn](src_col).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+
+
+def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
+    """Compile a PhiQuery against the given input relation."""
+    v = q.group_attrs
+    base = sales
+    where = _sigma(q.where)
+    if where is not None:
+        base = base.filter(where)  # Catalyst pushes this into the scan
+
+    plans = [classify_gv(gv, v) for gv in q.gvs]
+
+    # ---- scan 0: ONE hash aggregation builds the group table, group-0
+    # aggregates, every COND_AGG aggregate, and the partials for WINDOW GVs.
+    aggs: list[Column] = []
+    for a in q.group0:
+        aggs.append(_agg_expr(a.fn, a.src, None, a.name))
+    for p in plans:
+        gv = p.gv
+        guard = _sigma(gv.tuple_conds)
+        if p.strategy == "cond_agg":
+            aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, guard, gv.agg.name))
+        elif p.strategy == "window":
+            i = gv.index
+            if gv.agg.fn in ("avg", "sum", "count"):
+                if gv.agg.fn != "count":
+                    aggs.append(_agg_expr("sum", gv.agg.src, guard, f"__psum_{i}"))
+                aggs.append(_agg_expr("count", gv.agg.src, guard, f"__pcnt_{i}"))
+            else:  # min / max over frame = min/max of per-group partials
+                aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, guard, f"__p{gv.agg.fn}_{i}"))
+    if not aggs:
+        groups = base.select(*v).distinct()
+    else:
+        groups = base.groupBy(*v).agg(*aggs)
+
+    # ---- WINDOW GVs: pure group-table windows, no second pass over sales.
+    for p in plans:
+        if p.strategy != "window":
+            continue
+        gv, i, fn = p.gv, p.gv.index, p.gv.agg.fn
+        if p.theta is not None:
+            attr, op = p.theta
+            w = W.partitionBy(*p.eq_attrs).orderBy(F.col(attr)).rangeBetween(*_THETA_FRAMES[op])
+            if fn in ("min", "max"):
+                groups = groups.withColumn(
+                    gv.agg.name, _AGG_FNS[fn](F.col(f"__p{fn}_{i}")).over(w)
+                )
+                continue
+            cnt = F.sum(F.col(f"__pcnt_{i}")).over(w)
+            tot = F.sum(F.col(f"__psum_{i}")).over(w) if fn != "count" else None
+        elif p.anti_attr is not None:
+            # "other groups" total: partition(S) total minus the total of
+            # groups sharing this group's anti-attribute value.
+            w_all = W.partitionBy(*p.eq_attrs)
+            w_self = W.partitionBy(*(p.eq_attrs + [p.anti_attr]))
+            cnt = F.sum(F.col(f"__pcnt_{i}")).over(w_all) - F.sum(
+                F.col(f"__pcnt_{i}")
+            ).over(w_self)
+            if fn != "count":
+                psum = F.col(f"__psum_{i}")
+                tot = F.coalesce(F.sum(psum).over(w_all), F.lit(0)) - F.coalesce(
+                    F.sum(psum).over(w_self), F.lit(0)
+                )
+            else:
+                tot = None
+        else:  # superset: total over the coarser partition
+            w = W.partitionBy(*p.eq_attrs)
+            cnt = F.sum(F.col(f"__pcnt_{i}")).over(w)
+            tot = F.sum(F.col(f"__psum_{i}")).over(w) if fn != "count" else None
+        if fn == "count":
+            expr = F.coalesce(cnt, F.lit(0))
+        elif fn == "sum":
+            expr = F.when(cnt > 0, tot)
+        else:  # avg — tuple-weighted: Σsums / Σcounts
+            expr = F.when(cnt > 0, tot / cnt)
+        groups = groups.withColumn(gv.agg.name, expr)
+    groups = groups.drop(*[c for c in groups.columns if c.startswith("__p")])
+
+    # ---- JOIN_AGG GVs: staged in GV index order (dependent aggregates,
+    # reference O10, see golden query 6) against the accumulating group table.
+    acc = groups
+    for p in plans:
+        if p.strategy != "join":
+            continue
+        acc = _join_agg_stage(acc, base, p.gv, v)
+
+    # ---- projection + HAVING
+    out = acc.select(*q.select)
+    if q.having is not None:
+        out = out.filter(_having_col(q.having))
+    return out
+
+
+def _join_agg_stage(
+    acc: DataFrame, base: DataFrame, gv: GroupingVar, v: list[str]
+) -> DataFrame:
+    """One generic EMF stage: base ⋈θ groups → σ → groupBy(V) → agg → join back."""
+    needed = set(v)
+    for c in gv.mf_conds:
+        for o in (c.left, c.right):
+            if o.kind == "mf":
+                needed.add(o.name)
+    g = acc.select(*sorted(needed)).alias("g")
+    s = base.alias("s")
+
+    def side(o: Operand) -> Column:
+        if o.kind == "col":
+            return F.col(f"s.{o.name}")
+        if o.kind == "mf":
+            return F.col(f"g.{o.name}")
+        return F.lit(o.value)
+
+    conds = [_PYOPS[c.op](side(c.left), side(c.right)) for c in gv.mf_conds]
+    conds += [
+        _PYOPS[c.op](side(c.left), side(c.right)) for c in gv.tuple_conds
+    ]
+    has_equi = any(c.op == "==" for c in gv.mf_conds)
+    # Pure-θ join: force the (small) group side broadcast so Catalyst plans a
+    # BroadcastNestedLoopJoin instead of a cartesian shuffle.
+    g_side = g if has_equi else F.broadcast(g)
+    joined = s.join(g_side, _and_all(conds), "inner")
+
+    guard = None  # tuple conds already applied in the join condition
+    agg_col = _agg_expr(gv.agg.fn, f"s.{gv.agg.src}", guard, gv.agg.name)
+    res = joined.groupBy(*[F.col(f"g.{a}").alias(a) for a in v]).agg(agg_col)
+    out = acc.join(res, on=v, how="left")
+    if gv.agg.fn == "count":
+        out = out.withColumn(gv.agg.name, F.coalesce(F.col(gv.agg.name), F.lit(0)))
+    return out
+
+
+def _having_col(h: Having) -> Column:
+    if h.op == "leaf":
+        c = h.cond
+
+        def side(o: Operand) -> Column:
+            return F.col(o.name) if o.kind == "mf" else F.lit(o.value)
+
+        return _PYOPS[c.op](side(c.left), side(c.right))
+    parts = [_having_col(ch) for ch in h.children]
+    out = parts[0]
+    for pcol in parts[1:]:
+        out = (out & pcol) if h.op == "and" else (out | pcol)
+    return out

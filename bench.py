@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect). A warmup query amortizes JVM/codegen startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from ad_hoc_olap_query_processing_engine_spark.session import get_spark
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup: touch the fact tables once (JVM + codegen + page cache)
+    from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
+    for t in ("lineitem", "orders", "customer"):
+        try:
+            catalog.load_table(spark, t, sf_dir).count()
+        except Exception as exc:
+            print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
+            break
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            _run(qs[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; a failed query shows as -1
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

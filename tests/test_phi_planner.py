@@ -1,0 +1,235 @@
+"""Planner unit tests on a synthetic fixture: strategy classification, null
+policy (B4), negative data (the reference's 0-sentinel bug), theta frames,
+anti-group complements, dependent aggregates — each cross-checked against the
+generated oracle SQL run on DuckDB over the exact same rows."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ad_hoc_olap_query_processing_engine_spark.phi import compile_phi, parse_query, phi_to_sql
+from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
+
+from .conftest import assert_frames_match
+
+COLS = {"cust", "prod", "day", "month", "year", "state", "quant"}
+
+
+def _fixture_pdf() -> pd.DataFrame:
+    rows = []
+    rng_states = ["NY", "CT", "NJ", "TX"]
+    quant_cycle = [-50, -3, 0, 1, 7, 7, 12, 40, 100, 3]
+    i = 0
+    for cust in ["alice", "bob", "carol", "ab"]:
+        for prod in ["pen", "ink", "cab"]:
+            # deliberate empty combos: carol never buys cab in 1997
+            for month in [1, 2, 3, 6, 11]:
+                if cust == "carol" and prod == "cab":
+                    continue
+                for year in [1996, 1997]:
+                    rows.append(
+                        dict(
+                            cust=cust,
+                            prod=prod,
+                            day=(i % 28) + 1,
+                            month=month,
+                            year=year,
+                            state=rng_states[i % 4],
+                            quant=quant_cycle[i % len(quant_cycle)],
+                        )
+                    )
+                    i += 1
+    # group-key concat collision probe (B7): ("a","bc") vs ("ab","c")
+    rows.append(dict(cust="a", prod="bc", day=1, month=1, year=1997, state="NY", quant=5))
+    rows.append(dict(cust="ab", prod="c", day=1, month=1, year=1997, state="NY", quant=9))
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def fixture_sales(spark):
+    pdf = _fixture_pdf()
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("sales_fixture", pdf)
+    return sdf, con
+
+
+def check(spec: str, fixture_sales):
+    sdf, con = fixture_sales
+    q = parse_query(spec.splitlines(), known_cols=COLS)
+    got = compile_phi(q, sdf).toPandas()
+    exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
+    assert_frames_match(got, exp)
+    return q, got
+
+
+# ---------------------------------------------------------------- strategies
+
+
+def test_classify_cond_agg():
+    q = parse_query(
+        ["cust,avg_quant_NY", "1", "cust", "avg_quant_NY",
+         "{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY}"],
+        known_cols=COLS,
+    )
+    assert classify_gv(q.gvs[0], q.group_attrs).strategy == "cond_agg"
+
+
+def test_classify_window_superset():
+    q = parse_query(
+        ["prod,month,sum_quant_tot", "1", "prod,month", "sum_quant_tot",
+         "{MF.prod.sum_quant_tot}[=]{prod}"],
+        known_cols=COLS,
+    )
+    p = classify_gv(q.gvs[0], q.group_attrs)
+    assert p.strategy == "window" and p.eq_attrs == ["prod"] and p.theta is None
+
+
+def test_classify_window_theta():
+    q = parse_query(
+        ["cust,month,avg_quant_before", "1", "cust,month", "avg_quant_before",
+         "{MF.cust.avg_quant_before}[=]{cust}:{MF.month.avg_quant_before}[<]{month}"],
+        known_cols=COLS,
+    )
+    p = classify_gv(q.gvs[0], q.group_attrs)
+    assert p.strategy == "window" and p.theta == ("month", "<")
+
+
+def test_classify_anti_minmax_falls_back_to_join():
+    q = parse_query(
+        ["cust,prod,max_quant_o", "1", "cust,prod", "max_quant_o",
+         "{MF.prod.max_quant_o}[=]{prod}:{MF.cust.max_quant_o}[!=]{cust}"],
+        known_cols=COLS,
+    )
+    assert classify_gv(q.gvs[0], q.group_attrs).strategy == "join"
+
+
+def test_classify_dependent_is_join():
+    q = parse_query(
+        ["prod,avg_quant_1,count_quant_2", "2", "prod", "avg_quant_1,count_quant_2",
+         "{MF.prod.avg_quant_1}[=]{prod},"
+         "{MF.prod.count_quant_2}[=]{prod}:{MF.avg_quant_1.count_quant_2}[>]{quant}"],
+        known_cols=COLS,
+    )
+    assert classify_gv(q.gvs[0], q.group_attrs).strategy == "cond_agg"
+    assert classify_gv(q.gvs[1], q.group_attrs).strategy == "join"
+
+
+# ------------------------------------------------------------- null policy
+
+
+def test_empty_group_null_for_avg_zero_for_count(fixture_sales):
+    # carol/cab never occurs; conditional aggregates over an absent state.
+    spec = (
+        "cust,prod,avg_quant_ZZ,count_quant_ZZ\n2\ncust,prod\n"
+        "avg_quant_ZZ,count_quant_ZZ\n"
+        "{MF.cust.avg_quant_ZZ}[=]{cust}:{MF.prod.avg_quant_ZZ}[=]{prod}:{state}[=]{ZZ},"
+        "{MF.cust.count_quant_ZZ}[=]{cust}:{MF.prod.count_quant_ZZ}[=]{prod}:{state}[=]{ZZ}"
+    )
+    _, got = check(spec, fixture_sales)
+    assert got["avg_quant_ZZ"].isna().all()
+    assert (got["count_quant_ZZ"] == 0).all()
+
+
+def test_min_max_with_negative_data(fixture_sales):
+    # the reference's 0-sentinel would corrupt these (B4)
+    spec = (
+        "cust,min_quant_a,max_quant_a\n2\ncust\nmin_quant_a,max_quant_a\n"
+        "{state}[=]{NY},{state}[=]{NY}"
+    )
+    _, got = check(spec, fixture_sales)
+    assert (got["min_quant_a"].dropna() < 0).any()
+
+
+# ------------------------------------------------------------------ windows
+
+
+@pytest.mark.parametrize("op", ["<", "<=", ">", ">="])
+def test_theta_frames_all_ops(op, fixture_sales):
+    spec = (
+        f"cust,month,sum_quant_t,count_quant_t\n2\ncust,month\n"
+        f"sum_quant_t,count_quant_t\n"
+        f"{{MF.cust.sum_quant_t}}[=]{{cust}}:{{MF.month.sum_quant_t}}[{op}]{{month}},"
+        f"{{MF.cust.count_quant_t}}[=]{{cust}}:{{MF.month.count_quant_t}}[{op}]{{month}}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_theta_min_max_window(fixture_sales):
+    spec = (
+        "cust,month,min_quant_b,max_quant_b\n2\ncust,month\nmin_quant_b,max_quant_b\n"
+        "{MF.cust.min_quant_b}[=]{cust}:{MF.month.min_quant_b}[<]{month},"
+        "{MF.cust.max_quant_b}[=]{cust}:{MF.month.max_quant_b}[<]{month}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_anti_with_extra_grouping_attr(fixture_sales):
+    """V={cust,prod,month}, S={prod}, anti on cust: the complement must
+    subtract partition(S+anti) totals, not just the group's own partial."""
+    spec = (
+        "cust,prod,month,avg_quant_o\n1\ncust,prod,month\navg_quant_o\n"
+        "{MF.prod.avg_quant_o}[=]{prod}:{MF.cust.avg_quant_o}[!=]{cust}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_global_anti_no_partition(fixture_sales):
+    """S empty: 'tuples of all other customers' across every prod."""
+    spec = (
+        "cust,sum_quant_o,count_quant_o\n2\ncust\nsum_quant_o,count_quant_o\n"
+        "{MF.cust.sum_quant_o}[!=]{cust},{MF.cust.count_quant_o}[!=]{cust}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_anti_with_tuple_sigma(fixture_sales):
+    spec = (
+        "cust,prod,avg_quant_o\n1\ncust,prod\navg_quant_o\n"
+        "{MF.prod.avg_quant_o}[=]{prod}:{MF.cust.avg_quant_o}[!=]{cust}:{state}[=]{NY}"
+    )
+    check(spec, fixture_sales)
+
+
+# ----------------------------------------------------------------- join path
+
+
+def test_join_path_minmax_anti(fixture_sales):
+    spec = (
+        "cust,prod,max_quant_o\n1\ncust,prod\nmax_quant_o\n"
+        "{MF.prod.max_quant_o}[=]{prod}:{MF.cust.max_quant_o}[!=]{cust}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_dependent_on_group0(fixture_sales):
+    """GV predicate referencing the group-0 aggregate forces a staged join."""
+    spec = (
+        "cust,avg_quant,count_quant_hi\n1\ncust\ncount_quant_hi\n"
+        "{MF.cust.count_quant_hi}[=]{cust}:{MF.avg_quant.count_quant_hi}[<]{quant},"
+        "{year}[==]{1997}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_mf_field_vs_literal_join(fixture_sales):
+    """A literal compared against an MF grouping field (join fallback)."""
+    spec = (
+        "cust,month,count_quant_m\n1\ncust,month\ncount_quant_m\n"
+        "{MF.cust.count_quant_m}[=]{cust}:{MF.month.count_quant_m}[>=]{3}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_group_key_collision_b7(fixture_sales):
+    """("a","bc") and ("ab","c") must stay distinct groups (the reference's
+    string-concat keys collide — B7)."""
+    spec = (
+        "cust,prod,count_quant_x\n1\ncust,prod\ncount_quant_x\n"
+        "{MF.cust.count_quant_x}[=]{cust}:{MF.prod.count_quant_x}[=]{prod}"
+    )
+    _, got = check(spec, fixture_sales)
+    keys = set(zip(got["cust"], got["prod"]))
+    assert ("a", "bc") in keys and ("ab", "c") in keys
