@@ -1,0 +1,225 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.3 —
+NOT-IN-REFERENCE; core training-data-pipeline surface).
+
+Three tiers, all expressed with built-in JVM expressions (no Python UDFs):
+
+dedup_exact          hash-groupBy on a normalized md5 fingerprint. One
+                     shuffle on a 32-byte key; the canonical 100 TB exact
+                     dedup (never groupBy raw text — the key is the digest).
+
+dedup_ngram_jaccard  exact word-3-gram Jaccard via inverted-index self-join
+                     (shingle → postings → pair intersection counts). At
+                     scale the join key is the shingle, so hot shingles are
+                     the skew risk — AQE skew-join handles moderate skew;
+                     stop-shingle removal (drop df>threshold postings) is the
+                     standard scale hatch and is what MinHash avoids anyway.
+
+dedup_minhash_lsh    true MinHash + banded LSH: 16 hash functions realized
+                     as md5 over a per-function salt (hex strings compare
+                     lexicographically like uniform integers — and md5 is
+                     bit-identical in Spark and DuckDB, making the whole
+                     sketch ORACLE-CHECKABLE, which library LSH with engine-
+                     specific hashes is not), 8 bands × r=2, bucket-join for
+                     candidates, exact-Jaccard verification of candidates
+                     only. Candidate generation is |bands| small shuffles;
+                     verification touches candidate pairs instead of all
+                     pairs — the 100 TB path.
+
+Near-dup recall of LSH is the standard 1-(1-J^r)^b curve; both engines run
+the identical deterministic pipeline, so results still hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+NUM_HASHES = 16
+BANDS = 8  # r = NUM_HASHES // BANDS = 2
+JACCARD_THRESHOLD = 0.4
+SHINGLE_WORDS = 3
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) postings: word 3-grams of the space-split
+    text. Docs shorter than the shingle width contribute nothing."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1))
+    shingle_arr = F.when(
+        F.size(toks) >= SHINGLE_WORDS,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_WORDS))),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(shingle_arr).alias("s")).distinct()
+
+
+_SHINGLES_SQL = f"""\
+SELECT DISTINCT doc_id, array_to_string(toks[i:i+{SHINGLE_WORDS - 1}], ' ') AS s
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+     unnest(range(1, len(toks) - {SHINGLE_WORDS - 2})) AS u(i)"""
+
+
+def _pair_jaccard_sql(cand_cte: str) -> str:
+    """Intersection/union arithmetic shared by both SQL oracles."""
+    return f"""\
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+  FROM {cand_cte} c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}"""
+
+
+def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (never the full pair space)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """\
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact all-pairs via inverted index.
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d)
+    x, y = sh.alias("x"), sh.alias("y")
+    cand = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(sh, cand)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""\
+WITH sh AS ({_SHINGLES_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),
+{_pair_jaccard_sql("cand")}"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures + banded LSH + exact verification.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    r = NUM_HASHES // BANDS
+    band_keys = F.array(
+        *[
+            F.concat(*[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(sh, cand)
+
+
+def _minhash_sql() -> str:
+    r = NUM_HASHES // BANDS
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"m{b * r + j}" for j in range(r))
+        + " AS key FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""\
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+{_pair_jaccard_sql("cand")}"""
+
+
+register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())

@@ -1,0 +1,109 @@
+"""Multimodal-column plumbing (SURVEY.md §2.3 — NOT-IN-REFERENCE).
+
+Image/audio/video payloads are opaque ``binary`` columns plus typed metadata.
+The container has no decode libraries (PIL/ffmpeg), so the decode kernel is a
+clearly-marked deterministic stand-in — but everything Spark-side is real and
+tested: the binary column, the metadata schema, Arrow-batched ``mapInPandas``
+with a declared output schema, and batch-shape-independent results.
+
+mm_byte_stats       metadata over the binary payload with built-in
+                    expressions only (byte length, first/last byte) —
+                    oracle-checked against DuckDB's BLOB functions.
+
+mm_feature_extract  the decode path: mapInPandas over (id, payload) batches
+                    producing fixed-width feature vectors (byte-histogram
+                    statistics as the deterministic fake; a real deployment
+                    swaps `_decode_payload` for PIL/torchvision and keeps the
+                    plumbing). Registered rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+FEATURE_DIM = 8
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload + media metadata
+    (the driver data has no real image column; the binary plumbing is what
+    is under test)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    p = _payloads(spark, sf_dir)
+    # Spark has no byte accessor on BINARY; the corpus is ASCII so the string
+    # view of the payload gives the byte values (ascii == byte for ASCII).
+    bytes_view = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.ascii("text").cast("int").alias("first_byte"),
+        F.ascii(F.substring(F.col("text"), -1, 1)).cast("int").alias("last_byte"),
+    )
+    return p.select("media_id", F.col("meta.n_bytes").alias("n_bytes")).join(
+        bytes_view, "media_id"
+    )
+
+
+# the corpus is ASCII, so ord(char) == byte value on the DuckDB side
+MM_BYTE_STATS_SQL = """\
+SELECT doc_id                                           AS media_id,
+       octet_length(encode(text))                       AS n_bytes,
+       CAST(ord(substr(text, 1, 1)) AS INT)             AS first_byte,
+       CAST(ord(substr(text, length(text), 1)) AS INT)  AS last_byte
+FROM documents"""
+
+
+def _decode_payload(payload: bytes) -> list[float]:
+    """STUB decode kernel. A real image/audio decoder is NOT available in
+    this container (no PIL/ffmpeg); this deterministic fake computes a
+    byte-histogram feature so the distributed plumbing is exercised
+    end-to-end. Swap this single function for the real decoder."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    n = float(len(payload))
+    return [c / n for c in counts]
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda raw: _decode_payload(bytes(raw)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return p.mapInPandas(
+        extract, schema="media_id long, n_bytes long, features array<double>"
+    )
+
+
+register("mm_byte_stats", mm_byte_stats, MM_BYTE_STATS_SQL)
+register("mm_feature_extract", mm_feature_extract, None)

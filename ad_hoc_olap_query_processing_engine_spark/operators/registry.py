@@ -36,16 +36,11 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import relational  # noqa: F401
 
-    try:
-        from . import dedup  # noqa: F401
-        from . import similarity  # noqa: F401
-        from . import text  # noqa: F401
-    except ImportError:  # pragma: no cover - modules land incrementally
-        pass
-    try:
-        from ..streaming import windows  # noqa: F401
-    except ImportError:  # pragma: no cover
-        pass
+    from . import dedup  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import text  # noqa: F401
+    from ..streaming import windows  # noqa: F401
 
 
 def all_ops() -> dict[str, Op]:

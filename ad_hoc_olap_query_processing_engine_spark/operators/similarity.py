@@ -1,0 +1,166 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, SURVEY.md
+§2.3 — NOT-IN-REFERENCE; the ANN surface of a training-data pipeline).
+
+sim_brute_topk    exact top-k cosine neighbors for a query set, computed with
+                  built-in higher-order functions (zip_with + aggregate —
+                  JVM-side, no Python). The query side is broadcast; the scan
+                  side streams, so the plan is one pass over the vectors per
+                  batch of queries. Scores are rounded to 4 dp so the DuckDB
+                  oracle (list_cosine_similarity) hash-matches despite
+                  engine-internal summation-order differences; ranking ties
+                  break on vec_id.
+
+sim_srp_ann       the scale path: 16-bit signed-random-projection signatures
+                  (deterministic ±1 hyperplanes derived from md5 — no RNG),
+                  computed as JVM column expressions; Hamming-0 bucket join
+                  for candidates; exact re-rank of candidates only.
+                  Approximate recall — registered rows-only (no SQL oracle);
+                  tests assert its hits are a subset of the brute-force
+                  ranking.
+
+At 100 TB the brute path is O(Q·N) per query batch but embarrassingly
+parallel with no shuffle (broadcast queries); the SRP path cuts candidates by
+2^bits and shuffles once on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+SRP_BITS = 16
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.select(F.col("vec_id"), F.col("embedding"))
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = (
+        cand.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(cos, 4))
+        .select("query_id", "vec_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+SIM_BRUTE_TOPK_SQL = f"""\
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# sim_srp_ann — LSH-bucketed approximate neighbors (the scale path).
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 — reproducible
+    across sessions/machines without any RNG state."""
+    import hashlib
+
+    planes = []
+    for b in range(SRP_BITS):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{b}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+SRP_BANDS = 4  # 4 bands × 4 bits: candidate iff ANY band signature matches
+
+
+def _srp_band_cols(dim: int) -> Column:
+    """Array of per-band SRP signatures (band id ⊕ 4 sign bits), JVM-side."""
+    planes = _hyperplanes(dim)
+    bits_per_band = SRP_BITS // SRP_BANDS
+    bands = []
+    for band in range(SRP_BANDS):
+        sig = F.lit(0).cast("int")
+        for j in range(bits_per_band):
+            row = planes[band * bits_per_band + j]
+            proj = _dot(F.col("embedding"), F.array(*[F.lit(x) for x in row]))
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+            sig = sig + (bit * F.lit(2**j)).cast("int")
+        # offset so signatures from different bands never collide
+        bands.append(sig + F.lit(band * 2**bits_per_band))
+    return F.array(*bands)
+
+
+def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    buckets = e.select(
+        "vec_id", "embedding", F.explode(_srp_band_cols(dim)).alias("bucket")
+    )
+    queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # candidates: any matching band bucket; exact re-rank of candidates only
+    cand = (
+        buckets.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = cand.withColumn("score", F.round(cos, 4)).select(
+        "query_id", "vec_id", "score"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+register("sim_brute_topk", sim_brute_topk, SIM_BRUTE_TOPK_SQL)
+register("sim_srp_ann", sim_srp_ann, None)

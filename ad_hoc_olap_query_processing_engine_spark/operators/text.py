@@ -1,0 +1,192 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.3 —
+NOT-IN-REFERENCE; the training-data-pipeline surface).
+
+All four ops are pure built-in column expressions (JVM-side, whole-stage
+codegen — no Python in the hot path) and scale linearly: tokenization and
+scoring are per-row map work with no shuffle; the aggregations shuffle only
+tiny (lang, …) keys.
+
+Determinism: token counts use a single-space split (the corpus is
+space-joined), substring-occurrence counts use length arithmetic, and the
+fingerprint is md5 — all bit-identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _n_tokens() -> Column:
+    return F.size(F.split(F.col("text"), " "))
+
+
+def _occurrences(needle: str) -> Column:
+    """# of occurrences of ``needle`` in text via length arithmetic
+    (cross-engine deterministic, unlike regex counting)."""
+    return (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle)))
+    ) / len(needle)
+
+
+def _occurrences_sql(needle: str) -> str:
+    return f"(length(text) - length(replace(text, '{needle}', ''))) / {len(needle)}"
+
+
+# ---------------------------------------------------------------------------
+# text_token_stats — corpus profile per (lang, source).
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("n_tokens", _n_tokens())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum(F.length("text")) / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """\
+WITH t AS (SELECT lang, source, len(string_split(text, ' ')) AS n_tokens,
+                  length(text) AS n_chars
+           FROM documents)
+SELECT lang, source,
+       COUNT(*)                                    AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)               AS total_tokens,
+       SUM(n_tokens) * 1.0 / COUNT(*)              AS avg_tokens,
+       SUM(n_chars) * 1.0 / COUNT(*)               AS avg_chars
+FROM t GROUP BY lang, source"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality — per-document quality scoring (length / stopword / repetition
+# heuristics, the C4/Gopher-style filters).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = _n_tokens()
+    stop_hits: Column = F.lit(0.0)
+    for w in _STOPWORDS:
+        stop_hits = stop_hits + _occurrences(f" {w} ")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    out = (
+        d.withColumn("n_tokens", n_tok.cast("int"))
+        .withColumn("stopword_ratio", stop_hits / n_tok)
+        .withColumn(
+            "avg_token_len",
+            (F.length("text") - (n_tok - F.lit(1))) / n_tok,
+        )
+        .withColumn("alpha_ratio", alpha_chars / F.length("text"))
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("stopword_ratio") > 0.01)
+        & (F.col("avg_token_len") >= 3)
+        & (F.col("avg_token_len") <= 12)
+    )
+    return out.withColumn("keep", keep).select(
+        "doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "alpha_ratio", "keep"
+    )
+
+
+TEXT_QUALITY_SQL = f"""\
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text)                 AS n_chars,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+         {' + '.join(_occurrences_sql(f' {w} ') for w in _STOPWORDS)} AS stop_hits
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT)                  AS doc_id,
+       CAST(n_tok AS INT)                      AS n_tokens,
+       stop_hits * 1.0 / n_tok                 AS stopword_ratio,
+       (n_chars - (n_tok - 1)) * 1.0 / n_tok   AS avg_token_len,
+       alpha_chars * 1.0 / n_chars             AS alpha_ratio,
+       (n_tok >= 20 AND stop_hits * 1.0 / n_tok > 0.01
+        AND (n_chars - (n_tok - 1)) * 1.0 / n_tok BETWEEN 3 AND 12) AS keep
+FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# text_lang_id — n-gram-marker language heuristic vs the labeled lang.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": (" the ", " and "),
+    "es": (" el ", " la "),
+    "de": (" der ", " und "),
+    "fr": (" le ", " et "),
+    "zh": (" de ", " shi "),
+}
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    scores = {
+        lang: sum((_occurrences(m) for m in marks), F.lit(0.0))
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    # deterministic argmax: first lang (in fixed order) with the max score;
+    # all-zero scores → 'unknown'
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang in _LANG_MARKERS:  # insertion order is the tie order
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return (
+        d.withColumn("predicted_lang", best)
+        .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: "(" + " + ".join(_occurrences_sql(m) for m in marks) + ")"
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    # same fold as the Spark side: strictly-greater keeps the earlier lang on ties
+    pred, best = "'unknown'", "0.0"
+    for lang in _LANG_MARKERS:
+        pred = f"CASE WHEN {score[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {score[lang]} > {best} THEN {score[lang]} ELSE {best} END"
+    return f"""\
+WITH p AS (SELECT lang AS labeled_lang, {pred} AS predicted_lang FROM documents)
+SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+FROM p GROUP BY labeled_lang, predicted_lang"""
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — md5 document fingerprint over normalized text.
+# ---------------------------------------------------------------------------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9]", ""))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = """\
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))) AS fingerprint
+FROM documents"""
+
+
+register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+register("text_quality", text_quality, TEXT_QUALITY_SQL)
+register("text_lang_id", text_lang_id, _lang_id_sql())
+register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)

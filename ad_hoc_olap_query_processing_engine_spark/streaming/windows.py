@@ -1,0 +1,200 @@
+"""Structured Streaming windows over the ``events`` table (SURVEY.md §2.3 —
+NOT-IN-REFERENCE; the reference is strictly batch).
+
+Each operator builds a genuine ``readStream`` pipeline (file source over the
+driver parquet, watermark, windowed aggregation), drains it synchronously
+through a memory sink (``processAllAvailable`` — the standard local-test
+harness), and returns the result table. The same aggregations are also
+exposed as batch builders so tests can assert stream/batch parity, and the
+tumbling aggregate is oracle-checked against DuckDB epoch arithmetic.
+
+Window starts are emitted as epoch seconds (BIGINT) — engine-neutral, no
+timestamp-type mismatches with the oracle.
+
+Scale: a file-source stream with watermark + windowed agg is exactly the
+shape that runs on a real cluster against Kafka — state is bounded by the
+watermark horizon per (window, key), and the memory sink here swaps for a
+parquet/Kafka sink without touching the aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from ..operators.registry import register
+
+_SINK_LOCK = threading.Lock()
+_SINK_SEQ = [0]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. The nanos `ts` arrives as int64
+    (same legacy conf as the batch reader) and is rebuilt to a micros
+    timestamp before any event-time logic."""
+    load_table(spark, "events", sf_dir)  # sets the nanos-as-long conf
+    path = os.path.join(sf_dir, "events.parquet")
+    # Spark's file stream source requires a directory; the driver data is a
+    # single file → expose it through a symlink dir (read-only testdata).
+    link_dir = os.path.join(
+        "/tmp/spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(link_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def _drain(agg: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Run the streaming aggregation to completion through a memory sink and
+    return the materialized result as a (static) DataFrame."""
+    with _SINK_LOCK:
+        _SINK_SEQ[0] += 1
+        name = f"stream_sink_{_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream_tumbling — 1-day tumbling windows, watermarked, oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = _drain(agg, spark, "complete")
+    return out.select(
+        F.col("w.start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+STREAM_TUMBLING_SQL = """\
+SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT)  AS window_start,
+       event_type,
+       COUNT(*)                                          AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_tumbling (stream/batch parity testing)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding — 12h windows sliding every 6h (overlapping assignment).
+# ---------------------------------------------------------------------------
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "12 hours", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _drain(agg, spark, "complete")
+    return out.select(
+        F.col("w.start").cast("long").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+# each event lands in exactly two 12h/6h windows: epoch-floor at 6h, and that
+# minus 6h (window length 12h) — expressible as a 2-offset unnest
+STREAM_SLIDING_SQL = """\
+WITH assigned AS (
+  SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 - o AS BIGINT) AS window_start,
+         event_type
+  FROM events, unnest([0, 21600]) AS t(o))
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM assigned GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# stream_session — per-user session windows (30-minute gap).
+# ---------------------------------------------------------------------------
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _drain(agg, spark, "complete")
+    return out.select(
+        F.col("w.start").cast("long").alias("session_start"),
+        F.col("w.end").cast("long").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+# sessionization in plain SQL: lag + cumsum at MICROSECOND precision; Spark's
+# session windows are [first, last+gap) with end-exclusive overlap merging, so
+# a gap of exactly 30min starts a new session (>=).
+STREAM_SESSION_SQL = """\
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 1000000.0) AS BIGINT)                AS session_start,
+       CAST(FLOOR((epoch_us(MAX(ts)) + 1800000000) / 1000000.0) AS BIGINT) AS session_end,
+       user_id,
+       COUNT(*)                                                            AS n_events
+FROM sessions GROUP BY user_id, session_id"""
+
+
+register("stream_tumbling", stream_tumbling, STREAM_TUMBLING_SQL)
+register("stream_sliding", stream_sliding, STREAM_SLIDING_SQL)
+register("stream_session", stream_session, STREAM_SESSION_SQL)
