@@ -1,0 +1,273 @@
+"""Advanced relational surface: as-of join, pivot/unpivot, full-outer join,
+exact percentiles, and the Python-UDF path (SURVEY.md §2.3).
+
+asof_join is the reusable primitive Spark lacks natively: implemented as
+union + partitioned window with last(ignorenulls) — ONE shuffle on the
+partition key, no range explosion, no per-group Python. That is the shape
+that survives 100 TB (the pandas merge_asof-per-group alternative ships every
+row through Arrow).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _dec(col: str, scale: int = 2) -> Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# as-of join (generic primitive + registered demo query)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the value columns of the latest right row
+    with ``right_ts <= left_ts`` within the same partition keys.
+
+    union → window(last, ignorenulls) — a single shuffle on the partition
+    key; right rows sort before left rows at equal timestamps so same-instant
+    matches are included (ASOF ``>=`` semantics).
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in partition_cols],
+        *partition_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).select(*l_tagged.columns)
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = out.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
+    return out
+
+
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event gets the value of the user's latest prior purchase."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks, purchases, ["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_value").alias("last_purchase_value"),
+    )
+
+
+REL_ASOF_JOIN_SQL = """\
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, p.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+def rel_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("yr"), _dec("l_extendedprice").alias("price"))
+    )
+    pivoted = base.groupBy("n_name").pivot("yr", _PIVOT_YEARS).agg(
+        F.sum("price").cast("double")
+    )
+    return pivoted.select(
+        "n_name", *[F.col(str(y)).alias(f"rev_{y}") for y in _PIVOT_YEARS]
+    )
+
+
+REL_PIVOT_REVENUE_SQL = "SELECT n_name,\n" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN year(o_orderdate) = {y} "
+    f"THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_{y}"
+    for y in _PIVOT_YEARS
+) + """
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+_MEASURES = ["l_quantity", "l_discount", "l_tax"]
+
+
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    long = l.unpivot(
+        ids=["l_orderkey"], values=_MEASURES, variableColumnName="measure", valueColumnName="val"
+    )
+    return long.groupBy("measure").agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+REL_UNPIVOT_MEASURES_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS measure, "
+    f"CAST(SUM(CAST({m} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value, "
+    f"COUNT(*) AS n_rows FROM lineitem"
+    for m in _MEASURES
+)
+
+
+# ---------------------------------------------------------------------------
+# full outer join
+# ---------------------------------------------------------------------------
+
+
+def rel_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (nation, year): demand side (customers ordering) FULL OUTER JOIN
+    supply side (suppliers shipping) — either side may be absent."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    demand = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+    supply = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+    joined = demand.join(supply, ["n_name", "yr"], "full_outer")
+    return joined.select(
+        "n_name",
+        "yr",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+REL_FULL_OUTER_ACTIVITY_SQL = """\
+WITH demand AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+         COUNT(DISTINCT o_custkey) AS n_customers
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+supply AS (
+  SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT COALESCE(d.n_name, s.n_name)      AS n_name,
+       COALESCE(d.yr, s.yr)              AS yr,
+       COALESCE(d.n_customers, 0)        AS n_customers,
+       COALESCE(s.n_suppliers, 0)        AS n_suppliers
+FROM demand d FULL OUTER JOIN supply s
+  ON d.n_name = s.n_name AND d.yr = s.yr"""
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (order statistics; bit-identical to DuckDB quantile_cont)
+# ---------------------------------------------------------------------------
+
+
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+REL_PERCENTILES_SQL = """\
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       MAX(l_extendedprice)                 AS max_price
+FROM lineitem GROUP BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# Python UDF surface: Arrow-vectorized pandas_udf with exact integer
+# semantics, so even the UDF path is oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _n_tokens_kernel(text: pd.Series) -> pd.Series:
+    return text.str.split(" ").str.len().astype("int32")
+
+
+def udf_token_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens = F.pandas_udf(_n_tokens_kernel, returnType="int")
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("n_tokens", n_tokens("text"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+UDF_TOKEN_COUNT_PANDAS_SQL = """\
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS INT)    AS max_tokens
+FROM documents GROUP BY lang"""
+
+
+register("rel_asof_join", rel_asof_join, REL_ASOF_JOIN_SQL)
+register("rel_pivot_revenue", rel_pivot_revenue, REL_PIVOT_REVENUE_SQL)
+register("rel_unpivot_measures", rel_unpivot_measures, REL_UNPIVOT_MEASURES_SQL)
+register("rel_full_outer_activity", rel_full_outer_activity, REL_FULL_OUTER_ACTIVITY_SQL)
+register("rel_percentiles", rel_percentiles, REL_PERCENTILES_SQL)
+register("udf_token_count_pandas", udf_token_count_pandas, UDF_TOKEN_COUNT_PANDAS_SQL)

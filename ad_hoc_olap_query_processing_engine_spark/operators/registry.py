@@ -36,10 +36,12 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from . import relational  # noqa: F401
 
+    from . import advanced  # noqa: F401
     from . import dedup  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
+    from ..functions import scalar  # noqa: F401
     from ..streaming import windows  # noqa: F401
 
 

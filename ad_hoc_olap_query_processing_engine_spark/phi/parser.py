@@ -146,7 +146,9 @@ def _flip(op: str) -> str:
 
 def _split_slots(line: str) -> list[str]:
     """Split the such-that line on commas that sit between conditions (i.e.
-    not inside ``{...}`` / ``[...]``)."""
+    not inside ``{...}`` / ``[...]``). Empty slots are PRESERVED — slots are
+    positional (slot i belongs to GV i+1); an empty slot means "no explicit
+    conditions" and gets the implicit same-group synthesis."""
     slots, depth, buf = [], 0, []
     for ch in line:
         if ch in "{[":
@@ -159,7 +161,7 @@ def _split_slots(line: str) -> list[str]:
         else:
             buf.append(ch)
     slots.append("".join(buf))
-    return [s.strip() for s in slots if s.strip()]
+    return [s.strip() for s in slots]
 
 
 def parse_having(line: str, output_fields: set[str]) -> Having:

@@ -83,6 +83,11 @@ class PhiPlanError(ValueError):
     pass
 
 
+# Persist the (small) group table when staged join GVs reuse it; flip off to
+# A/B the raw recompute plan.
+PERSIST_GROUP_TABLE = True
+
+
 @dataclass
 class _GVPlan:
     gv: GroupingVar
@@ -222,9 +227,17 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
         if p.strategy != "window":
             continue
         gv, i, fn = p.gv, p.gv.index, p.gv.agg.fn
-        if p.theta is not None:
-            attr, op = p.theta
-            w = W.partitionBy(*p.eq_attrs).orderBy(F.col(attr)).rangeBetween(*_THETA_FRAMES[op])
+        if p.theta is not None or p.anti_attr is None:
+            # frame window (θ) or whole-partition window (superset)
+            if p.theta is not None:
+                attr, op = p.theta
+                w = (
+                    W.partitionBy(*p.eq_attrs)
+                    .orderBy(F.col(attr))
+                    .rangeBetween(*_THETA_FRAMES[op])
+                )
+            else:
+                w = W.partitionBy(*p.eq_attrs)
             if fn in ("min", "max"):
                 groups = groups.withColumn(
                     gv.agg.name, _AGG_FNS[fn](F.col(f"__p{fn}_{i}")).over(w)
@@ -232,7 +245,7 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
                 continue
             cnt = F.sum(F.col(f"__pcnt_{i}")).over(w)
             tot = F.sum(F.col(f"__psum_{i}")).over(w) if fn != "count" else None
-        elif p.anti_attr is not None:
+        else:
             # "other groups" total: partition(S) total minus the total of
             # groups sharing this group's anti-attribute value.
             w_all = W.partitionBy(*p.eq_attrs)
@@ -247,10 +260,6 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
                 )
             else:
                 tot = None
-        else:  # superset: total over the coarser partition
-            w = W.partitionBy(*p.eq_attrs)
-            cnt = F.sum(F.col(f"__pcnt_{i}")).over(w)
-            tot = F.sum(F.col(f"__psum_{i}")).over(w) if fn != "count" else None
         if fn == "count":
             expr = F.coalesce(cnt, F.lit(0))
         elif fn == "sum":
@@ -262,7 +271,14 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
 
     # ---- JOIN_AGG GVs: staged in GV index order (dependent aggregates,
     # reference O10, see golden query 6) against the accumulating group table.
+    # The group table participates in every stage (join side + join-back
+    # anchor); it is small by definition (|G| ≪ |sales|), so persist it and
+    # pay the fact-table pipeline once instead of once per reference.
     acc = groups
+    if PERSIST_GROUP_TABLE and any(p.strategy == "join" for p in plans):
+        from pyspark import StorageLevel
+
+        acc = acc.persist(StorageLevel.MEMORY_AND_DISK)
     for p in plans:
         if p.strategy != "join":
             continue

@@ -1,0 +1,15 @@
+from .inspect import (
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    table_scan_count,
+)
+
+__all__ = [
+    "count_exchanges",
+    "has_broadcast_join",
+    "physical_plan",
+    "pushed_filters",
+    "table_scan_count",
+]

@@ -1,0 +1,48 @@
+"""Source/sink surface beyond the default parquet registry (SURVEY.md §2.3).
+
+The reference's only source is a JDBC full-table scan and its only sink is
+stdout (reference: src/QueryProcessor1.java:76-96, :305-315). Here: parquet /
+ORC / CSV / JSON readers and writers, partitioned layouts, and an explicit-
+schema path (never infer schemas in production — inference is a full extra
+pass). Delta/Iceberg need jars not present in this environment; their absence
+is handled, not hidden (``lakehouse_available``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt == "csv":
+        # explicit schemas are the production path; inference only as an
+        # opt-in for ad-hoc exploration
+        r = r.option("inferSchema", "true")
+    return r.load(path)
+
+
+def lakehouse_available(spark: SparkSession, fmt: str = "delta") -> bool:
+    """True if a lakehouse format's jars are on the classpath. Not bundled in
+    this environment — connectors must degrade, not crash."""
+    try:
+        spark.read.format(fmt).load("/nonexistent")
+        return True
+    except Exception as exc:  # noqa: BLE001
+        return "DATA_SOURCE_NOT_FOUND" not in str(type(exc).__name__) and "Failed to find" not in str(exc)

@@ -1,0 +1,103 @@
+"""Property-based Φ testing: random query specs (random grouping sets, GV
+strategies, σ-conditions, θ/anti/dependent predicates, WHERE, HAVING) are
+compiled by the planner AND rendered to SQL by sqlgen, then cross-checked on
+the same rows (Spark DataFrame plan vs DuckDB). Any divergence between the
+four GV compilation strategies and textbook semantics shows up here first."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ad_hoc_olap_query_processing_engine_spark.phi import compile_phi, parse_query, phi_to_sql
+
+from .conftest import assert_frames_match
+from .test_phi_planner import COLS, _fixture_pdf
+
+FNS = ["sum", "avg", "min", "max", "count"]
+V_CHOICES = [["cust"], ["prod"], ["cust", "prod"], ["cust", "month"], ["prod", "month"]]
+STATES = ["NY", "CT", "NJ", "TX"]
+
+
+@st.composite
+def phi_specs(draw) -> str:
+    v = draw(st.sampled_from(V_CHOICES))
+    n = draw(st.integers(1, 3))
+    gv_names, slots = [], []
+    for i in range(1, n + 1):
+        fn = draw(st.sampled_from(FNS))
+        name = f"{fn}_quant_{i}"
+        conds = []
+        kind = draw(st.sampled_from(["same", "subset", "theta", "anti", "dep", "sigma_only"]))
+        if kind == "dep" and i == 1:
+            kind = "same"
+        if kind == "same":
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+        elif kind == "subset" and len(v) > 1:
+            conds.append(f"{{MF.{v[0]}.{name}}}[=]{{{v[0]}}}")
+        elif kind == "theta" and "month" in v:
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds.append(f"{{MF.month.{name}}}[{op}]{{month}}")
+            for g in v:
+                if g != "month":
+                    conds.append(f"{{MF.{g}.{name}}}[=]{{{g}}}")
+        elif kind == "anti" and len(v) > 1:
+            conds.append(f"{{MF.{v[0]}.{name}}}[!=]{{{v[0]}}}")
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v[1:]]
+        elif kind == "dep":
+            prev = gv_names[draw(st.integers(0, len(gv_names) - 1))]
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+            conds.append(f"{{MF.{prev}.{name}}}[<]{{quant}}")
+        # else sigma_only: no MF conds → parser synthesizes same-group
+        if draw(st.booleans()):
+            sigma_kind = draw(st.sampled_from(["state", "quant"]))
+            if sigma_kind == "state":
+                conds.append(f"{{state}}[=]{{{draw(st.sampled_from(STATES))}}}")
+            else:
+                conds.append(f"{{quant}}[>]{{{draw(st.integers(-10, 50))}}}")
+        if not conds:
+            # a fully-empty such-that LINE can't survive text round-trip
+            # (blank lines are dropped); pin explicit same-group equalities
+            conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+        gv_names.append(name)
+        slots.append(":".join(conds))
+    select = v + gv_names
+    lines = [",".join(select), str(n), ",".join(v), ",".join(gv_names)]
+    if draw(st.booleans()):
+        slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
+    lines.append(",".join(slots))
+    if draw(st.booleans()):
+        fld = draw(st.sampled_from(gv_names))
+        op = draw(st.sampled_from([">", "<", ">="]))
+        lines.append(f"{{MF.{fld},{op},{draw(st.integers(0, 30))}}}")
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def prop_ctx(spark):
+    pdf = _fixture_pdf()
+    sdf = spark.createDataFrame(pdf)
+    sdf.persist()
+    sdf.count()
+    con = duckdb.connect()
+    con.register("sales_fixture", pdf)
+    yield sdf, con
+    sdf.unpersist()
+    con.close()
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=phi_specs())
+def test_random_phi_matches_oracle(spec, prop_ctx):
+    sdf, con = prop_ctx
+    q = parse_query(spec.splitlines(), known_cols=COLS)
+    got = compile_phi(q, sdf).toPandas()
+    exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
+    assert_frames_match(got, exp)

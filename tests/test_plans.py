@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the 100 TB contract, asserted on explain()
+output (see plans/inspect.py). These lock in the scan/broadcast/pushdown
+shapes that make the operators viable at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from ad_hoc_olap_query_processing_engine_spark.operators import relational, similarity
+from ad_hoc_olap_query_processing_engine_spark.phi import compile_phi, golden_queries
+from ad_hoc_olap_query_processing_engine_spark.plans import (
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    table_scan_count,
+)
+from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    return catalog.sales_df(spark, SF_SMALL)
+
+
+def test_fused_phi_queries_scan_fact_table_once(spark, sales):
+    """Q1-Q5 compile to ONE pass over the fact table (conditional aggregation
+    + group-table windows). The reference re-scans per grouping variable
+    (n+1 scans: reference src/QueryProcessor1.java:113-302)."""
+    goldens = golden_queries()
+    for name in ("phi_q1", "phi_q2", "phi_q3", "phi_q4", "phi_q5"):
+        df = compile_phi(goldens[name], sales)
+        assert table_scan_count(df, "lineitem.parquet") == 1, name
+
+
+def test_dependent_phi_query_scans_twice(spark, sales):
+    """Q6's dependent aggregate forces a second pass (scan 0 + one staged
+    join); the persisted group table keeps it at 2, vs the reference's 3."""
+    df = compile_phi(golden_queries()["phi_q6"], sales)
+    assert table_scan_count(df, "lineitem.parquet") == 2
+
+
+def test_phi_where_pushed_to_scan(spark, sales):
+    """The Φ WHERE ({year}[==]{1997}) must be pushed through the 5-way sales
+    view to the orders branch (a pre-join Filter on o_orderdate — it is an
+    expression filter, so parquet row-group pushdown doesn't apply, but it
+    must NOT run after the joins)."""
+    df = compile_phi(golden_queries()["phi_q2"], sales)
+    plan = physical_plan(df)
+    assert any(
+        "o_orderdate" in line and "1997" in line
+        for line in plan.splitlines()
+        if "Condition" in line or "Filter" in line
+    )
+
+
+def test_dimension_join_broadcasts(spark):
+    df = relational.rel_revenue_by_nation(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_brute_similarity_broadcasts_queries(spark):
+    """The O(Q·N) scoring join must broadcast the query side — never shuffle
+    the vector table."""
+    df = similarity.sim_brute_topk(spark, SF_SMALL)
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine before the shuffle (HashAggregate partial/final)."""
+    plan = physical_plan(relational.rel_pricing_summary(spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning_on_scan(spark):
+    """A 2-column projection must not read all lineitem columns."""
+    df = relational.rel_pricing_summary(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "l_comment" not in plan  # never existed, sanity
+    assert "l_suppkey" not in plan  # exists in the table, unused here
