@@ -14,10 +14,10 @@ dedup_ngram_jaccard  exact word-3-gram Jaccard via inverted-index self-join
                      stop-shingle removal (drop df>threshold postings) is the
                      standard scale hatch and is what MinHash avoids anyway.
 
-dedup_minhash_lsh    true MinHash + banded LSH: 16 hash functions realized
-                     as md5 over a per-function salt (hex strings compare
-                     lexicographically like uniform integers — and md5 is
-                     bit-identical in Spark and DuckDB, making the whole
+dedup_minhash_lsh    true MinHash + banded LSH: 16 hash functions via double
+                     hashing (ONE md5 per posting split into two 48-bit ints
+                     a,b; h_i = a + i*b — overflow-free, and md5/hex-parse
+                     are bit-identical in Spark and DuckDB, making the whole
                      sketch ORACLE-CHECKABLE, which library LSH with engine-
                      specific hashes is not), 8 bands × r=2, bucket-join for
                      candidates, exact-Jaccard verification of candidates
@@ -136,14 +136,29 @@ GROUP BY 1"""
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d)
+    # postings feed the self-join (both sides) AND the size table — persist
+    # the one shuffle instead of recomputing the explode+distinct three times
+    sh = _shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
-    cand = (
+    # intersection counts straight out of the inverted-index self-join — no
+    # separate candidate-set materialization + re-join (LSH needs that split;
+    # the exact op doesn't)
+    inter = (
         x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    return _verify_candidates(sh, cand)
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""\
@@ -159,21 +174,32 @@ cand AS (
 # ---------------------------------------------------------------------------
 
 
+def _hash_fields(sh: DataFrame) -> DataFrame:
+    """Double-hashing base fields: one md5 per posting, split into two 48-bit
+    ints (hex → BIGINT parses identically in Spark and DuckDB); the i-th hash
+    is ``a + i*b`` (≤ 2^53, overflow-free, exact in both engines)."""
+    h = F.md5(F.col("s").cast("binary"))
+    return sh.withColumn(
+        "__ha", F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+    ).withColumn("__hb", F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint"))
+
+
 def _minhash_cols() -> list[Column]:
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"m{i}")
+        F.min(F.col("__ha") + F.lit(i) * F.col("__hb")).alias(f"m{i}")
         for i in range(NUM_HASHES)
     ]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d)
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    # postings feed signatures AND candidate verification — one shuffle, kept
+    sh = _shingles(d).persist()
+    sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
     r = NUM_HASHES // BANDS
     band_keys = F.array(
         *[
-            F.concat(*[F.col(f"m{b * r + j}") for j in range(r)])
+            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
             for b in range(BANDS)
         ]
     )
@@ -197,20 +223,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     r = NUM_HASHES // BANDS
     mins = ",\n         ".join(
-        f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(NUM_HASHES)
+        f"MIN(ha + {i} * hb) AS m{i}" for i in range(NUM_HASHES)
     )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || ".join(f"m{b * r + j}" for j in range(r))
+        + " || '_' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
         + " AS key FROM sig"
         for b in range(BANDS)
     )
     return f"""\
 WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 12))::BIGINT  AS ha,
+         ('0x' || substr(md5(s), 13, 12))::BIGINT AS hb
+  FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id),
+  FROM hashed GROUP BY doc_id),
 bands AS (
 {band_selects}),
 cand AS (
