@@ -254,3 +254,105 @@ cand AS (
 register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-bit SimHash fingerprints + nibble-banded near-dup pairs.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+_NIBBLES = 4  # 4 bands × 4 bits: Hamming ≤ 3 ⟹ at least one nibble matches
+
+
+def _simhash_col() -> Column:
+    """Per-document SimHash over token hashes: bit p is the sign of
+    Σ_tokens (±1 by token-hash bit p). Pure integer arithmetic — bitwise
+    shifts, CASE, and SUM are identical in Spark and DuckDB."""
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__ha"), p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        )
+        for p in range(SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("bigint")
+    for p, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    # token OCCURRENCES (not distinct) — SimHash weights by frequency
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("s"))
+    hashed = _hash_fields(toks)
+    sigs = hashed.groupBy("doc_id").agg(_simhash_col().alias("simhash"))
+    # nibble banding: Hamming ≤ 3 over 16 bits pigeonholes into ≥1 equal nibble
+    nib = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(_NIBBLES)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = nib.alias("a"), nib.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (ha >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(SIMHASH_BITS))
+    nib_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {4 * b}) & 15 AS key FROM sigs"
+        for b in range(_NIBBLES)
+    )
+    return f"""\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS ha FROM toks),
+bitsums AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums),
+nib AS (
+{nib_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM nib a JOIN nib b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+register("dedup_simhash", dedup_simhash, _simhash_sql())

@@ -198,3 +198,59 @@ FROM sessions GROUP BY user_id, session_id"""
 register("stream_tumbling", stream_tumbling, STREAM_TUMBLING_SQL)
 register("stream_sliding", stream_sliding, STREAM_SLIDING_SQL)
 register("stream_session", stream_session, STREAM_SESSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_stateful_user_agg — custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate kept in explicit GroupState — the
+    ``applyInPandasWithState`` surface for operators Spark's built-in
+    aggregations can't express (custom accumulators, decaying counters,
+    session machines). State schema: (count, total); each micro-batch emits
+    the refreshed totals for the users it touched. Value totals are kept in
+    int micro-units so state arithmetic is exact (oracle-checkable)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # double→bigint CASTS DIFFER across engines (Spark truncates, DuckDB
+    # rounds); go through DECIMAL, which is exact in both
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint").alias("micros"),
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["micros"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total / 1e6]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(agg, spark, "update")
+
+
+# single-file source → one micro-batch → the emitted update equals the batch
+# aggregate, with the same exact micro-unit arithmetic
+STREAM_STATEFUL_USER_AGG_SQL = """\
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) / 1000000.0
+         AS total_value
+FROM events GROUP BY user_id"""
+
+
+register("stream_stateful_user_agg", stream_stateful_user_agg, STREAM_STATEFUL_USER_AGG_SQL)
