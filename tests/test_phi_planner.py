@@ -233,3 +233,27 @@ def test_group_key_collision_b7(fixture_sales):
     _, got = check(spec, fixture_sales)
     keys = set(zip(got["cust"], got["prod"]))
     assert ("a", "bc") in keys and ("ab", "c") in keys
+
+
+def test_generic_phi_api_on_any_dataframe(spark, duck):
+    """phi() runs a Φ-spec against an arbitrary DataFrame (here: events)."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import phi
+    from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+    from .conftest import SF_SMALL, assert_frames_match
+
+    ev = catalog.load_table(spark, "events", SF_SMALL)
+    spec = (
+        "event_type,count_value_hi,avg_value_all\n1\nevent_type\ncount_value_hi\n"
+        "{MF.event_type.count_value_hi}[=]{event_type}:{value}[>]{50}"
+    )
+    got = phi(ev, spec).toPandas()
+    exp = duck(SF_SMALL).sql("""
+        WITH g AS (SELECT event_type, CAST(AVG(value) AS DOUBLE) AS avg_value_all
+                   FROM events GROUP BY event_type),
+        c AS (SELECT event_type, COUNT(*) AS count_value_hi FROM events
+              WHERE value > 50 GROUP BY event_type)
+        SELECT g.event_type, COALESCE(c.count_value_hi, 0) AS count_value_hi,
+               g.avg_value_all
+        FROM g LEFT JOIN c ON g.event_type = c.event_type
+    """).fetchdf()
+    assert_frames_match(got, exp)

@@ -30,7 +30,11 @@ def phi_specs(draw) -> str:
         fn = draw(st.sampled_from(FNS))
         name = f"{fn}_quant_{i}"
         conds = []
-        kind = draw(st.sampled_from(["same", "subset", "theta", "anti", "dep", "sigma_only"]))
+        kind = draw(
+            st.sampled_from(
+                ["same", "subset", "theta", "anti", "dep", "sigma_only", "mf_lit"]
+            )
+        )
         if kind == "dep" and i == 1:
             kind = "same"
         if kind == "same":
@@ -50,6 +54,11 @@ def phi_specs(draw) -> str:
             prev = gv_names[draw(st.integers(0, len(gv_names) - 1))]
             conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
             conds.append(f"{{MF.{prev}.{name}}}[<]{{quant}}")
+        elif kind == "mf_lit":
+            # a literal vs an MF grouping field (pure join-fallback shape)
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+            if "month" in v:
+                conds.append(f"{{MF.month.{name}}}[>=]{{{draw(st.integers(1, 11))}}}")
         # else sigma_only: no MF conds → parser synthesizes same-group
         if draw(st.booleans()):
             sigma_kind = draw(st.sampled_from(["state", "quant"]))

@@ -1,0 +1,51 @@
+"""Salted aggregation/join must be result-identical to the unsalted plans —
+skew mitigation is a physical rewrite, never a semantic one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ad_hoc_olap_query_processing_engine_spark.operators import skew
+from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
+from .conftest import SF_SMALL, assert_frames_match
+
+
+def test_salted_groupby_matches_plain(spark):
+    l = catalog.load_table(spark, "lineitem", SF_SMALL)
+    plain = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("l_orderkey").alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    salted = skew.salted_groupby_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    assert_frames_match(salted.toPandas(), plain.toPandas())
+
+
+def test_salted_join_matches_plain(spark):
+    l = catalog.load_table(spark, "lineitem", SF_SMALL).select("l_orderkey", "l_quantity")
+    o = catalog.load_table(spark, "orders", SF_SMALL).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = skew.salted_join(l, o, "l_orderkey").groupBy("l_orderkey").count()
+    assert_frames_match(salted.toPandas(), plain.toPandas())
+
+
+def test_nondecomposable_agg_rejected(spark):
+    l = catalog.load_table(spark, "lineitem", SF_SMALL)
+    try:
+        skew.salted_groupby_agg(l, ["l_returnflag"], {"a": ("avg", "l_quantity")})
+        raise AssertionError("avg must be rejected")
+    except ValueError:
+        pass
