@@ -74,14 +74,16 @@ def _decode_payload(payload: bytes) -> list[float]:
     """STUB decode kernel. A real image/audio decoder is NOT available in
     this container (no PIL/ffmpeg); this deterministic fake computes a
     byte-histogram feature so the distributed plumbing is exercised
-    end-to-end. Swap this single function for the real decoder."""
+    end-to-end (vectorized — the kernel runs per Arrow batch, so Python
+    per-byte loops would dominate). Swap this single function for the real
+    decoder."""
+    import numpy as np
+
     if not payload:
         return [0.0] * FEATURE_DIM
-    counts = [0] * FEATURE_DIM
-    for b in payload:
-        counts[b % FEATURE_DIM] += 1
-    n = float(len(payload))
-    return [c / n for c in counts]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+    return (counts / len(arr)).tolist()
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

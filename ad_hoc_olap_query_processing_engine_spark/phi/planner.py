@@ -175,6 +175,20 @@ def _sigma(conds: list[Cond]) -> Column | None:
     return _and_all([_tuple_cond(c) for c in conds]) if conds else None
 
 
+def _reagg_join(groups: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """groupBy(keys) over the group table and join the totals back onto every
+    row — the unordered-window replacement. Null-safe on the keys (window
+    partitions treat NULL as a value; a plain equi-join would drop it).
+    Empty key set = global totals (one row, cross join)."""
+    tot = groups.groupBy(*keys).agg(*aggs) if keys else groups.groupBy().agg(*aggs)
+    for k in keys:
+        tot = tot.withColumnRenamed(k, f"__k_{k}")
+    if not keys:
+        return groups.crossJoin(F.broadcast(tot))
+    cond = _and_all([F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys])
+    return groups.join(tot, cond, "left").drop(*[f"__k_{k}" for k in keys])
+
+
 def _agg_expr(fn: str, src: str, guard: Column | None, alias: str) -> Column:
     """fn over tuples passing ``guard`` (conditional aggregation)."""
     if fn == "count":
@@ -222,22 +236,30 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     else:
         groups = base.groupBy(*v).agg(*aggs)
 
-    # ---- WINDOW GVs: pure group-table windows, no second pass over sales.
+    # ---- WINDOW GVs: pure group-table rollups, no second pass over sales.
+    # θ-conditions need ordering → range-frame window. Unordered totals
+    # (superset / anti) use re-aggregate + join-back instead of a
+    # whole-partition window: no sort, no one-task-per-hot-partition skew,
+    # and AQE broadcasts the (tiny) totals side. The group table feeds both
+    # sides of those join-backs, so persist it — otherwise the totals branch
+    # would recompute the whole fact-table pipeline.
+    if PERSIST_GROUP_TABLE and any(
+        p.strategy == "window" and p.theta is None for p in plans
+    ):
+        from pyspark import StorageLevel
+
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     for p in plans:
         if p.strategy != "window":
             continue
         gv, i, fn = p.gv, p.gv.index, p.gv.agg.fn
-        if p.theta is not None or p.anti_attr is None:
-            # frame window (θ) or whole-partition window (superset)
-            if p.theta is not None:
-                attr, op = p.theta
-                w = (
-                    W.partitionBy(*p.eq_attrs)
-                    .orderBy(F.col(attr))
-                    .rangeBetween(*_THETA_FRAMES[op])
-                )
-            else:
-                w = W.partitionBy(*p.eq_attrs)
+        if p.theta is not None:
+            attr, op = p.theta
+            w = (
+                W.partitionBy(*p.eq_attrs)
+                .orderBy(F.col(attr))
+                .rangeBetween(*_THETA_FRAMES[op])
+            )
             if fn in ("min", "max"):
                 groups = groups.withColumn(
                     gv.agg.name, _AGG_FNS[fn](F.col(f"__p{fn}_{i}")).over(w)
@@ -245,21 +267,39 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
                 continue
             cnt = F.sum(F.col(f"__pcnt_{i}")).over(w)
             tot = F.sum(F.col(f"__psum_{i}")).over(w) if fn != "count" else None
+        elif fn in ("min", "max"):  # superset min/max: min of partial mins
+            groups = _reagg_join(
+                groups,
+                p.eq_attrs,
+                [_AGG_FNS[fn](F.col(f"__p{fn}_{i}")).alias(f"__tot{fn}_{i}")],
+            ).withColumnRenamed(f"__tot{fn}_{i}", gv.agg.name)
+            continue
         else:
-            # "other groups" total: partition(S) total minus the total of
-            # groups sharing this group's anti-attribute value.
-            w_all = W.partitionBy(*p.eq_attrs)
-            w_self = W.partitionBy(*(p.eq_attrs + [p.anti_attr]))
-            cnt = F.sum(F.col(f"__pcnt_{i}")).over(w_all) - F.sum(
-                F.col(f"__pcnt_{i}")
-            ).over(w_self)
+            psum, pcnt = F.col(f"__psum_{i}"), F.col(f"__pcnt_{i}")
+            tot_aggs = [F.sum(pcnt).alias(f"__tc_{i}")]
             if fn != "count":
-                psum = F.col(f"__psum_{i}")
-                tot = F.coalesce(F.sum(psum).over(w_all), F.lit(0)) - F.coalesce(
-                    F.sum(psum).over(w_self), F.lit(0)
-                )
-            else:
-                tot = None
+                tot_aggs.append(F.sum(psum).alias(f"__ts_{i}"))
+            groups = _reagg_join(groups, p.eq_attrs, tot_aggs)
+            cnt = F.col(f"__tc_{i}")
+            tot = F.col(f"__ts_{i}") if fn != "count" else None
+            if p.anti_attr is not None:
+                # "other groups": subtract the totals of groups sharing this
+                # group's anti-attribute value.
+                if set(p.eq_attrs + [p.anti_attr]) == set(v):
+                    # S ∪ {anti} is the full group key — "self" is one row
+                    self_cnt, self_sum = pcnt, F.coalesce(psum, F.lit(0))
+                else:
+                    self_aggs = [F.sum(pcnt).alias(f"__sc_{i}")]
+                    if fn != "count":
+                        self_aggs.append(F.sum(psum).alias(f"__ss_{i}"))
+                    groups = _reagg_join(
+                        groups, p.eq_attrs + [p.anti_attr], self_aggs
+                    )
+                    self_cnt = F.col(f"__sc_{i}")
+                    self_sum = F.coalesce(F.col(f"__ss_{i}"), F.lit(0))
+                cnt = cnt - self_cnt
+                if fn != "count":
+                    tot = F.coalesce(tot, F.lit(0)) - self_sum
         if fn == "count":
             expr = F.coalesce(cnt, F.lit(0))
         elif fn == "sum":
@@ -267,7 +307,9 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
         else:  # avg — tuple-weighted: Σsums / Σcounts
             expr = F.when(cnt > 0, tot / cnt)
         groups = groups.withColumn(gv.agg.name, expr)
-    groups = groups.drop(*[c for c in groups.columns if c.startswith("__p")])
+    groups = groups.drop(
+        *[c for c in groups.columns if c.startswith(("__p", "__t", "__s"))]
+    )
 
     # ---- JOIN_AGG GVs: staged in GV index order (dependent aggregates,
     # reference O10, see golden query 6) against the accumulating group table.
