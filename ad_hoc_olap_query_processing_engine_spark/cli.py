@@ -21,7 +21,6 @@ import argparse
 import sys
 
 from .phi import compile_phi, parse_queries, phi_to_sql
-from .phi.goldens import SALES_COLUMNS
 from .sources import catalog
 
 
@@ -47,20 +46,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", action="store_true", help="print physical plan, not rows")
     ap.add_argument("--limit", type=int, default=0, help="cap printed rows (0 = all)")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--table",
+        default="sales",
+        help="run against any registered table (default: the sales view)",
+    )
     args = ap.parse_args(argv)
-
-    with open(args.query_file) as fh:
-        text = fh.read()
-    queries = parse_queries(text, known_cols=SALES_COLUMNS)
 
     from .session import get_spark
 
     spark = get_spark(app_name="phi-cli", cpus=args.cpus)
-    sales = catalog.sales_df(spark, args.sf_dir)
+    catalog.register_sales_view(spark, args.sf_dir)
+    sales = spark.table(args.table)
+
+    with open(args.query_file) as fh:
+        text = fh.read()
+    queries = parse_queries(text, known_cols=set(sales.columns))
     for i, q in enumerate(queries, start=1):
         print(f"=== Query {i}: select {', '.join(q.select)}")
         if args.sql:
-            print(phi_to_sql(q))
+            print(phi_to_sql(q, relation_name=args.table))
             print()
         df = compile_phi(q, sales)
         if args.explain:

@@ -164,3 +164,96 @@ def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("sim_brute_topk", sim_brute_topk, SIM_BRUTE_TOPK_SQL)
 register("sim_srp_ann", sim_srp_ann, None)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_ann — IVF (inverted-file) ANN: k-means coarse quantizer + probes.
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 8
+IVF_PROBES = 2
+
+
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index sketch: partition vectors by nearest k-means centroid, then
+    answer queries by exact-scoring only the IVF_PROBES nearest cells. The
+    classic trade: train once (sampled k-means), then each query touches
+    ~|probes|/|clusters| of the data. Approximate recall — registered
+    rows-only; tests assert hits are a subset of the brute-force scoring.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, "embeddings", sf_dir).withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="vec", predictionCol="cell")
+    model = km.fit(e.select("vec"))
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cell_dists(emb: Column) -> Column:
+        """squared L2 distance to every centroid, as an array column."""
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+
+    # probe cells per query: indices of the IVF_PROBES smallest distances
+    dists = _cell_dists(F.col("embedding"))
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(IVF_CLUSTERS - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        IVF_PROBES,
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    # join on the probe cell — candidates only from probed cells
+    cand = assigned.alias("v").join(
+        F.broadcast(queries.alias("q")),
+        (F.col("v.cell") == F.col("q.cell")) & (F.col("v.vec_id") != F.col("q.query_id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("q.q_emb").alias("q_emb"),
+        F.col("v.vec_id").alias("vec_id"),
+        F.col("v.embedding").alias("embedding"),
+    ).distinct()
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    scored = cand.withColumn("score", F.round(cos, 4)).select("query_id", "vec_id", "score")
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+register("sim_ivf_ann", sim_ivf_ann, None)

@@ -1,0 +1,62 @@
+"""CLI smoke: the query-file front end end-to-end in a subprocess
+(reference-format output, --table targeting, error paths)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+
+SPEC_SALES = """\
+cust,avg_quant_NY
+1
+cust
+avg_quant_NY
+{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY}
+"""
+
+SPEC_EVENTS = """\
+event_type,count_value_hi
+1
+event_type
+count_value_hi
+{value}[>]{90}
+"""
+
+
+def _run(args: list[str]) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "ad_hoc_olap_query_processing_engine_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+
+
+def test_cli_sales_and_events_table():
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write(SPEC_SALES)
+        sales_spec = fh.name
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write(SPEC_EVENTS)
+        events_spec = fh.name
+
+    r = _run([sales_spec, "--sf-dir", "/root/testdata/sf0.001", "--limit", "3", "--cpus", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "Total Records : 3" in r.stdout and "avg_quant_NY" in r.stdout
+
+    r = _run(
+        [events_spec, "--sf-dir", "/root/testdata/sf0.001", "--table", "events", "--cpus", "4"]
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "count_value_hi" in r.stdout and "Total Records : 5" in r.stdout
+
+
+def test_cli_malformed_spec_fails_loudly():
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("just,one,line\n")
+        bad = fh.name
+    r = _run([bad, "--sf-dir", "/root/testdata/sf0.001", "--cpus", "4"])
+    assert r.returncode != 0
+    assert "PhiParseError" in r.stderr or "expected 5 or 6 lines" in r.stderr

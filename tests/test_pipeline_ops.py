@@ -59,3 +59,16 @@ def test_stream_batch_parity_tumbling(spark):
     streamed = windows.stream_tumbling(spark, SF_SMALL).toPandas()
     batch = windows.batch_tumbling(spark, SF_SMALL).toPandas()
     assert_frames_match(streamed, batch)
+
+
+def test_ivf_ann_subset_of_brute(spark):
+    brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
+    ivf = similarity.sim_ivf_ann(spark, SF_SMALL).toPandas()
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
+    assert len(ivf) > 0
+    hits = sum(1 for r in ivf.itertuples() if (r.query_id, r.vec_id) in brute_scores)
+    # probing 2/16 cells of clustered data should still recover most of top-5
+    assert hits >= len(ivf) * 0.5
+    for r in ivf.itertuples():
+        if (r.query_id, r.vec_id) in brute_scores:
+            assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
