@@ -53,14 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # read the file before paying JVM startup — missing files fail fast
+    with open(args.query_file) as fh:
+        text = fh.read()
+
     from .session import get_spark
 
     spark = get_spark(app_name="phi-cli", cpus=args.cpus)
     catalog.register_sales_view(spark, args.sf_dir)
     sales = spark.table(args.table)
-
-    with open(args.query_file) as fh:
-        text = fh.read()
     queries = parse_queries(text, known_cols=set(sales.columns))
     for i, q in enumerate(queries, start=1):
         print(f"=== Query {i}: select {', '.join(q.select)}")

@@ -49,19 +49,15 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "embeddings", sf_dir)
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cand = e.select(F.col("vec_id"), F.col("embedding"))
+def _exact_rerank(cand: DataFrame) -> DataFrame:
+    """Shared exact-scoring tail: cosine (rounded to 4 dp for the cross-engine
+    oracle), rank per query with vec_id tiebreak, keep top-k. ``cand`` needs
+    columns query_id, q_emb, vec_id, embedding."""
     cos = _dot(F.col("q_emb"), F.col("embedding")) / (
         _norm(F.col("q_emb")) * _norm(F.col("embedding"))
     )
-    scored = (
-        cand.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cos, 4))
-        .select("query_id", "vec_id", "score")
+    scored = cand.withColumn("score", F.round(cos, 4)).select(
+        "query_id", "vec_id", "score"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -69,6 +65,17 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.select(F.col("vec_id"), F.col("embedding")).join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    return _exact_rerank(cand)
 
 
 SIM_BRUTE_TOPK_SQL = f"""\
@@ -138,7 +145,8 @@ def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
-    # candidates: any matching band bucket; exact re-rank of candidates only
+    # candidates: any matching band bucket (distinct — a pair can collide in
+    # several bands); exact re-rank of candidates only
     cand = (
         buckets.join(
             F.broadcast(queries),
@@ -148,18 +156,7 @@ def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_emb", "vec_id", "embedding")
         .distinct()
     )
-    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
-    )
-    scored = cand.withColumn("score", F.round(cos, 4)).select(
-        "query_id", "vec_id", "score"
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _exact_rerank(cand)
 
 
 register("sim_brute_topk", sim_brute_topk, SIM_BRUTE_TOPK_SQL)
@@ -234,7 +231,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(probe_cells).alias("cell"),
         )
     )
-    # join on the probe cell — candidates only from probed cells
+    # join on the probe cell — candidates only from probed cells. No distinct
+    # needed: each vector lives in exactly one cell and a query's probe cells
+    # are distinct, so a (query, vector) pair can match at most once.
     cand = assigned.alias("v").join(
         F.broadcast(queries.alias("q")),
         (F.col("v.cell") == F.col("q.cell")) & (F.col("v.vec_id") != F.col("q.query_id")),
@@ -243,17 +242,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.q_emb").alias("q_emb"),
         F.col("v.vec_id").alias("vec_id"),
         F.col("v.embedding").alias("embedding"),
-    ).distinct()
-    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
     )
-    scored = cand.withColumn("score", F.round(cos, 4)).select("query_id", "vec_id", "score")
-    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _exact_rerank(cand)
 
 
 register("sim_ivf_ann", sim_ivf_ann, None)

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import subprocess
 import sys
-import tempfile
 
 SPEC_SALES = """\
 cust,avg_quant_NY
@@ -34,29 +33,36 @@ def _run(args: list[str]) -> subprocess.CompletedProcess:
     )
 
 
-def test_cli_sales_and_events_table():
-    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
-        fh.write(SPEC_SALES)
-        sales_spec = fh.name
-    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
-        fh.write(SPEC_EVENTS)
-        events_spec = fh.name
+def test_cli_sales_and_events_table(tmp_path):
+    sales_spec = tmp_path / "sales_spec.txt"
+    sales_spec.write_text(SPEC_SALES)
+    events_spec = tmp_path / "events_spec.txt"
+    events_spec.write_text(SPEC_EVENTS)
 
-    r = _run([sales_spec, "--sf-dir", "/root/testdata/sf0.001", "--limit", "3", "--cpus", "4"])
+    r = _run(
+        [str(sales_spec), "--sf-dir", "/root/testdata/sf0.001", "--limit", "3", "--cpus", "4"]
+    )
     assert r.returncode == 0, r.stderr[-800:]
     assert "Total Records : 3" in r.stdout and "avg_quant_NY" in r.stdout
 
     r = _run(
-        [events_spec, "--sf-dir", "/root/testdata/sf0.001", "--table", "events", "--cpus", "4"]
+        [
+            str(events_spec),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--table",
+            "events",
+            "--cpus",
+            "4",
+        ]
     )
     assert r.returncode == 0, r.stderr[-800:]
     assert "count_value_hi" in r.stdout and "Total Records : 5" in r.stdout
 
 
-def test_cli_malformed_spec_fails_loudly():
-    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
-        fh.write("just,one,line\n")
-        bad = fh.name
-    r = _run([bad, "--sf-dir", "/root/testdata/sf0.001", "--cpus", "4"])
+def test_cli_malformed_spec_fails_loudly(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("just,one,line\n")
+    r = _run([str(bad), "--sf-dir", "/root/testdata/sf0.001", "--cpus", "4"])
     assert r.returncode != 0
     assert "PhiParseError" in r.stderr or "expected 5 or 6 lines" in r.stderr

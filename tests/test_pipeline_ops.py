@@ -67,7 +67,8 @@ def test_ivf_ann_subset_of_brute(spark):
     brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
     assert len(ivf) > 0
     hits = sum(1 for r in ivf.itertuples() if (r.query_id, r.vec_id) in brute_scores)
-    # probing 2/16 cells of clustered data should still recover most of top-5
+    # probing IVF_PROBES of IVF_CLUSTERS cells (2/8 = a quarter of the data)
+    # should recover at least half of the brute-force top-5
     assert hits >= len(ivf) * 0.5
     for r in ivf.itertuples():
         if (r.query_id, r.vec_id) in brute_scores:
