@@ -352,7 +352,18 @@ def _join_agg_stage(
             return F.col(f"g.{o.name}")
         return F.lit(o.value)
 
-    conds = [_PYOPS[c.op](side(c.left), side(c.right)) for c in gv.mf_conds]
+    # MF membership (in)equality is NULL-safe (GROUP BY forms a NULL-key
+    # group in both engines; a tuple with a NULL key belongs to that group,
+    # and to every other group's complement) — σ comparisons keep plain SQL
+    # semantics.
+    def _memb(c: Cond) -> Column:
+        if c.op == "==":
+            return side(c.left).eqNullSafe(side(c.right))
+        if c.op == "!=":
+            return ~side(c.left).eqNullSafe(side(c.right))
+        return _PYOPS[c.op](side(c.left), side(c.right))
+
+    conds = [_memb(c) for c in gv.mf_conds]
     conds += [
         _PYOPS[c.op](side(c.left), side(c.right)) for c in gv.tuple_conds
     ]
@@ -365,7 +376,11 @@ def _join_agg_stage(
     guard = None  # tuple conds already applied in the join condition
     agg_col = _agg_expr(gv.agg.fn, f"s.{gv.agg.src}", guard, gv.agg.name)
     res = joined.groupBy(*[F.col(f"g.{a}").alias(a) for a in v]).agg(agg_col)
-    out = acc.join(res, on=v, how="left")
+    # null-safe join-back so NULL-keyed groups receive their aggregate
+    for a in v:
+        res = res.withColumnRenamed(a, f"__r_{a}")
+    back = _and_all([F.col(a).eqNullSafe(F.col(f"__r_{a}")) for a in v])
+    out = acc.join(res, back, how="left").drop(*[f"__r_{a}" for a in v])
     if gv.agg.fn == "count":
         out = out.withColumn(gv.agg.name, F.coalesce(F.col(gv.agg.name), F.lit(0)))
     return out

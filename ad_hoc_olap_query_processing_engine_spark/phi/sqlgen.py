@@ -53,11 +53,24 @@ def _operand_sql(o: Operand, tuple_alias: str = "s", group_alias: str = "g") -> 
     return _lit_sql(o.value)
 
 
-def _cond_sql(c: Cond, tuple_alias: str = "s", group_alias: str = "g") -> str:
-    return (
-        f"{_operand_sql(c.left, tuple_alias, group_alias)} "
-        f"{_SQL_OPS[c.op]} {_operand_sql(c.right, tuple_alias, group_alias)}"
-    )
+def _cond_sql(
+    c: Cond, tuple_alias: str = "s", group_alias: str = "g", membership: bool = False
+) -> str:
+    left = _operand_sql(c.left, tuple_alias, group_alias)
+    right = _operand_sql(c.right, tuple_alias, group_alias)
+    if membership and c.op == "==":
+        # MF membership equality is NULL-safe: GROUP BY puts NULL-keyed
+        # tuples into a NULL group (both engines), so "tuple belongs to its
+        # group" must hold for NULL keys too. Plain = would silently empty
+        # every NULL-keyed group's aggregates.
+        return f"{left} IS NOT DISTINCT FROM {right}"
+    if membership and c.op == "!=":
+        # ... and its negation is likewise null-safe ("other groups" includes
+        # the NULL-keyed group when this group's key is non-NULL, and vice
+        # versa) — required for the planner's complement arithmetic to be a
+        # true partition of the tuples.
+        return f"{left} IS DISTINCT FROM {right}"
+    return f"{left} {_SQL_OPS[c.op]} {right}"
 
 
 def _agg_sql(a: Agg, tuple_alias: str = "s") -> str:
@@ -100,7 +113,7 @@ def phi_to_sql(
             f"{_agg_sql(a, tuple_alias='base')} AS {a.name}" for a in q.group0
         )
         ctes.append(f"g0 AS (SELECT {v_list}, {g0_aggs} FROM base GROUP BY {v_list})")
-        on = " AND ".join(f"g.{a} = g0.{a}" for a in v)
+        on = " AND ".join(f"g.{a} IS NOT DISTINCT FROM g0.{a}" for a in v)
         picks = ", ".join(
             f"COALESCE(g0.{a.name}, 0) AS {a.name}" if a.fn == "count" else f"g0.{a.name}"
             for a in q.group0
@@ -110,7 +123,7 @@ def phi_to_sql(
 
     for gv in q.gvs:
         k, name = gv.index, gv.agg.name
-        conds = [_cond_sql(c) for c in gv.mf_conds] + [
+        conds = [_cond_sql(c, membership=True) for c in gv.mf_conds] + [
             _cond_sql(c) for c in gv.tuple_conds
         ]
         on = " AND ".join(conds)
@@ -121,7 +134,7 @@ def phi_to_sql(
             f"  FROM {acc} g JOIN base s ON {on}\n"
             f"  GROUP BY {group_by})"
         )
-        join_on = " AND ".join(f"g.{a} = gv{k}.{a}" for a in v)
+        join_on = " AND ".join(f"g.{a} IS NOT DISTINCT FROM gv{k}.{a}" for a in v)
         pick = (
             f"COALESCE(gv{k}.{name}, 0) AS {name}"
             if gv.agg.fn == "count"

@@ -44,6 +44,11 @@ def _fixture_pdf() -> pd.DataFrame:
     # group-key concat collision probe (B7): ("a","bc") vs ("ab","c")
     rows.append(dict(cust="a", prod="bc", day=1, month=1, year=1997, state="NY", quant=5))
     rows.append(dict(cust="ab", prod="c", day=1, month=1, year=1997, state="NY", quant=9))
+    # NULL grouping keys: membership equality is null-safe (NULL-keyed tuples
+    # belong to the NULL-keyed group) — locks planner/oracle agreement
+    rows.append(dict(cust=None, prod="pen", day=2, month=1, year=1997, state="NY", quant=11))
+    rows.append(dict(cust=None, prod="pen", day=3, month=2, year=1997, state="CT", quant=13))
+    rows.append(dict(cust="alice", prod=None, day=4, month=3, year=1997, state=None, quant=17))
     return pd.DataFrame(rows)
 
 
@@ -257,3 +262,31 @@ def test_generic_phi_api_on_any_dataframe(spark, duck):
         FROM g LEFT JOIN c ON g.event_type = c.event_type
     """).fetchdf()
     assert_frames_match(got, exp)
+
+
+def test_null_group_keys_receive_aggregates(fixture_sales):
+    """NULL-keyed groups exist (GROUP BY semantics) and their MF aggregates
+    are computed, not silently NULL'd by non-null-safe joins."""
+    spec = (
+        "cust,count_quant_x,avg_quant_x\n2\ncust\ncount_quant_x,avg_quant_x\n"
+        "{MF.cust.count_quant_x}[=]{cust},{MF.cust.avg_quant_x}[=]{cust},{year}[==]{1997}"
+    )
+    _, got = check(spec, fixture_sales)
+    null_rows = got[got["cust"].isna()]
+    assert len(null_rows) == 1
+    assert null_rows["count_quant_x"].iloc[0] == 2  # both NULL-cust 1997 rows
+    assert abs(null_rows["avg_quant_x"].iloc[0] - 12.0) < 1e-9  # (11+13)/2
+
+
+def test_null_keys_through_dependent_stage(fixture_sales):
+    """NULL groups also survive the staged join path (dependent aggregate)."""
+    spec = (
+        "cust,avg_quant_1,count_quant_2\n2\ncust\navg_quant_1,count_quant_2\n"
+        "{MF.cust.avg_quant_1}[=]{cust},"
+        "{MF.cust.count_quant_2}[=]{cust}:{MF.avg_quant_1.count_quant_2}[<]{quant},"
+        "{year}[==]{1997}"
+    )
+    _, got = check(spec, fixture_sales)
+    null_rows = got[got["cust"].isna()]
+    assert len(null_rows) == 1
+    assert null_rows["count_quant_2"].iloc[0] == 1  # 13 > avg 12
