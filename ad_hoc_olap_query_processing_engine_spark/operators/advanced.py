@@ -271,3 +271,58 @@ register("rel_unpivot_measures", rel_unpivot_measures, REL_UNPIVOT_MEASURES_SQL)
 register("rel_full_outer_activity", rel_full_outer_activity, REL_FULL_OUTER_ACTIVITY_SQL)
 register("rel_percentiles", rel_percentiles, REL_PERCENTILES_SQL)
 register("udf_token_count_pandas", udf_token_count_pandas, UDF_TOKEN_COUNT_PANDAS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_correlated_subquery — scalar correlated subqueries via the SQL API.
+# ---------------------------------------------------------------------------
+
+
+def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-nation-average balance. Catalyst decorrelates the
+    scalar subqueries into joins (no per-row execution). The comparison is
+    rewritten as ``balance * count > sum`` in exact DECIMAL so both engines
+    agree bit-for-bit (a double AVG would differ in summation order)."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(REL_CORRELATED_SUBQUERY_SQL)
+
+
+REL_CORRELATED_SUBQUERY_SQL = """\
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+         WHERE c3.c_nationkey = c.c_nationkey)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_string_agg — deterministic string aggregation (sorted collect).
+# ---------------------------------------------------------------------------
+
+
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+REL_STRING_AGG_SQL = """\
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+register("rel_correlated_subquery", rel_correlated_subquery, REL_CORRELATED_SUBQUERY_SQL)
+register("rel_string_agg", rel_string_agg, REL_STRING_AGG_SQL)

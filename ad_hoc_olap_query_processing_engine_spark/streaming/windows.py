@@ -254,3 +254,27 @@ FROM events GROUP BY user_id"""
 
 
 register("stream_stateful_user_agg", stream_stateful_user_agg, STREAM_STATEFUL_USER_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup — streaming deduplication (dropDuplicates + watermark).
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type): dropDuplicates keeps
+    per-key state bounded by the watermark horizon — the streaming twin of
+    dedup_exact. Output is the distinct key set (deterministic; which
+    physical row survives is not)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.select("user_id", "event_type", "ts").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = _drain(deduped.select("user_id", "event_type"), spark, "append")
+    return out
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+register("stream_dedup", stream_dedup, STREAM_DEDUP_SQL)
