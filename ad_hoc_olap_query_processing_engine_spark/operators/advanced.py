@@ -326,3 +326,48 @@ GROUP BY n_name"""
 
 register("rel_correlated_subquery", rel_correlated_subquery, REL_CORRELATED_SUBQUERY_SQL)
 register("rel_string_agg", rel_string_agg, REL_STRING_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udf_grouped_zscore — grouped-map applyInPandas (the UDAF surface).
+# ---------------------------------------------------------------------------
+
+
+def _zscore_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-language z-score of token counts. All moments come from exact
+    integer sums (order-independent), so the float math is bit-reproducible
+    and the DuckDB oracle can mirror the identical formula."""
+    n = len(pdf)
+    s = int(pdf["n_tokens"].sum())
+    sq = int((pdf["n_tokens"].astype("int64") ** 2).sum())
+    mean = s / n
+    var = (sq * n - s * s) / (n * n)
+    std = var**0.5
+    out = pdf[["doc_id", "lang", "n_tokens"]].copy()
+    out["z"] = 0.0 if std == 0 else ((pdf["n_tokens"] - mean) / std)
+    return out
+
+
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return d.select("doc_id", "lang", "n_tokens").groupBy("lang").applyInPandas(
+        _zscore_kernel, schema="doc_id long, lang string, n_tokens int, z double"
+    )
+
+
+UDF_GROUPED_ZSCORE_SQL = """\
+WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+m AS (SELECT lang, COUNT(*) AS n, SUM(n_tokens) AS s,
+             SUM(CAST(n_tokens AS BIGINT) * n_tokens) AS sq
+      FROM t GROUP BY lang)
+SELECT t.doc_id, t.lang, CAST(t.n_tokens AS INT) AS n_tokens,
+       CASE WHEN (sq * n - s * s) = 0 THEN 0.0
+            ELSE (t.n_tokens - s * 1.0 / n)
+                 / sqrt((sq * n - s * s) * 1.0 / (n * n)) END AS z
+FROM t JOIN m ON t.lang = m.lang"""
+
+
+register("udf_grouped_zscore", udf_grouped_zscore, UDF_GROUPED_ZSCORE_SQL)

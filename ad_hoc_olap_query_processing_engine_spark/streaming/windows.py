@@ -278,3 +278,57 @@ STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 register("stream_dedup", stream_dedup, STREAM_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_join — stream-stream interval join (purchase → later clicks).
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: for each purchase, the same user's clicks
+    within the following hour. Both sides are watermarked so Spark can bound
+    the join state (purchases buffered ≤ 1h past the click watermark)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _drain(
+        joined.select(
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+        ),
+        spark,
+        "append",
+    )
+    return out
+
+
+STREAM_STREAM_JOIN_SQL = """\
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR"""
+
+
+register("stream_stream_join", stream_stream_join, STREAM_STREAM_JOIN_SQL)
