@@ -14,7 +14,12 @@ mm_feature_extract  the decode path: mapInPandas over (id, payload) batches
                     producing fixed-width feature vectors (byte-histogram
                     statistics as the deterministic fake; a real deployment
                     swaps `_decode_payload` for PIL/torchvision and keeps the
-                    plumbing). Registered rows-only.
+                    plumbing). Features are emitted as FEATURE_DIM scalar
+                    columns f0..f7 (not one array column) so downstream
+                    engines and the cross-engine hash check see plain
+                    doubles; each f_i is a single exact-integer division
+                    (count/len), which is correctly-rounded IEEE in both
+                    numpy and DuckDB — bit-identical, fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -90,22 +95,46 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = pdf["payload"].map(lambda raw: _decode_payload(bytes(raw)))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "features": feats,
-                }
-            )
+            if len(pdf):
+                feats = np.stack(
+                    [_decode_payload(bytes(raw)) for raw in pdf["payload"]]
+                )
+            else:
+                feats = np.zeros((0, FEATURE_DIM))
+            cols = {
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+            for i in range(FEATURE_DIM):
+                cols[f"f{i}"] = feats[:, i]
+            yield pd.DataFrame(cols)
 
-    return p.mapInPandas(
-        extract, schema="media_id long, n_bytes long, features array<double>"
+    schema = "media_id long, n_bytes long, " + ", ".join(
+        f"f{i} double" for i in range(FEATURE_DIM)
     )
+    return p.mapInPandas(extract, schema=schema)
+
+
+def _mm_feature_extract_sql() -> str:
+    """DuckDB mirror of the byte-histogram stand-in kernel: the corpus is
+    ASCII so ord(char) == byte; f_i = count(byte % 8 == i) / n_bytes, one
+    exact-integer double division per feature (bit-identical to numpy)."""
+    feats = ",\n       ".join(
+        f"COALESCE(SUM(CASE WHEN ord(substr(text, CAST(i AS INT), 1)) % {FEATURE_DIM} = {k} "
+        f"THEN 1 ELSE 0 END), 0) / CAST(length(text) AS DOUBLE) AS f{k}"
+        for k in range(FEATURE_DIM)
+    )
+    return f"""\
+SELECT doc_id                            AS media_id,
+       CAST(length(text) AS BIGINT)      AS n_bytes,
+       {feats}
+FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+GROUP BY doc_id, text"""
 
 
 register("mm_byte_stats", mm_byte_stats, MM_BYTE_STATS_SQL)
-register("mm_feature_extract", mm_feature_extract, None)
+register("mm_feature_extract", mm_feature_extract, _mm_feature_extract_sql())

@@ -364,17 +364,41 @@ GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)"""
 
 
 # ---------------------------------------------------------------------------
-# rel_approx_distinct — HLL sketch (approximate: rows-only check, no oracle —
-# Spark's HLL++ and DuckDB's HLL give different estimates by design).
+# rel_approx_distinct — HLL sketch checked by CONTRACT: Spark's HLL++ and
+# DuckDB's HLL give different raw estimates by design, so the query outputs
+# the exact NDV plus booleans asserting the sketch landed inside its error
+# envelope. Both sketches are deterministic given the data (HLL register max
+# is order-independent; the percentile sketch merge is deterministic on a
+# fixed file layout), so the booleans are stable — the oracle emits the exact
+# NDV and literal TRUE, which hash-matches iff the sketch honors its bound.
+# rsd=0.01 with a 5% acceptance bound = 5-sigma headroom; the median band
+# (p45..p55) dwarfs the default sketch's ~2-row rank error at sf0.01.
 # ---------------------------------------------------------------------------
 
 
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir)
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_median_qty"),
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= exact * 0.05).alias("ndv_within_5pct"),
+        F.expr("approx_percentile(l_quantity, 0.5)")
+        .between(
+            F.expr("percentile(l_quantity, 0.45)"),
+            F.expr("percentile(l_quantity, 0.55)"),
+        )
+        .alias("median_in_band"),
     )
+
+
+REL_APPROX_DISTINCT_SQL = """\
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE                      AS ndv_within_5pct,
+       TRUE                      AS median_in_band
+FROM lineitem
+GROUP BY l_returnflag"""
 
 
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)
@@ -388,4 +412,4 @@ register("rel_cube_lineitem", rel_cube_lineitem, REL_CUBE_LINEITEM_SQL)
 register("rel_running_spend", rel_running_spend, REL_RUNNING_SPEND_SQL)
 register("func_json_extract", func_json_extract, FUNC_JSON_EXTRACT_SQL)
 register("func_daily_events", func_daily_events, FUNC_DAILY_EVENTS_SQL)
-register("rel_approx_distinct", rel_approx_distinct, None)
+register("rel_approx_distinct", rel_approx_distinct, REL_APPROX_DISTINCT_SQL)

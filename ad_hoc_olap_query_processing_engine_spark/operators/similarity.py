@@ -11,16 +11,39 @@ sim_brute_topk    exact top-k cosine neighbors for a query set, computed with
                   break on vec_id.
 
 sim_srp_ann       the scale path: 16-bit signed-random-projection signatures
-                  (deterministic ±1 hyperplanes derived from md5 — no RNG),
-                  computed as JVM column expressions; Hamming-0 bucket join
-                  for candidates; exact re-rank of candidates only.
-                  Approximate recall — registered rows-only (no SQL oracle);
-                  tests assert its hits are a subset of the brute-force
-                  ranking.
+                  over INTEGER-QUANTIZED vectors (floor(x*1000) — the sign
+                  test becomes exact integer arithmetic, order-independent
+                  and bit-identical across engines, so the whole LSH pipeline
+                  is ORACLE-CHECKED, which float projections can't be).
+                  Hyperplane weights are ±1 derived per (bit, dim) from md5 —
+                  no RNG, no driver-side action, no dependence on knowing the
+                  dimension up front (weights are computed per-element with
+                  `transform(col, (x, i) -> ...)`). Banded bucket join for
+                  candidates; exact re-rank of candidates only. At 100 TB
+                  you'd precompute the ±1 plane table once and broadcast-join
+                  it instead of re-hashing per element; the md5-per-element
+                  form keeps the op a single self-contained expression.
+
+sim_ivf_ann       IVF sketch with a DETERMINISTIC coarse quantizer: 3 SRP
+                  bits partition vectors into 8 cells (the "inverted file");
+                  queries probe their own cell plus single-bit flips of the
+                  least-confident bits (smallest |projection| — the classic
+                  LSH multi-probe heuristic), then exact-score only
+                  the probed cells. Integer projections make cell assignment
+                  and probe choice bit-identical in DuckDB → fully
+                  oracle-checked. ~|probes|/|cells| of the data touched per
+                  query.
+
+sim_ivf_kmeans    the library k-means variant of the IVF quantizer (learned
+                  centroids beat data-oblivious SRP cells on recall). Not
+                  registered — KMeans sketches can't be mirrored in SQL — but
+                  unit-tested; the fit runs on a seeded SAMPLE of the
+                  vectors, never the full set (at 100 TB an iterative fit
+                  over every vector is the scale-killer).
 
 At 100 TB the brute path is O(Q·N) per query batch but embarrassingly
-parallel with no shuffle (broadcast queries); the SRP path cuts candidates by
-2^bits and shuffles once on the bucket key.
+parallel with no shuffle (broadcast queries); the SRP/IVF paths cut
+candidates by the bucket/cell fan-out and shuffle once on the bucket key.
 """
 
 from __future__ import annotations
@@ -35,6 +58,8 @@ from .registry import register
 N_QUERIES = 10
 TOP_K = 5
 SRP_BITS = 16
+SRP_BANDS = 4  # 4 bands × 4 bits: candidate iff ANY band signature matches
+QUANT_SCALE = 1000  # floor(x*1000): exact integer projections in both engines
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -67,6 +92,22 @@ def _exact_rerank(cand: DataFrame) -> DataFrame:
     )
 
 
+_RERANK_SQL_TAIL = f"""\
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ve.embedding AS DOUBLE[])), 4) AS score
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ve ON ve.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -79,19 +120,61 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_BRUTE_TOPK_SQL = f"""\
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-           WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         ROUND(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])), 4) AS score
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-ranked AS (
-  SELECT query_id, vec_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id ASC) AS rank
-  FROM scored)
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}"""
+WITH cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+{_RERANK_SQL_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ±1 hyperplanes + exact integer projections (shared SRP/IVF).
+# ---------------------------------------------------------------------------
+
+
+def _plane_weight(prefix: str, bit: int, i: Column) -> Column:
+    """±1 weight for (plane ``bit``, dimension ``i``), derived from the first
+    md5 byte of 'prefix:bit:i' — md5 and hex-parse are bit-identical in Spark
+    and DuckDB, so both engines build the same planes with no RNG state."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{prefix}:{bit}:"), i.cast("string")).cast("binary")),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+
+
+def _int_proj(prefix: str, bit: int, emb: Column) -> Column:
+    """Exact-integer signed projection of the quantized vector onto plane
+    ``bit``: Σ_d floor(x_d·1000)·w(bit,d). Pure bigint arithmetic —
+    order-independent, identical in Spark and DuckDB."""
+    prods = F.transform(
+        emb,
+        lambda x, i: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint")
+        * _plane_weight(prefix, bit, i),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+
+def _elems_proj_sql(prefix: str, n_bits: int) -> str:
+    """Shared DuckDB CTEs: per-element quantized values + per-(vec, plane)
+    integer projections — the exact mirror of _int_proj."""
+    return f"""\
+elems AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS v,
+         CAST(i AS INT) - 1 AS d
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+proj AS (
+  SELECT vec_id, b.bt AS bt,
+         SUM(v * CASE WHEN ('0x' || substr(md5('{prefix}:' || b.bt || ':' || d), 1, 2))::INT % 2 = 0
+                      THEN 1 ELSE -1 END) AS p
+  FROM elems CROSS JOIN range(0, {n_bits}) b(bt)
+  GROUP BY vec_id, b.bt)"""
 
 
 # ---------------------------------------------------------------------------
@@ -99,46 +182,26 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}"""
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random ±1 hyperplanes from md5 — reproducible
-    across sessions/machines without any RNG state."""
-    import hashlib
-
-    planes = []
-    for b in range(SRP_BITS):
-        row = []
-        for d in range(dim):
-            h = hashlib.md5(f"srp:{b}:{d}".encode()).digest()[0]
-            row.append(1.0 if h % 2 == 0 else -1.0)
-        planes.append(row)
-    return planes
-
-
-SRP_BANDS = 4  # 4 bands × 4 bits: candidate iff ANY band signature matches
-
-
-def _srp_band_cols(dim: int) -> Column:
-    """Array of per-band SRP signatures (band id ⊕ 4 sign bits), JVM-side."""
-    planes = _hyperplanes(dim)
+def _srp_band_cols() -> Column:
+    """Array of per-band SRP signatures (band offset + sign bits), built from
+    exact integer projections — JVM-side, no driver action, any dimension."""
     bits_per_band = SRP_BITS // SRP_BANDS
     bands = []
     for band in range(SRP_BANDS):
-        sig = F.lit(0).cast("int")
+        # offset so signatures from different bands never collide
+        sig = F.lit(band * 2**bits_per_band).cast("int")
         for j in range(bits_per_band):
-            row = planes[band * bits_per_band + j]
-            proj = _dot(F.col("embedding"), F.array(*[F.lit(x) for x in row]))
+            proj = _int_proj("srp", band * bits_per_band + j, F.col("embedding"))
             bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
             sig = sig + (bit * F.lit(2**j)).cast("int")
-        # offset so signatures from different bands never collide
-        bands.append(sig + F.lit(band * 2**bits_per_band))
+        bands.append(sig)
     return F.array(*bands)
 
 
 def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    dim = len(e.select("embedding").first()[0])
     buckets = e.select(
-        "vec_id", "embedding", F.explode(_srp_band_cols(dim)).alias("bucket")
+        "vec_id", "embedding", F.explode(_srp_band_cols()).alias("bucket")
     )
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -159,33 +222,155 @@ def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(cand)
 
 
+def _srp_sql() -> str:
+    bpb = SRP_BITS // SRP_BANDS
+    return f"""\
+WITH {_elems_proj_sql("srp", SRP_BITS)},
+buckets AS (
+  SELECT vec_id, bt // {bpb} AS band,
+         CAST(SUM(CASE WHEN p >= 0 THEN 1 << (bt % {bpb}) ELSE 0 END)
+              + (bt // {bpb}) * {2**bpb} AS INT) AS bucket
+  FROM proj GROUP BY vec_id, bt // {bpb}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+  FROM buckets q JOIN buckets v
+    ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+{_RERANK_SQL_TAIL}"""
+
+
 register("sim_brute_topk", sim_brute_topk, SIM_BRUTE_TOPK_SQL)
-register("sim_srp_ann", sim_srp_ann, None)
+register("sim_srp_ann", sim_srp_ann, _srp_sql())
 
 
 # ---------------------------------------------------------------------------
-# sim_ivf_ann — IVF (inverted-file) ANN: k-means coarse quantizer + probes.
+# sim_ivf_ann — IVF with a deterministic SRP-cell coarse quantizer.
 # ---------------------------------------------------------------------------
 
-IVF_CLUSTERS = 8
-IVF_PROBES = 2
+IVF_BITS = 3  # 2^3 = 8 cells
+IVF_CLUSTERS = 2**IVF_BITS
+IVF_PROBES = 3  # own cell + the two least-confident single-bit flips
 
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index sketch: partition vectors by nearest k-means centroid, then
-    answer queries by exact-scoring only the IVF_PROBES nearest cells. The
-    classic trade: train once (sampled k-means), then each query touches
-    ~|probes|/|clusters| of the data. Approximate recall — registered
-    rows-only; tests assert hits are a subset of the brute-force scoring.
-    """
+    e = load_table(spark, "embeddings", sf_dir)
+    projs = [_int_proj("ivf", b, F.col("embedding")) for b in range(IVF_BITS)]
+    assigned = e.select(
+        "vec_id", "embedding", *[projs[b].alias(f"p{b}") for b in range(IVF_BITS)]
+    )
+    cell = sum(
+        (F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(IVF_BITS)),
+        F.lit(0),
+    ).cast("int")
+    assigned = assigned.withColumn("cell", cell)
+    # multi-probe: flip the sign bits with the smallest |projection| (ties →
+    # lowest bit index) — the cells most likely to hold near-boundary
+    # neighbors. IVF_PROBES-1 single-bit flips in confidence order.
+    flip_order = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col(f"p{b}")).alias("a"), F.lit(b).cast("int").alias("j")
+                )
+                for b in range(IVF_BITS)
+            ]
+        )
+    )
+
+    def _mask(j: Column) -> Column:
+        return (
+            F.when(j == 0, F.lit(1)).when(j == 1, F.lit(2)).otherwise(F.lit(4))
+        ).cast("int")
+
+    probe_cells = F.array(
+        F.col("cell"),
+        *[
+            F.col("cell").bitwiseXOR(_mask(flip_order[k]["j"]))
+            for k in range(IVF_PROBES - 1)
+        ],
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    # join on the probe cell — candidates only from probed cells. No distinct
+    # needed: each vector lives in exactly one cell and a query's probe cells
+    # are pairwise distinct (distinct single-bit flips), so a pair matches at
+    # most once.
+    cand = assigned.alias("v").join(
+        F.broadcast(queries.alias("q")),
+        (F.col("v.cell") == F.col("q.cell"))
+        & (F.col("v.vec_id") != F.col("q.query_id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("q.q_emb").alias("q_emb"),
+        F.col("v.vec_id").alias("vec_id"),
+        F.col("v.embedding").alias("embedding"),
+    )
+    return _exact_rerank(cand)
+
+
+def _ivf_sql() -> str:
+    return f"""\
+WITH {_elems_proj_sql("ivf", IVF_BITS)},
+cells AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p >= 0 THEN 1 << bt ELSE 0 END) AS INT) AS cell
+  FROM proj GROUP BY vec_id),
+flips AS (
+  SELECT vec_id, CAST(bt AS INT) AS flip
+  FROM (SELECT vec_id, bt,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ABS(p), bt) AS rn
+        FROM proj)
+  WHERE rn <= {IVF_PROBES - 1}),
+probes AS (
+  SELECT c.vec_id AS query_id, c.cell AS probe
+  FROM cells c WHERE c.vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT c.vec_id, xor(c.cell, 1 << f.flip)
+  FROM cells c JOIN flips f USING (vec_id) WHERE c.vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id
+  FROM probes p JOIN cells v
+    ON v.cell = p.probe AND v.vec_id <> p.query_id),
+{_RERANK_SQL_TAIL}"""
+
+
+register("sim_ivf_ann", sim_ivf_ann, _ivf_sql())
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_kmeans — library k-means IVF (not registered: sketch not SQL-
+# mirrorable). The quantizer fit runs on a seeded SAMPLE, never the full set.
+# ---------------------------------------------------------------------------
+
+KMEANS_FIT_FRACTION = 0.1
+KMEANS_FIT_MIN_ROWS = 2_000  # floor so tiny SFs still see enough vectors
+
+
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a learned k-means coarse quantizer: better cell boundaries
+    than data-oblivious SRP at the cost of a training pass. The fit uses a
+    seeded sample capped at max(KMEANS_FIT_FRACTION, floor-rows/N) of the
+    data — at 100 TB an iterative full-dataset fit is the scale-killer; a
+    quantizer only needs a representative sample."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, "embeddings", sf_dir).withColumn(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    n = e.count()
+    frac = min(1.0, max(KMEANS_FIT_FRACTION, KMEANS_FIT_MIN_ROWS / max(n, 1)))
+    fit_set = e.select("vec") if frac >= 1.0 else e.select("vec").sample(
+        fraction=frac, seed=42
+    )
     km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="vec", predictionCol="cell")
-    model = km.fit(e.select("vec"))
+    model = km.fit(fit_set)
     assigned = model.transform(e).select("vec_id", "embedding", "cell")
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
@@ -231,9 +416,6 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(probe_cells).alias("cell"),
         )
     )
-    # join on the probe cell — candidates only from probed cells. No distinct
-    # needed: each vector lives in exactly one cell and a query's probe cells
-    # are distinct, so a (query, vector) pair can match at most once.
     cand = assigned.alias("v").join(
         F.broadcast(queries.alias("q")),
         (F.col("v.cell") == F.col("q.cell")) & (F.col("v.vec_id") != F.col("q.query_id")),
@@ -244,6 +426,3 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.embedding").alias("embedding"),
     )
     return _exact_rerank(cand)
-
-
-register("sim_ivf_ann", sim_ivf_ann, None)

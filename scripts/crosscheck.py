@@ -1,0 +1,69 @@
+"""Ad-hoc driver-style cross-check: run queries() vs oracle_sql() at sf0.01
+and compare exactly (the driver hash-matches values — no tolerance).
+
+Usage: python scripts/crosscheck.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from ad_hoc_olap_query_processing_engine_spark.session import get_spark
+
+    names = sys.argv[1:]
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    if not names:
+        names = list(qs)
+
+    spark = get_spark(app_name="crosscheck", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        try:
+            got = canon(qs[name](spark, SF_DIR).toPandas())
+            if name not in oracles:
+                print(f"{name}: NO_ORACLE spark_rows={len(got)}")
+                continue
+            exp = canon(con.sql(oracles[name]).df())
+            assert list(got.columns) == list(exp.columns), (
+                f"cols {list(got.columns)} vs {list(exp.columns)}"
+            )
+            assert len(got) == len(exp), f"rows {len(got)} vs {len(exp)}"
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
+            print(f"{name}: OK rows={len(got)}")
+        except Exception as e:
+            failures.append(name)
+            msg = str(e).replace("\n", " | ")[:400]
+            print(f"{name}: FAIL {msg}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,12 +47,14 @@ def test_srp_ann_subset_of_brute(spark):
 
 
 def test_mm_feature_extract_shape_and_determinism(spark):
+    feat_cols = [f"f{i}" for i in range(multimodal.FEATURE_DIM)]
     out = multimodal.mm_feature_extract(spark, SF_SMALL)
+    assert set(feat_cols) <= set(out.columns)
     rows = out.orderBy("media_id").limit(5).collect()
-    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
-    assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in rows)  # histogram sums to 1
+    hists = [[r[c] for c in feat_cols] for r in rows]
+    assert all(abs(sum(h) - 1.0) < 1e-9 for h in hists)  # histogram sums to 1
     again = multimodal.mm_feature_extract(spark, SF_SMALL).orderBy("media_id").limit(5).collect()
-    assert [r.features for r in rows] == [r.features for r in again]
+    assert hists == [[r[c] for c in feat_cols] for r in again]
 
 
 def test_stream_batch_parity_tumbling(spark):
@@ -70,6 +72,17 @@ def test_ivf_ann_subset_of_brute(spark):
     # probing IVF_PROBES of IVF_CLUSTERS cells (2/8 = a quarter of the data)
     # should recover at least half of the brute-force top-5
     assert hits >= len(ivf) * 0.5
+    for r in ivf.itertuples():
+        if (r.query_id, r.vec_id) in brute_scores:
+            assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_ivf_kmeans_library_path(spark):
+    brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
+    ivf = similarity.sim_ivf_kmeans(spark, SF_SMALL).toPandas()
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
+    assert len(ivf) > 0
+    # exact re-rank: any recovered pair carries the exact brute-force score
     for r in ivf.itertuples():
         if (r.query_id, r.vec_id) in brute_scores:
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
