@@ -41,7 +41,10 @@ def asof_join(
 
     union → window(last, ignorenulls) — a single shuffle on the partition
     key; right rows sort before left rows at equal timestamps so same-instant
-    matches are included (ASOF ``>=`` semantics).
+    matches are included (ASOF ``>=`` semantics). Right rows that tie on
+    (partition, timestamp) are further ordered by their value columns, so the
+    pick is deterministic (greatest value wins) instead of depending on
+    intra-tie sort order.
     """
     lcols = [c for c in left.columns]
     l_tagged = left.select(
@@ -60,7 +63,7 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         W.partitionBy(*partition_cols)
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", *[F.asc_nulls_first(f"__r_{c}") for c in value_cols])
         .rowsBetween(W.unboundedPreceding, 0)
     )
     out = unioned

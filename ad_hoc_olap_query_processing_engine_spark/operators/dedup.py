@@ -259,7 +259,7 @@ register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash — 16-bit SimHash fingerprints + nibble-banded near-dup pairs.
+# dedup_simhash — 32-bit SimHash fingerprints + byte-banded near-dup pairs.
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32

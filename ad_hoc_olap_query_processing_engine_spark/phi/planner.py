@@ -102,8 +102,21 @@ class _GVPlan:
 # ---------------------------------------------------------------------------
 
 
-def classify_gv(gv: GroupingVar, group_attrs: list[str]) -> _GVPlan:
-    """Pick the cheapest correct strategy for one grouping variable."""
+# rangeBetween(±1) offsets encode strict </> only when the ordering value is
+# integral (gap ≥ 1); a double 1.5 < 2.0 lies inside (2.0-1, 2.0] and would be
+# wrongly excluded, and non-numeric types can't do offset arithmetic at all.
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def classify_gv(
+    gv: GroupingVar, group_attrs: list[str], dtypes: dict[str, str] | None = None
+) -> _GVPlan:
+    """Pick the cheapest correct strategy for one grouping variable.
+
+    ``dtypes`` (column → Spark simpleString type, from ``dict(df.dtypes)``)
+    gates the θ-WINDOW strategy: strict </> compiles to a ±1 range frame,
+    which is only correct for integral ordering attributes — anything else
+    falls back to the fully-general JOIN_AGG strategy."""
     eq_attrs: list[str] = []
     theta: tuple[str, str] | None = None
     anti_attr: str | None = None
@@ -138,6 +151,13 @@ def classify_gv(gv: GroupingVar, group_attrs: list[str]) -> _GVPlan:
     if not simple:
         return _GVPlan(gv=gv, strategy="join")
     if theta is not None and anti_attr is not None:
+        return _GVPlan(gv=gv, strategy="join")
+    if (
+        theta is not None
+        and theta[1] in ("<", ">")
+        and dtypes is not None
+        and dtypes.get(theta[0]) not in _INTEGRAL_TYPES
+    ):
         return _GVPlan(gv=gv, strategy="join")
     if theta is None and anti_attr is None and set(eq_attrs) == set(group_attrs):
         return _GVPlan(gv=gv, strategy="cond_agg", eq_attrs=eq_attrs)
@@ -211,7 +231,7 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     if where is not None:
         base = base.filter(where)  # Catalyst pushes this into the scan
 
-    plans = [classify_gv(gv, v) for gv in q.gvs]
+    plans = [classify_gv(gv, v, dict(sales.dtypes)) for gv in q.gvs]
 
     # ---- scan 0: ONE hash aggregation builds the group table, group-0
     # aggregates, every COND_AGG aggregate, and the partials for WINDOW GVs.
@@ -228,7 +248,17 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
             if gv.agg.fn in ("avg", "sum", "count"):
                 if gv.agg.fn != "count":
                     aggs.append(_agg_expr("sum", gv.agg.src, guard, f"__psum_{i}"))
-                aggs.append(_agg_expr("count", gv.agg.src, guard, f"__pcnt_{i}"))
+                if gv.agg.fn == "avg":
+                    # AVG denominator counts non-NULL src values (SQL AVG
+                    # ignores NULLs); a row count would skew nullable sources.
+                    nn = (
+                        F.col(gv.agg.src)
+                        if guard is None
+                        else F.when(guard, F.col(gv.agg.src))
+                    )
+                    aggs.append(F.count(nn).alias(f"__pcnt_{i}"))
+                else:
+                    aggs.append(_agg_expr("count", gv.agg.src, guard, f"__pcnt_{i}"))
             else:  # min / max over frame = min/max of per-group partials
                 aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, guard, f"__p{gv.agg.fn}_{i}"))
     if not aggs:

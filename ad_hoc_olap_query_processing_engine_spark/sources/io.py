@@ -45,4 +45,7 @@ def lakehouse_available(spark: SparkSession, fmt: str = "delta") -> bool:
         spark.read.format(fmt).load("/nonexistent")
         return True
     except Exception as exc:  # noqa: BLE001
-        return "DATA_SOURCE_NOT_FOUND" not in str(type(exc).__name__) and "Failed to find" not in str(exc)
+        # the error CLASS appears in the message (e.g. [DATA_SOURCE_NOT_FOUND]),
+        # never in the Python exception type name
+        msg = str(exc)
+        return "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg

@@ -45,7 +45,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the link, so a dangling link (the
+    # target was regenerated) looks absent and symlink() would raise
+    # FileExistsError — and a link to a *different* path would be silently
+    # reused. Recreate unless it already points at exactly this target.
+    if os.path.lexists(link):
+        if os.readlink(link) != path:
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
     stream = (

@@ -102,6 +102,27 @@ def test_classify_window_theta():
     assert p.strategy == "window" and p.theta == ("month", "<")
 
 
+def test_classify_strict_theta_requires_integral_dtype():
+    q = parse_query(
+        ["cust,month,avg_quant_before", "1", "cust,month", "avg_quant_before",
+         "{MF.cust.avg_quant_before}[=]{cust}:{MF.month.avg_quant_before}[<]{month}"],
+        known_cols=COLS,
+    )
+    # strict < compiles to a ±1 range frame — only valid when the ordering
+    # attribute is integral; anything else must take the generic join path
+    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "int"}).strategy == "window"
+    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "double"}).strategy == "join"
+    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "string"}).strategy == "join"
+    # non-strict ops keep the window path for any orderable type (their
+    # frames use only unbounded/current-row boundaries — no offset arithmetic)
+    q2 = parse_query(
+        ["cust,month,avg_quant_upto", "1", "cust,month", "avg_quant_upto",
+         "{MF.cust.avg_quant_upto}[=]{cust}:{MF.month.avg_quant_upto}[<=]{month}"],
+        known_cols=COLS,
+    )
+    assert classify_gv(q2.gvs[0], q2.group_attrs, {"month": "double"}).strategy == "window"
+
+
 def test_classify_anti_minmax_falls_back_to_join():
     q = parse_query(
         ["cust,prod,max_quant_o", "1", "cust,prod", "max_quant_o",
