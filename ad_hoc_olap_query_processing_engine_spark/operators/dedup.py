@@ -7,12 +7,20 @@ dedup_exact          hash-groupBy on a normalized md5 fingerprint. One
                      shuffle on a 32-byte key; the canonical 100 TB exact
                      dedup (never groupBy raw text — the key is the digest).
 
-dedup_ngram_jaccard  exact word-3-gram Jaccard via inverted-index self-join
-                     (shingle → postings → pair intersection counts). At
-                     scale the join key is the shingle, so hot shingles are
-                     the skew risk — AQE skew-join handles moderate skew;
-                     stop-shingle removal (drop df>threshold postings) is the
-                     standard scale hatch and is what MinHash avoids anyway.
+dedup_ngram_jaccard  word-3-gram Jaccard via inverted-index self-join
+                     (shingle → postings → pair intersection counts), with
+                     STOP-SHINGLE removal: shingles whose document frequency
+                     exceeds DF_CAP are dropped from the universe before the
+                     self-join (broadcast anti-join against the tiny hot
+                     set). Without the cap one common trigram makes the
+                     postings self-join quadratic on a single key — the
+                     classic scale-killer AQE skew-split mitigates but can't
+                     bound. The cap is mirrored in the oracle SQL, so the
+                     capped semantics are still hash-checked end-to-end. At
+                     the shipped cap (100 docs) nothing is dropped at the
+                     test SFs — results are identical to the uncapped op —
+                     while worst-case per-shingle fan-out is bounded at
+                     ~DF_CAP²/2 pairs.
 
 dedup_minhash_lsh    true MinHash + banded LSH: 16 hash functions via double
                      hashing (ONE md5 per posting split into two 48-bit ints
@@ -41,6 +49,7 @@ NUM_HASHES = 16
 BANDS = 8  # r = NUM_HASHES // BANDS = 2
 JACCARD_THRESHOLD = 0.4
 SHINGLE_WORDS = 3
+DF_CAP = 100  # stop-shingle cap: drop shingles present in more docs than this
 
 
 # ---------------------------------------------------------------------------
@@ -136,11 +145,21 @@ GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Near-dup pairs of ``d`` (doc_id, text) by exact word-3-gram Jaccard
+    over the stop-shingle-capped universe."""
     # postings feed the self-join (both sides) AND the size table — persist
     # the one shuffle instead of recomputing the explode+distinct three times
-    sh = _shingles(d).persist()
+    sh0 = _shingles(d)
+    # stop-shingle cap: the hot set (df > cap) is tiny by definition —
+    # broadcast anti-join, no extra shuffle of the postings
+    hot = (
+        sh0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     # intersection counts straight out of the inverted-index self-join — no
@@ -163,8 +182,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+
+
 DEDUP_NGRAM_JACCARD_SQL = f"""\
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id),

@@ -27,6 +27,20 @@ def test_minhash_candidates_subset_of_exact(spark):
     assert len(lsh) >= len(exact) // 2  # and recall shouldn't collapse
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # every doc shares the hot phrase (h1..h4 → shingle df = 30) plus one
+    # unique word; without a cap the inverted-index self-join explodes into
+    # all 30·29/2 pairs on the hot key — with the cap the hot shingles leave
+    # the universe and no pair survives.
+    docs = spark.createDataFrame(
+        [(i, f"h1 h2 h3 h4 u{i}") for i in range(30)], "doc_id long, text string"
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, df_cap=10**9).count()
+    capped = dedup.ngram_jaccard_pairs(docs, df_cap=10).count()
+    assert uncapped == 30 * 29 // 2
+    assert capped == 0
+
+
 def test_dedup_exact_covers_all_docs(spark):
     out = dedup.dedup_exact(spark, SF_SMALL)
     n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
