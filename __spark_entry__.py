@@ -19,8 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ad_hoc_olap_query_processing_engine_spark.phi import (
+    all_phi_queries,
     compile_phi,
-    golden_queries,
     phi_to_sql,
 )
 from ad_hoc_olap_query_processing_engine_spark.sources import catalog
@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        q = golden_queries()[name]
+        q = all_phi_queries()[name]
         return compile_phi(q, catalog.sales_df(spark, sf_dir))
 
     return run
@@ -42,7 +42,7 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in golden_queries():
+    for name in all_phi_queries():
         out[name] = _phi_runner(name)
 
     from ad_hoc_olap_query_processing_engine_spark.operators import registry
@@ -56,7 +56,7 @@ def oracle_sql() -> dict[str, str]:
     as views; the `sales` relation is inlined as a CTE)."""
     out = {
         name: phi_to_sql(q, relation_sql=catalog.SALES_VIEW_SQL)
-        for name, q in golden_queries().items()
+        for name, q in all_phi_queries().items()
     }
 
     from ad_hoc_olap_query_processing_engine_spark.operators import registry

@@ -1,5 +1,5 @@
 from .ast import Agg, Cond, GroupingVar, Having, Operand, PhiParseError, PhiQuery
-from .goldens import GOLDEN_SPECS, golden_queries
+from .goldens import EXTENSION_SPECS, GOLDEN_SPECS, all_phi_queries, golden_queries
 from .parser import parse_queries, parse_query
 from .planner import PhiPlanError, compile_phi
 from .sqlgen import phi_to_sql
@@ -25,7 +25,9 @@ __all__ = [
     "PhiParseError",
     "PhiPlanError",
     "PhiQuery",
+    "EXTENSION_SPECS",
     "GOLDEN_SPECS",
+    "all_phi_queries",
     "golden_queries",
     "parse_queries",
     "parse_query",

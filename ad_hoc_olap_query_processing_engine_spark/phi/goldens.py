@@ -76,6 +76,28 @@ GOLDEN_SPECS: dict[str, str] = {
     "phi_q6": GOLDEN_Q6,
 }
 
+# Engine-extension Φ queries — NOT from the reference corpus; they exercise
+# planner strategies beyond what the six goldens reach (still plain Φ-spec
+# language, still oracle-checked through the generated sqlgen SQL).
+#
+# phi_q7: per (year, month) —
+#   GV1 sum_quant_prior: TWO θ-conditions (year' <= year AND month' < month),
+#       which no single range frame encodes → GROUP_JOIN strategy.
+#   GV2 min_quant_other: same month in a DIFFERENT year (eq + anti) with a
+#       min aggregate, which the WINDOW complement can't decompose →
+#       GROUP_JOIN strategy.
+# Both stay at ONE scan of the fact table (pinned in test_plans.py).
+EXTENSION_Q7 = """\
+year,month,sum_quant_prior,min_quant_other
+2
+year,month
+sum_quant_prior,min_quant_other
+{MF.year.sum_quant_prior}[<=]{year}:{MF.month.sum_quant_prior}[<]{month},{MF.month.min_quant_other}[=]{month}:{MF.year.min_quant_other}[!=]{year}"""
+
+EXTENSION_SPECS: dict[str, str] = {
+    "phi_q7": EXTENSION_Q7,
+}
+
 SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}
 
 
@@ -83,4 +105,12 @@ def golden_queries() -> dict[str, PhiQuery]:
     return {
         name: parse_query(spec.splitlines(), known_cols=SALES_COLUMNS)
         for name, spec in GOLDEN_SPECS.items()
+    }
+
+
+def all_phi_queries() -> dict[str, PhiQuery]:
+    """Golden (reference-corpus) queries plus engine-extension queries."""
+    return {
+        name: parse_query(spec.splitlines(), known_cols=SALES_COLUMNS)
+        for name, spec in {**GOLDEN_SPECS, **EXTENSION_SPECS}.items()
     }

@@ -30,8 +30,16 @@ WINDOW     MF-predicates are equalities on a subset S of the grouping
            avg is computed as Σpartial_sum / Σpartial_count — tuple-weighted,
            never avg-of-avgs. No second pass over sales at all.
 
-JOIN_AGG   Fully general fallback (arbitrary θ combinations, MF-field vs
-           MF-field, literals, and dependent aggregates — reference O10):
+GROUP_JOIN Simple GVs the WINDOW frames can't encode — two θ conditions on
+           distinct attributes, θ+anti mixes, strict θ on non-integral
+           attributes, min/max with anti — still never touch sales again:
+           scan 0 emits the same partials as WINDOW, and the aggregate is a
+           θ-self-join *of the group table* (|G| ⋈ |G|, both sides tiny)
+           re-aggregated per group. Same single-fact-scan guarantee as
+           WINDOW, one extra group-table-sized join.
+
+JOIN_AGG   Fully general fallback (MF-field vs MF-field, literals, and
+           dependent aggregates — reference O10):
            base ⋈ group-table on the MF-predicates, σ, groupBy(V), agg, then
            left-join the result back onto the group table. Dependent GVs
            (predicates referencing earlier GVs' aggregates, e.g. golden query
@@ -91,10 +99,12 @@ PERSIST_GROUP_TABLE = True
 @dataclass
 class _GVPlan:
     gv: GroupingVar
-    strategy: str  # "cond_agg" | "window" | "join"
-    eq_attrs: list[str] = field(default_factory=list)  # window: partition S
+    strategy: str  # "cond_agg" | "window" | "group_join" | "join"
+    eq_attrs: list[str] = field(default_factory=list)  # window/gj: equalities
     theta: tuple[str, str] | None = None  # window: (attr, op) range condition
     anti_attr: str | None = None  # window: != attribute
+    thetas: list[tuple[str, str]] = field(default_factory=list)  # group_join
+    anti_attrs: list[str] = field(default_factory=list)  # group_join
 
 
 # ---------------------------------------------------------------------------
@@ -116,10 +126,12 @@ def classify_gv(
     ``dtypes`` (column → Spark simpleString type, from ``dict(df.dtypes)``)
     gates the θ-WINDOW strategy: strict </> compiles to a ±1 range frame,
     which is only correct for integral ordering attributes — anything else
-    falls back to the fully-general JOIN_AGG strategy."""
+    takes the GROUP_JOIN strategy (still one fact scan, θ-join on the group
+    table). Only non-simple conditions (MF-field refs, literals, tuple-attr
+    vs different group-attr) fall back to the fully-general JOIN_AGG."""
     eq_attrs: list[str] = []
-    theta: tuple[str, str] | None = None
-    anti_attr: str | None = None
+    thetas: list[tuple[str, str]] = []
+    anti_attrs: list[str] = []
     simple = True  # every cond is  tuple.g <op> group.g  on the same attr g
     for c in gv.mf_conds:
         dep = any(
@@ -139,32 +151,37 @@ def classify_gv(
         if c.op == "==":
             eq_attrs.append(c.right.name)
         elif c.op == "!=":
-            if anti_attr is not None:
-                simple = False
-            anti_attr = c.right.name
-        elif c.op in _THETA_FRAMES:
-            if theta is not None:
-                simple = False
-            theta = (c.right.name, c.op)
-        else:  # pragma: no cover - op set is closed
-            simple = False
+            anti_attrs.append(c.right.name)
+        else:
+            thetas.append((c.right.name, c.op))
     if not simple:
         return _GVPlan(gv=gv, strategy="join")
-    if theta is not None and anti_attr is not None:
-        return _GVPlan(gv=gv, strategy="join")
-    if (
-        theta is not None
-        and theta[1] in ("<", ">")
-        and dtypes is not None
-        and dtypes.get(theta[0]) not in _INTEGRAL_TYPES
-    ):
-        return _GVPlan(gv=gv, strategy="join")
-    if theta is None and anti_attr is None and set(eq_attrs) == set(group_attrs):
+    if not thetas and not anti_attrs and set(eq_attrs) == set(group_attrs):
         return _GVPlan(gv=gv, strategy="cond_agg", eq_attrs=eq_attrs)
-    if anti_attr is not None and gv.agg.fn in ("min", "max"):
-        # min/max don't decompose under complement subtraction.
-        return _GVPlan(gv=gv, strategy="join")
-    return _GVPlan(gv=gv, strategy="window", eq_attrs=eq_attrs, theta=theta, anti_attr=anti_attr)
+    window_ok = len(thetas) + len(anti_attrs) <= 1
+    if thetas and window_ok:
+        attr, op = thetas[0]
+        if op in ("<", ">") and dtypes is not None and dtypes.get(attr) not in _INTEGRAL_TYPES:
+            window_ok = False
+    if anti_attrs and gv.agg.fn in ("min", "max"):
+        # min/max don't decompose under the WINDOW complement subtraction
+        # (but DO decompose under GROUP_JOIN's direct partial re-aggregation).
+        window_ok = False
+    if window_ok:
+        return _GVPlan(
+            gv=gv,
+            strategy="window",
+            eq_attrs=eq_attrs,
+            theta=thetas[0] if thetas else None,
+            anti_attr=anti_attrs[0] if anti_attrs else None,
+        )
+    return _GVPlan(
+        gv=gv,
+        strategy="group_join",
+        eq_attrs=eq_attrs,
+        thetas=thetas,
+        anti_attrs=anti_attrs,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +260,7 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
         guard = _sigma(gv.tuple_conds)
         if p.strategy == "cond_agg":
             aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, guard, gv.agg.name))
-        elif p.strategy == "window":
+        elif p.strategy in ("window", "group_join"):
             i = gv.index
             if gv.agg.fn in ("avg", "sum", "count"):
                 if gv.agg.fn != "count":
@@ -274,7 +291,8 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     # sides of those join-backs, so persist it — otherwise the totals branch
     # would recompute the whole fact-table pipeline.
     if PERSIST_GROUP_TABLE and any(
-        p.strategy == "window" and p.theta is None for p in plans
+        (p.strategy == "window" and p.theta is None) or p.strategy == "group_join"
+        for p in plans
     ):
         from pyspark import StorageLevel
 
@@ -337,6 +355,16 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
         else:  # avg — tuple-weighted: Σsums / Σcounts
             expr = F.when(cnt > 0, tot / cnt)
         groups = groups.withColumn(gv.agg.name, expr)
+
+    # ---- GROUP_JOIN GVs: θ-self-join of the group table on the GV's simple
+    # conditions, re-aggregating the scan-0 partials — still zero extra
+    # passes over sales. The "tuple side" of the membership test is the
+    # partial-carrying copy of the group table (o); the anchor side is the
+    # group row itself.
+    for p in plans:
+        if p.strategy != "group_join":
+            continue
+        groups = _group_join_gv(groups, v, p)
     groups = groups.drop(
         *[c for c in groups.columns if c.startswith(("__p", "__t", "__s"))]
     )
@@ -361,6 +389,57 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     if q.having is not None:
         out = out.filter(_having_col(q.having))
     return out
+
+
+def _group_join_gv(groups: DataFrame, v: list[str], p: _GVPlan) -> DataFrame:
+    """One GROUP_JOIN stage: groups ⋈θ groups-partials → groupBy(V) → agg →
+    null-safe join back. Semantics per condition kind mirror the membership
+    rules (eq/anti null-safe, θ plain SQL), evaluated between the other
+    group's attribute (o, standing in for its tuples) and this group's."""
+    gv, i, fn = p.gv, p.gv.index, p.gv.agg.fn
+    if fn in ("min", "max"):
+        pcols = [f"__p{fn}_{i}"]
+    elif fn == "count":
+        pcols = [f"__pcnt_{i}"]
+    else:
+        pcols = [f"__psum_{i}", f"__pcnt_{i}"]
+    o_attrs = sorted(
+        set(p.eq_attrs) | {a for a, _ in p.thetas} | set(p.anti_attrs)
+    )
+    o = groups.select(
+        *[F.col(a).alias(f"__o_{a}") for a in o_attrs],
+        *[F.col(c).alias(f"__o_{c}") for c in pcols],
+    )
+    conds = [F.col(f"__o_{a}").eqNullSafe(F.col(a)) for a in p.eq_attrs]
+    conds += [_PYOPS[op](F.col(f"__o_{a}"), F.col(a)) for a, op in p.thetas]
+    conds += [~F.col(f"__o_{a}").eqNullSafe(F.col(a)) for a in p.anti_attrs]
+    # pure-θ/anti join: broadcast the partials side so Catalyst plans a
+    # BroadcastNestedLoopJoin over the (tiny) group table, never a cartesian
+    # shuffle; with equi keys a hash join on them is fine.
+    o_side = o if p.eq_attrs else F.broadcast(o)
+    joined = groups.select(*v).join(o_side, _and_all(conds), "inner")
+    if fn in ("min", "max"):
+        tot_aggs = [_AGG_FNS[fn](F.col(f"__o___p{fn}_{i}")).alias(f"__tm_{i}")]
+    else:
+        tot_aggs = [F.sum(F.col(f"__o___pcnt_{i}")).alias(f"__tc_{i}")]
+        if fn != "count":
+            tot_aggs.append(F.sum(F.col(f"__o___psum_{i}")).alias(f"__ts_{i}"))
+    res = joined.groupBy(*v).agg(*tot_aggs)
+    for a in v:
+        res = res.withColumnRenamed(a, f"__r_{a}")
+    back = _and_all([F.col(a).eqNullSafe(F.col(f"__r_{a}")) for a in v])
+    out = groups.join(res, back, how="left").drop(*[f"__r_{a}" for a in v])
+    if fn in ("min", "max"):
+        expr = F.col(f"__tm_{i}")
+    elif fn == "count":
+        expr = F.coalesce(F.col(f"__tc_{i}"), F.lit(0))
+    elif fn == "sum":
+        expr = F.when(F.col(f"__tc_{i}") > 0, F.col(f"__ts_{i}"))
+    else:  # avg — tuple-weighted: Σsums / Σcounts
+        expr = F.when(
+            F.col(f"__tc_{i}") > 0, F.col(f"__ts_{i}") / F.col(f"__tc_{i}")
+        )
+    return out.withColumn(gv.agg.name, expr).drop(f"__tm_{i}", f"__tc_{i}", f"__ts_{i}")
 
 
 def _join_agg_stage(

@@ -49,7 +49,17 @@ def _fixture_pdf() -> pd.DataFrame:
     rows.append(dict(cust=None, prod="pen", day=2, month=1, year=1997, state="NY", quant=11))
     rows.append(dict(cust=None, prod="pen", day=3, month=2, year=1997, state="CT", quant=13))
     rows.append(dict(cust="alice", prod=None, day=4, month=3, year=1997, state=None, quant=17))
-    return pd.DataFrame(rows)
+    # NULL aggregate sources: AVG must ignore NULLs in its denominator (the
+    # window strategy's partial-count fix) and SUM/MIN/MAX skip them — every
+    # strategy sees these through the oracle cross-check.
+    rows.append(dict(cust="alice", prod="pen", day=5, month=1, year=1997, state="NY", quant=None))
+    rows.append(dict(cust="bob", prod="ink", day=6, month=2, year=1996, state="CT", quant=None))
+    rows.append(dict(cust="carol", prod="pen", day=7, month=6, year=1997, state="NJ", quant=None))
+    pdf = pd.DataFrame(rows)
+    # keep quant integral-with-NULLs (object dtype → Spark LongType nullable,
+    # DuckDB BIGINT) — a float64 NaN column would silently change SUM dtype
+    pdf["quant"] = pdf["quant"].astype(object).where(pdf["quant"].notna(), None)
+    return pdf
 
 
 @pytest.fixture(scope="module")
@@ -109,10 +119,11 @@ def test_classify_strict_theta_requires_integral_dtype():
         known_cols=COLS,
     )
     # strict < compiles to a ±1 range frame — only valid when the ordering
-    # attribute is integral; anything else must take the generic join path
+    # attribute is integral; anything else takes the group-table θ-join path
+    # (still a single fact scan, dtype-independent comparisons)
     assert classify_gv(q.gvs[0], q.group_attrs, {"month": "int"}).strategy == "window"
-    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "double"}).strategy == "join"
-    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "string"}).strategy == "join"
+    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "double"}).strategy == "group_join"
+    assert classify_gv(q.gvs[0], q.group_attrs, {"month": "string"}).strategy == "group_join"
     # non-strict ops keep the window path for any orderable type (their
     # frames use only unbounded/current-row boundaries — no offset arithmetic)
     q2 = parse_query(
@@ -123,13 +134,77 @@ def test_classify_strict_theta_requires_integral_dtype():
     assert classify_gv(q2.gvs[0], q2.group_attrs, {"month": "double"}).strategy == "window"
 
 
-def test_classify_anti_minmax_falls_back_to_join():
+def test_classify_anti_minmax_takes_group_join():
+    # min/max with an anti condition can't use the WINDOW complement
+    # subtraction, but min-of-partial-mins over the group-table θ-join works.
     q = parse_query(
         ["cust,prod,max_quant_o", "1", "cust,prod", "max_quant_o",
          "{MF.prod.max_quant_o}[=]{prod}:{MF.cust.max_quant_o}[!=]{cust}"],
         known_cols=COLS,
     )
-    assert classify_gv(q.gvs[0], q.group_attrs).strategy == "join"
+    assert classify_gv(q.gvs[0], q.group_attrs).strategy == "group_join"
+
+
+def test_classify_two_thetas_takes_group_join():
+    q = parse_query(
+        ["year,month,sum_quant_p", "1", "year,month", "sum_quant_p",
+         "{MF.year.sum_quant_p}[<=]{year}:{MF.month.sum_quant_p}[<]{month}"],
+        known_cols=COLS,
+    )
+    p = classify_gv(q.gvs[0], q.group_attrs, {"year": "int", "month": "int"})
+    assert p.strategy == "group_join"
+    assert p.thetas == [("year", "<="), ("month", "<")]
+
+
+def test_classify_theta_plus_anti_takes_group_join():
+    q = parse_query(
+        ["cust,month,avg_quant_x", "1", "cust,month", "avg_quant_x",
+         "{MF.month.avg_quant_x}[<]{month}:{MF.cust.avg_quant_x}[!=]{cust}"],
+        known_cols=COLS,
+    )
+    p = classify_gv(q.gvs[0], q.group_attrs, {"cust": "string", "month": "bigint"})
+    assert p.strategy == "group_join"
+    assert p.thetas == [("month", "<")] and p.anti_attrs == ["cust"]
+
+
+# -------------------------------------------------- group_join correctness
+
+
+def test_group_join_two_thetas(fixture_sales):
+    # Σ quant over groups earlier-or-equal in year AND strictly earlier in
+    # month — a 2-D cumulative no single range frame encodes.
+    spec = (
+        "year,month,sum_quant_p,avg_quant_p\n2\nyear,month\n"
+        "sum_quant_p,avg_quant_p\n"
+        "{MF.year.sum_quant_p}[<=]{year}:{MF.month.sum_quant_p}[<]{month},"
+        "{MF.year.avg_quant_p}[<=]{year}:{MF.month.avg_quant_p}[<]{month}"
+    )
+    q, got = check(spec, fixture_sales)
+    assert all(
+        classify_gv(gv, q.group_attrs).strategy == "group_join" for gv in q.gvs
+    )
+
+
+def test_group_join_anti_minmax(fixture_sales):
+    # max over OTHER customers of the same product — min/max + anti, with
+    # NULL-keyed groups in the fixture exercising the null-safe membership.
+    spec = (
+        "cust,prod,max_quant_o,min_quant_o\n2\ncust,prod\n"
+        "max_quant_o,min_quant_o\n"
+        "{MF.prod.max_quant_o}[=]{prod}:{MF.cust.max_quant_o}[!=]{cust},"
+        "{MF.prod.min_quant_o}[=]{prod}:{MF.cust.min_quant_o}[!=]{cust}"
+    )
+    check(spec, fixture_sales)
+
+
+def test_group_join_theta_anti_mix(fixture_sales):
+    spec = (
+        "cust,month,sum_quant_x,count_quant_x\n2\ncust,month\n"
+        "sum_quant_x,count_quant_x\n"
+        "{MF.month.sum_quant_x}[<]{month}:{MF.cust.sum_quant_x}[!=]{cust},"
+        "{MF.month.count_quant_x}[<]{month}:{MF.cust.count_quant_x}[!=]{cust}"
+    )
+    check(spec, fixture_sales)
 
 
 def test_classify_dependent_is_join():

@@ -12,13 +12,25 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ad_hoc_olap_query_processing_engine_spark.phi import compile_phi, parse_query, phi_to_sql
+from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
 
 from .conftest import assert_frames_match
 from .test_phi_planner import COLS, _fixture_pdf
 
 FNS = ["sum", "avg", "min", "max", "count"]
-V_CHOICES = [["cust"], ["prod"], ["cust", "prod"], ["cust", "month"], ["prod", "month"]]
+V_CHOICES = [
+    ["cust"],
+    ["prod"],
+    ["cust", "prod"],
+    ["cust", "month"],
+    ["prod", "month"],
+    ["year", "month"],
+]
 STATES = ["NY", "CT", "NJ", "TX"]
+
+# strategies observed across all generated examples — asserted at module end
+# so the generator provably exercises every planner path
+_SEEN_STRATEGIES: set[str] = set()
 
 
 @st.composite
@@ -32,7 +44,18 @@ def phi_specs(draw) -> str:
         conds = []
         kind = draw(
             st.sampled_from(
-                ["same", "subset", "theta", "anti", "dep", "sigma_only", "mf_lit"]
+                [
+                    "same",
+                    "subset",
+                    "theta",
+                    "anti",
+                    "dep",
+                    "sigma_only",
+                    "mf_lit",
+                    "two_theta",
+                    "theta_anti",
+                    "cross_attr",
+                ]
             )
         )
         if kind == "dep" and i == 1:
@@ -59,6 +82,23 @@ def phi_specs(draw) -> str:
             conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
             if "month" in v:
                 conds.append(f"{{MF.month.{name}}}[>=]{{{draw(st.integers(1, 11))}}}")
+        elif kind == "two_theta" and "year" in v and "month" in v:
+            # two θ on distinct attrs — the GROUP_JOIN strategy
+            op1 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            op2 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds.append(f"{{MF.year.{name}}}[{op1}]{{year}}")
+            conds.append(f"{{MF.month.{name}}}[{op2}]{{month}}")
+        elif kind == "theta_anti" and "month" in v and len(v) > 1:
+            # θ + anti mix — also GROUP_JOIN
+            other = next(g for g in v if g != "month")
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds.append(f"{{MF.month.{name}}}[{op}]{{month}}")
+            conds.append(f"{{MF.{other}.{name}}}[!=]{{{other}}}")
+        elif kind == "cross_attr" and "month" in v:
+            # tuple attr compared against a DIFFERENT group attr (day vs
+            # group's month) — the fully-general join fallback
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v if g != "month"]
+            conds.append(f"{{MF.month.{name}}}[{draw(st.sampled_from(['<', '>=']))}]{{day}}")
         # else sigma_only: no MF conds → parser synthesizes same-group
         if draw(st.booleans()):
             sigma_kind = draw(st.sampled_from(["state", "quant"]))
@@ -107,6 +147,18 @@ def prop_ctx(spark):
 def test_random_phi_matches_oracle(spec, prop_ctx):
     sdf, con = prop_ctx
     q = parse_query(spec.splitlines(), known_cols=COLS)
+    dtypes = dict(sdf.dtypes)
+    for gv in q.gvs:
+        _SEEN_STRATEGIES.add(classify_gv(gv, q.group_attrs, dtypes).strategy)
     got = compile_phi(q, sdf).toPandas()
     exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
     assert_frames_match(got, exp)
+
+
+def test_property_suite_exercised_every_strategy():
+    """The generator must reach all four planner strategies (derandomized
+    hypothesis → deterministic, so this is a stable coverage pin). Runs after
+    test_random_phi_matches_oracle by file order."""
+    assert _SEEN_STRATEGIES >= {"cond_agg", "window", "group_join", "join"}, (
+        _SEEN_STRATEGIES
+    )

@@ -34,6 +34,15 @@ def test_fused_phi_queries_scan_fact_table_once(spark, sales):
         assert table_scan_count(df, "lineitem.parquet") == 1, name
 
 
+def test_group_join_phi_query_scans_fact_table_once(spark, sales):
+    """phi_q7's two-θ and min+anti GVs compile to GROUP_JOIN — θ-joins on the
+    group table only, never a second pass over sales."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import all_phi_queries
+
+    df = compile_phi(all_phi_queries()["phi_q7"], sales)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+
+
 def test_dependent_phi_query_scans_twice(spark, sales):
     """Q6's dependent aggregate forces a second pass (scan 0 + one staged
     join); the persisted group table keeps it at 2, vs the reference's 3."""
