@@ -377,18 +377,45 @@ GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)"""
 
 
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, "lineitem", sf_dir)
-    exact = F.countDistinct("l_partkey")
-    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
-    return l.groupBy("l_returnflag").agg(
-        exact.alias("exact_parts"),
-        (F.abs(approx - exact) <= exact * 0.05).alias("ndv_within_5pct"),
-        F.expr("approx_percentile(l_quantity, 0.5)")
-        .between(
-            F.expr("percentile(l_quantity, 0.45)"),
-            F.expr("percentile(l_quantity, 0.55)"),
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_partkey", "l_quantity"
+    )
+    # Exact NDV and the sketches in SEPARATE aggregations: a DISTINCT
+    # aggregate mixed with non-distinct sketch aggregates in one groupBy
+    # makes Catalyst plan an Expand (row duplication per aggregate class)
+    # with the HLL/percentile sketches re-evaluated per expanded row — ~10×
+    # slower than two independent single-pass aggs joined on the tiny key.
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__approx"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("__amed"),
+    )
+    sketches = exact.join(F.broadcast(approx), "l_returnflag").withColumn(
+        "ndv_within_5pct",
+        F.abs(F.col("__approx") - F.col("exact_parts"))
+        <= F.col("exact_parts") * 0.05,
+    )
+    # EXACT band bounds via the value distribution: l_quantity is
+    # low-cardinality, so groupBy(flag, qty) map-side-combines to a ~150-row
+    # table and frequency-weighted percentile() runs over THAT — identical
+    # result to percentile() over the raw rows, without buffering millions of
+    # values per group (the naive exact percentile is the one aggregate that
+    # cannot stream; at 100 TB the distribution rewrite is the only option).
+    dist = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
+    bands = dist.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.45, __freq)").alias("__p45"),
+        F.expr("percentile(l_quantity, 0.55, __freq)").alias("__p55"),
+    )
+    return (
+        sketches.join(F.broadcast(bands), "l_returnflag")
+        .withColumn(
+            "median_in_band", F.col("__amed").between(F.col("__p45"), F.col("__p55"))
         )
-        .alias("median_in_band"),
+        .select("l_returnflag", "exact_parts", "ndv_within_5pct", "median_in_band")
     )
 
 

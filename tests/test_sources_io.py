@@ -54,3 +54,31 @@ def test_csv_without_schema_still_reads(spark, nation_df):
 
 def test_lakehouse_formats_degrade_cleanly(spark):
     assert io.lakehouse_available(spark, "delta") in (True, False)
+
+def test_materialized_sales_matches_view(spark, monkeypatch):
+    """The SALES_CACHE layout optimization must be row-identical to the live
+    derivation view, with matching dtypes, and the goldens' year WHERE must
+    become partition pruning against the materialized layout."""
+    view = catalog.sales_df(spark, SF_SMALL)
+    with tempfile.TemporaryDirectory() as tmp:
+        cache = os.path.join(tmp, "sales_cache")
+        path = catalog.materialize_sales(spark, SF_SMALL, cache_dir=cache)
+        mat = spark.read.parquet(path).select(*catalog.SALES_COLUMNS)
+        assert dict(mat.dtypes) == dict(view.dtypes)
+        assert_frames_match(mat.toPandas(), view.toPandas())
+        pruned = mat.filter(F.col("year") == 1997)
+        plan = physical_plan(pruned)
+        assert "PartitionFilters" in plan and "1997" in plan
+
+
+def test_sales_cache_env_switches_path(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv(catalog.SALES_CACHE_ENV, "1")
+    monkeypatch.setattr(
+        catalog, "_sales_cache_dir", lambda sf_dir: str(tmp_path / "cache")
+    )
+    cached = catalog.sales_df(spark, SF_SMALL)
+    plan = physical_plan(cached)
+    assert "lineitem" not in plan  # reads the materialization, not the join
+    monkeypatch.setenv(catalog.SALES_CACHE_ENV, "0")
+    live = catalog.sales_df(spark, SF_SMALL)
+    assert "lineitem" in physical_plan(live)
