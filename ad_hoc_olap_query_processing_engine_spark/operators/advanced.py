@@ -19,8 +19,9 @@ from ..sources.catalog import load_table
 from .registry import register
 
 
-def _dec(col: str, scale: int = 2) -> Column:
-    return F.col(col).cast(f"decimal(18,{scale})")
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
 
 
 # ---------------------------------------------------------------------------
@@ -374,3 +375,139 @@ FROM t JOIN m ON t.lang = m.lang"""
 
 
 register("udf_grouped_zscore", udf_grouped_zscore, UDF_GROUPED_ZSCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_range_join — interval θ-join: for each purchase, count/sum the same
+# user's click events in the 10 minutes leading up to it. The join has an
+# equi key (user_id) plus the range condition, so Spark plans a hash join on
+# the key with the range as a post-condition — the scalable shape (a pure
+# range θ-join with no equi key would be a broadcast nested loop; at 100 TB
+# you bucket time into coarse buckets and equi-join on (user, bucket)).
+# ---------------------------------------------------------------------------
+
+
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["c_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 10 MINUTES"))
+        & (clicks["c_ts"] < purchases["p_ts"]),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(clicks["c_ts"]).alias("n_clicks_before"),
+        F.sum(_dec(clicks["c_value"], 6)).cast("double").alias("click_value_before"),
+    )
+
+
+REL_RANGE_JOIN_SQL = """\
+SELECT p.event_id AS purchase_id,
+       COUNT(c.ts) AS n_clicks_before,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id"""
+
+
+# ---------------------------------------------------------------------------
+# rel_window_suite — the analytic-function surface in one query: lag/lead,
+# dense_rank, ntile, first/last over a per-customer order timeline. All
+# value-picking functions (no float accumulation), so cross-engine exact;
+# ordering is made total with the o_orderkey tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def rel_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_totalprice").over(wall).alias("first_price"),
+        F.last("o_totalprice").over(wall).alias("last_price"),
+    )
+
+
+REL_WINDOW_SUITE_SQL = """\
+SELECT o_orderkey, o_custkey,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       DENSE_RANK() OVER w AS order_seq,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+       LAST_VALUE(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_sessionize — batch sessionization: a session breaks after a 30-minute
+# silence. lag + cumulative-sum-of-breaks is the one-shuffle shape (shuffle
+# on user_id only); per-user state never leaves the executor. Timestamps
+# compared at microsecond precision in both engines.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    is_break = (
+        F.when(us - F.lag(us).over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = e.withColumn("session_id", F.sum(is_break).over(w))
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+REL_SESSIONIZE_SQL = f"""\
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, SUM(is_break) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id,
+       CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id"""
+
+
+register("rel_range_join", rel_range_join, REL_RANGE_JOIN_SQL)
+register("rel_window_suite", rel_window_suite, REL_WINDOW_SUITE_SQL)
+register("rel_sessionize", rel_sessionize, REL_SESSIONIZE_SQL)

@@ -138,3 +138,55 @@ GROUP BY doc_id, text"""
 
 register("mm_byte_stats", mm_byte_stats, MM_BYTE_STATS_SQL)
 register("mm_feature_extract", mm_feature_extract, _mm_feature_extract_sql())
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample — the frame-sampling plumbing of a video/audio pipeline:
+# split the opaque payload into fixed-width frames, keep every k-th full
+# frame, emit per-frame metadata + content digest. The kernel runs per Arrow
+# batch inside mapInPandas (exactly where a real ffmpeg frame extractor would
+# sit); rows fan OUT (one per sampled frame), which mapInPandas supports
+# natively — no driver involvement, no shuffle until someone aggregates.
+# The md5 digest makes the sampled bytes themselves oracle-checkable.
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 32
+FRAME_SAMPLE_EVERY = 4
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_md5": [], "first_byte": []}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(raw)
+                for j in range(0, len(data) // FRAME_BYTES, FRAME_SAMPLE_EVERY):
+                    frame = data[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["first_byte"].append(frame[0])
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, frame_idx int, frame_md5 string, first_byte int"
+    return p.mapInPandas(sample, schema=schema)
+
+
+# corpus is ASCII → substr == byte slice, and DuckDB md5(VARCHAR) hashes the
+# same bytes hashlib.md5 sees
+MM_FRAME_SAMPLE_SQL = f"""\
+SELECT doc_id AS media_id,
+       CAST(j AS INT) AS frame_idx,
+       md5(substr(text, CAST(j * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5,
+       CAST(ord(substr(text, CAST(j * {FRAME_BYTES} + 1 AS INT), 1)) AS INT) AS first_byte
+FROM documents, unnest(range(0, length(text) // {FRAME_BYTES})) AS u(j)
+WHERE j % {FRAME_SAMPLE_EVERY} = 0"""
+
+
+register("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_SQL)

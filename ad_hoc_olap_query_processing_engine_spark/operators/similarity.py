@@ -244,6 +244,113 @@ register("sim_srp_ann", sim_srp_ann, _srp_sql())
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding — embedding-cosine near-duplicate PAIRS (the dedup-tier
+# face of the same SRP index): candidate pairs from any shared band bucket,
+# exact cosine verify of candidates only, keep pairs ≥ DEDUP_COS_THRESHOLD.
+# At 100 TB this is the standard semantic-dedup shape — the bucket table is
+# materialized once and both ANN queries and near-dup mining join against
+# it; the verify step only ever scores the bucketed candidates.
+# ---------------------------------------------------------------------------
+
+DEDUP_COS_THRESHOLD = 0.42
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    buckets = e.select(
+        "vec_id", "embedding", F.explode(_srp_band_cols()).alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .distinct()
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        cand.withColumn("score", F.round(cos, 4))
+        .filter(F.col("score") >= DEDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
+def _dedup_embedding_sql() -> str:
+    bpb = SRP_BITS // SRP_BANDS
+    return f"""\
+WITH {_elems_proj_sql("srp", SRP_BITS)},
+buckets AS (
+  SELECT vec_id, bt // {bpb} AS band,
+         CAST(SUM(CASE WHEN p >= 0 THEN 1 << (bt % {bpb}) ELSE 0 END)
+              + (bt // {bpb}) * {2**bpb} AS INT) AS bucket
+  FROM proj GROUP BY vec_id, bt // {bpb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON b.bucket = a.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS score
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= {DEDUP_COS_THRESHOLD}"""
+
+
+register("dedup_embedding", dedup_embedding, _dedup_embedding_sql())
+
+
+# ---------------------------------------------------------------------------
+# embed_centroids — per-label element-wise centroid of the embedding column
+# (long format: one row per (label, dim)). posexplode → groupBy(label, dim)
+# is the distributed shape: the shuffle key is (label, dim) — numerous and
+# uniform — so no hot partitions at any scale, and the sum is exact-integer
+# (quantized floor(x*1000), same contract as the SRP/IVF projections) so the
+# centroid is bit-identical in DuckDB: Σq/(1000·n) in double.
+# ---------------------------------------------------------------------------
+
+
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    exploded = e.select("label", F.posexplode(q).alias("dim", "qv"))
+    return exploded.groupBy("label", "dim").agg(
+        (
+            F.sum("qv").cast("double")
+            / (F.count(F.lit(1)) * F.lit(QUANT_SCALE)).cast("double")
+        ).alias("centroid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+
+
+EMBED_CENTROIDS_SQL = f"""\
+SELECT label,
+       CAST(i AS INT) - 1 AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) * {QUANT_SCALE} AS DOUBLE) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, CAST(i AS INT) - 1"""
+
+
+register("embed_centroids", embed_centroids, EMBED_CENTROIDS_SQL)
+
+
+# ---------------------------------------------------------------------------
 # sim_ivf_ann — IVF with a deterministic SRP-cell coarse quantizer.
 # ---------------------------------------------------------------------------
 

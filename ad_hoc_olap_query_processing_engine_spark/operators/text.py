@@ -190,3 +190,54 @@ register("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("text_quality", text_quality, TEXT_QUALITY_SQL)
 register("text_lang_id", text_lang_id, _lang_id_sql())
 register("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_topk — top-K word bigrams per language by document frequency.
+# The zip-shift bigram build is linear per document and JVM-side; the count
+# shuffle keys on (lang, bigram) — high-cardinality and uniform, so no hot
+# partitions at scale — and the top-K is a per-lang window over the (small)
+# aggregated counts, never a global sort of the postings.
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 5
+
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_TOP_K)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+TEXT_NGRAM_TOPK_SQL = f"""\
+WITH bg AS (
+  SELECT lang, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, len(toks))) AS u(i)),
+counts AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rank
+  FROM counts)
+SELECT lang, bigram, n, rank FROM ranked WHERE rank <= {NGRAM_TOP_K}"""
+
+
+register("text_ngram_topk", text_ngram_topk, TEXT_NGRAM_TOPK_SQL)
