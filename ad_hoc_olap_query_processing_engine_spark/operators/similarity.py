@@ -16,13 +16,13 @@ sim_srp_ann       the scale path: 16-bit signed-random-projection signatures
                   and bit-identical across engines, so the whole LSH pipeline
                   is ORACLE-CHECKED, which float projections can't be).
                   Hyperplane weights are ±1 derived per (bit, dim) from md5 —
-                  no RNG, no driver-side action, no dependence on knowing the
-                  dimension up front (weights are computed per-element with
-                  `transform(col, (x, i) -> ...)`). Banded bucket join for
-                  candidates; exact re-rank of candidates only. At 100 TB
-                  you'd precompute the ±1 plane table once and broadcast-join
-                  it instead of re-hashing per element; the md5-per-element
-                  form keeps the op a single self-contained expression.
+                  no RNG, no driver-side action (the plane table is generated
+                  from spark.range up to MAX_DIM and broadcast; dims beyond
+                  the data never join). Projections are computed by
+                  posexplode → broadcast plane join → hash re-aggregate, so
+                  md5 runs once per plane CELL, not per (row × plane × dim).
+                  Banded bucket join for candidates; exact re-rank of
+                  candidates only.
 
 sim_ivf_ann       IVF sketch with a DETERMINISTIC coarse quantizer: 3 SRP
                   bits partition vectors into 8 cells (the "inverted file");
@@ -132,32 +132,55 @@ WITH cand AS (
 # ---------------------------------------------------------------------------
 
 
-def _plane_weight(prefix: str, bit: int, i: Column) -> Column:
-    """±1 weight for (plane ``bit``, dimension ``i``), derived from the first
-    md5 byte of 'prefix:bit:i' — md5 and hex-parse are bit-identical in Spark
-    and DuckDB, so both engines build the same planes with no RNG state."""
+# Plane-table upper bound on embedding dimensionality: lets the broadcast
+# plane table be generated from spark.range with NO driver-side action to
+# discover the true dim (dims beyond the data simply never join).
+MAX_DIM = 4096
+
+
+def _plane_table(spark: SparkSession, prefix: str, n_bits: int) -> DataFrame:
+    """The (plane bit, dimension) → ±1 weight table, derived from the first
+    md5 byte of 'prefix:bit:dim' — md5 and hex-parse are bit-identical in
+    Spark and DuckDB, so both engines build the same planes with no RNG
+    state. n_bits×MAX_DIM rows — broadcast-sized at any data scale."""
+    ids = spark.range(n_bits * MAX_DIM)
+    bt = (F.col("id") % n_bits).cast("int")
+    d = F.floor(F.col("id") / n_bits).cast("int")
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{prefix}:{bit}:"), i.cast("string")).cast("binary")),
+            F.md5(
+                F.concat(
+                    F.lit(f"{prefix}:"), bt.cast("string"), F.lit(":"), d.cast("string")
+                ).cast("binary")
+            ),
             1,
             2,
         ),
         16,
         10,
     ).cast("int")
-    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    w = F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    return ids.select(bt.alias("bt"), d.alias("d"), w.alias("w"))
 
 
-def _int_proj(prefix: str, bit: int, emb: Column) -> Column:
-    """Exact-integer signed projection of the quantized vector onto plane
-    ``bit``: Σ_d floor(x_d·1000)·w(bit,d). Pure bigint arithmetic —
-    order-independent, identical in Spark and DuckDB."""
-    prods = F.transform(
-        emb,
-        lambda x, i: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint")
-        * _plane_weight(prefix, bit, i),
+def _projections(e: DataFrame, prefix: str, n_bits: int) -> DataFrame:
+    """(vec_id, bt, p): exact-integer signed projection of each quantized
+    vector onto each plane, p = Σ_d floor(x_d·1000)·w(bt,d). posexplode →
+    broadcast-join the plane table → hash re-aggregate: one md5 per PLANE
+    CELL instead of one per (row × plane × dim) — the expression-tree
+    alternative re-hashes ~n_bits×dim md5s per row and dominates past ~64
+    dims. Pure bigint arithmetic — order-independent, identical in DuckDB."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
     )
-    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    elems = e.select("vec_id", F.posexplode(q).alias("d", "v"))
+    planes = _plane_table(e.sparkSession, prefix, n_bits)
+    return (
+        elems.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "bt")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("p"))
+    )
 
 
 def _elems_proj_sql(prefix: str, n_bits: int) -> str:
@@ -182,27 +205,33 @@ proj AS (
 # ---------------------------------------------------------------------------
 
 
-def _srp_band_cols() -> Column:
-    """Array of per-band SRP signatures (band offset + sign bits), built from
-    exact integer projections — JVM-side, no driver action, any dimension."""
-    bits_per_band = SRP_BITS // SRP_BANDS
-    bands = []
-    for band in range(SRP_BANDS):
-        # offset so signatures from different bands never collide
-        sig = F.lit(band * 2**bits_per_band).cast("int")
-        for j in range(bits_per_band):
-            proj = _int_proj("srp", band * bits_per_band + j, F.col("embedding"))
-            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-            sig = sig + (bit * F.lit(2**j)).cast("int")
-        bands.append(sig)
-    return F.array(*bands)
+def _srp_buckets(
+    e: DataFrame, n_bits: int = SRP_BITS, bands: int = SRP_BANDS
+) -> DataFrame:
+    """(vec_id, embedding, bucket): one row per (vector, band) with the
+    band's SRP signature (band offset + sign bits) — the shared LSH bucket
+    table behind sim_srp_ann and dedup_embedding (the 'srp' plane family is
+    one sequence; an index needing more planes extends it, so plane k means
+    the same hyperplane in every index). Built from the projection table; the
+    join back to ``e`` re-attaches the embedding for re-ranking."""
+    bpb = n_bits // bands
+    proj = _projections(e, "srp", n_bits)
+    band = F.floor(F.col("bt") / bpb).cast("int")
+    bit = F.when(
+        F.col("p") >= 0, F.expr(f"shiftleft(1, CAST(bt % {bpb} AS INT))")
+    ).otherwise(F.lit(0))
+    sigs = proj.groupBy("vec_id", band.alias("band")).agg(
+        F.sum(bit).cast("int").alias("sig")
+    )
+    return sigs.select(
+        "vec_id",
+        (F.col("sig") + F.col("band") * F.lit(2**bpb)).cast("int").alias("bucket"),
+    ).join(e.select("vec_id", "embedding"), "vec_id")
 
 
 def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    buckets = e.select(
-        "vec_id", "embedding", F.explode(_srp_band_cols()).alias("bucket")
-    )
+    buckets = _srp_buckets(e)
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -253,13 +282,18 @@ register("sim_srp_ann", sim_srp_ann, _srp_sql())
 # ---------------------------------------------------------------------------
 
 DEDUP_COS_THRESHOLD = 0.42
+# Near-dup mining self-joins ALL vectors (not a small query set), so its
+# index uses wider bands than the ANN index: 4 bands × 8 bits (256
+# signatures/band) keeps the candidate set ~N²/256 per band instead of
+# N²/16 — measured 13.5 s → <1 s at sf0.1 with the 16-bit/4-bit-band config.
+# The planes are the same 'srp' family, extended from 16 to 32.
+DEDUP_SRP_BITS = 32
+DEDUP_SRP_BANDS = 4
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    buckets = e.select(
-        "vec_id", "embedding", F.explode(_srp_band_cols()).alias("bucket")
-    )
+    buckets = _srp_buckets(e, DEDUP_SRP_BITS, DEDUP_SRP_BANDS)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -286,9 +320,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_sql() -> str:
-    bpb = SRP_BITS // SRP_BANDS
+    bpb = DEDUP_SRP_BITS // DEDUP_SRP_BANDS
     return f"""\
-WITH {_elems_proj_sql("srp", SRP_BITS)},
+WITH {_elems_proj_sql("srp", DEDUP_SRP_BITS)},
 buckets AS (
   SELECT vec_id, bt // {bpb} AS band,
          CAST(SUM(CASE WHEN p >= 0 THEN 1 << (bt % {bpb}) ELSE 0 END)
@@ -361,10 +395,13 @@ IVF_PROBES = 3  # own cell + the two least-confident single-bit flips
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    projs = [_int_proj("ivf", b, F.col("embedding")) for b in range(IVF_BITS)]
-    assigned = e.select(
-        "vec_id", "embedding", *[projs[b].alias(f"p{b}") for b in range(IVF_BITS)]
-    )
+    proj = _projections(e, "ivf", IVF_BITS)
+    assigned = proj.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("bt") == b, F.col("p"))).alias(f"p{b}")
+            for b in range(IVF_BITS)
+        ]
+    ).join(e.select("vec_id", "embedding"), "vec_id")
     cell = sum(
         (F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(IVF_BITS)),
         F.lit(0),

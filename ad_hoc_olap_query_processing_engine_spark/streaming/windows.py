@@ -66,18 +66,38 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+# Stateful operators instantiate one state-store (checkpoint dir, provider,
+# maintenance thread) PER shuffle partition, captured at query start. The
+# local harness processes the whole table in one micro-batch, so 32 state
+# partitions are pure constant overhead (measured: stream-stream join 12.6 s
+# → 2.8 s at 8). On a real cluster, size this to key cardinality/throughput —
+# it is a per-query knob, not a global one.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _drain(agg: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     """Run the streaming aggregation to completion through a memory sink and
     return the materialized result as a (static) DataFrame."""
     with _SINK_LOCK:
         _SINK_SEQ[0] += 1
         name = f"stream_sink_{_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        target = min(int(prev), STREAM_STATE_PARTITIONS)
+    except (TypeError, ValueError):
+        target = STREAM_STATE_PARTITIONS
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        # the partition count was captured at .start(); restore immediately
+        # so the session's batch plans keep their own setting
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
