@@ -41,6 +41,7 @@ def _load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
+    from . import timeseries  # noqa: F401
     from ..functions import scalar  # noqa: F401
     from ..streaming import windows  # noqa: F401
 

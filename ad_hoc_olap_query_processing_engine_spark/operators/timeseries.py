@@ -1,0 +1,98 @@
+"""Time-series rollups (SURVEY.md §2.3 — NOT-IN-REFERENCE; the hypertable
+face of a telemetry pipeline).
+
+timebucket_gapfill  the generic continuous-aggregate primitive: bucket event
+                    time into fixed-width epoch buckets, aggregate per
+                    (bucket, keys), then LEFT-join the aggregate onto the
+                    dense (bucket × key) grid so silent periods surface as
+                    explicit zero/NULL rows (what TimescaleDB calls
+                    time_bucket_gapfill). The grid is built from the
+                    aggregated bounds — sequence() + explode over a one-row
+                    bounds frame, never a driver-side action — and is tiny
+                    (buckets × keys) no matter how large the fact table is,
+                    so the gap-fill join is a broadcast over the already-
+                    aggregated data. At 100 TB the only full-table work is
+                    the first aggregation, which map-side combines.
+
+func_timebucket     the registered instance: daily event counts + exact
+                    decimal value sums per event_type with gap-filled days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+BUCKET_SECS = 86400
+
+
+def timebucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    bucket_secs: int,
+    aggs: list,
+) -> DataFrame:
+    """``df.groupBy(bucket, keys).agg(*aggs)`` over a DENSE bucket grid:
+    every (bucket, key) combination between the observed min and max bucket
+    appears, with NULL aggregates where no rows landed (callers coalesce
+    counts to 0). ``aggs`` are ready-made aliased Column aggregates."""
+    bucket = (F.floor(F.unix_micros(F.col(ts_col)) / (bucket_secs * 1_000_000)) * bucket_secs).cast(
+        "bigint"
+    )
+    agged = df.withColumn("__bucket", bucket).groupBy("__bucket", *key_cols).agg(*aggs)
+    bounds = agged.groupBy().agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(bucket_secs).cast("bigint"))
+        ).alias("__bucket")
+    )
+    grid = buckets.crossJoin(F.broadcast(agged.select(*key_cols).distinct()))
+    return grid.join(F.broadcast(agged), ["__bucket", *key_cols], "left")
+
+
+def func_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    out = timebucket_gapfill(
+        e,
+        "ts",
+        ["event_type"],
+        BUCKET_SECS,
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("__bucket").alias("bucket_start"),
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "sum_value",
+    )
+
+
+FUNC_TIMEBUCKET_SQL = f"""\
+WITH agged AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / {BUCKET_SECS * 1_000_000}) * {BUCKET_SECS} AS BIGINT) AS bucket_start,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(bucket_start) AS lo, MAX(bucket_start) AS hi FROM agged),
+buckets AS (
+  SELECT unnest(generate_series(lo, hi, {BUCKET_SECS})) AS bucket_start FROM bounds),
+grid AS (SELECT b.bucket_start, t.event_type
+         FROM buckets b CROSS JOIN (SELECT DISTINCT event_type FROM agged) t)
+SELECT g.bucket_start, g.event_type,
+       COALESCE(a.n_events, 0) AS n_events,
+       a.sum_value AS sum_value
+FROM grid g LEFT JOIN agged a
+  ON a.bucket_start = g.bucket_start AND a.event_type = g.event_type"""
+
+
+register("func_timebucket", func_timebucket, FUNC_TIMEBUCKET_SQL)

@@ -66,3 +66,28 @@ def test_cli_malformed_spec_fails_loudly(tmp_path):
     r = _run([str(bad), "--sf-dir", "/root/testdata/sf0.001", "--cpus", "4"])
     assert r.returncode != 0
     assert "PhiParseError" in r.stderr or "expected 5 or 6 lines" in r.stderr
+
+
+GOLDEN_SPEC = """\
+cust,avg_quant,avg_quant_NY
+1
+cust
+avg_quant_NY
+{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY}
+"""
+
+
+def test_cli_output_matches_golden_file(tmp_path):
+    """Golden-file pin of the reference-parity output format (%-18s columns,
+    separator, 'Total Records : N' footer) and of every formatted value.
+    Row ORDER is not part of the contract (the reference prints hash-map
+    order; we print partition order), so data lines compare as sorted sets."""
+    spec = tmp_path / "spec.txt"
+    spec.write_text(GOLDEN_SPEC)
+    r = _run([str(spec), "--sf-dir", "/root/testdata/sf0.001", "--cpus", "4"])
+    assert r.returncode == 0, r.stderr[-800:]
+    got = r.stdout.splitlines()
+    golden = open("tests/golden/cli_phi_ny.txt").read().splitlines()
+    assert got[:3] == golden[:3]          # banner + header + separator
+    assert got[-2:] == golden[-2:]        # blank + Total Records footer
+    assert sorted(got[3:-2]) == golden[3:-2]  # all formatted rows

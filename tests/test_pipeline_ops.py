@@ -100,3 +100,31 @@ def test_ivf_kmeans_library_path(spark):
     for r in ivf.itertuples():
         if (r.query_id, r.vec_id) in brute_scores:
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_timebucket_gapfill_fills_gaps(spark):
+    # 3 days of data with day 2 silent for type 'a': the grid must surface
+    # the gap as an explicit zero-count row, and bounds come from the data.
+    from ad_hoc_olap_query_processing_engine_spark.operators.timeseries import (
+        timebucket_gapfill,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a", 1.0),
+        (0, "b", 2.0),
+        (2 * 86400, "a", 3.0),  # day 1 missing entirely; day 2 only 'a'
+    ]
+    df = spark.createDataFrame(rows, "secs long, k string, v double").select(
+        F.timestamp_micros((F.col("secs") * 1_000_000).cast("bigint")).alias("ts"),
+        "k",
+        "v",
+    )
+    out = timebucket_gapfill(
+        df, "ts", ["k"], 86400, [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    got = {(r["__bucket"], r["k"]): r["n"] for r in out}
+    assert len(got) == 6  # 3 days x 2 keys, dense
+    assert got[(0, "a")] == 1 and got[(86400, "a")] is None
+    assert got[(86400, "b")] is None and got[(2 * 86400, "b")] is None
+    assert got[(2 * 86400, "a")] == 1

@@ -49,3 +49,41 @@ def test_nondecomposable_agg_rejected(spark):
         raise AssertionError("avg must be rejected")
     except ValueError:
         pass
+
+
+def test_salted_groupby_plan_shape(spark):
+    """The mitigation must be visible in the physical plan: a deterministic
+    xxhash64 salt and TWO aggregation exchanges (keys+salt, then keys)."""
+    from ad_hoc_olap_query_processing_engine_spark.plans import physical_plan
+
+    l = catalog.load_table(spark, "lineitem", SF_SMALL)
+    salted = skew.salted_groupby_agg(
+        l, keys=["l_returnflag"], aggs={"sum_qty": ("sum", "l_quantity")}
+    )
+    plan = physical_plan(salted)
+    assert "xxhash64" in plan
+    exchanges = [
+        seg for seg in plan.split("Arguments: ") if seg.startswith("hashpartitioning")
+    ]
+    assert len(exchanges) >= 2
+    # the FIRST (pre-aggregation) shuffle must key on the salt as well
+    assert any("__salt" in seg.splitlines()[0] for seg in exchanges)
+
+
+def test_salted_join_plan_shape(spark):
+    """The join must key on (key, __salt) — one hot key spreads over
+    salt_buckets tasks — and must not silently broadcast the salted side."""
+    from ad_hoc_olap_query_processing_engine_spark.plans import physical_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = catalog.load_table(spark, "lineitem", SF_SMALL)
+        small = catalog.load_table(spark, "part", SF_SMALL).select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        )
+        joined = skew.salted_join(big, small, key="l_partkey")
+        plan = physical_plan(joined)
+        assert "__salt" in plan and "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
