@@ -55,3 +55,54 @@ FROM orders"""
 
 
 register("func_scalar_surface", func_scalar_surface, FUNC_SCALAR_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_collection_surface — array + higher-order (lambda) functions over the
+# tokenized documents: transform / filter / aggregate-fold / slice / sort /
+# distinct / contains / sequence, all JVM-side and all with exact integer or
+# string results so DuckDB's list_* twins hash-match. Map functions are
+# deliberately excluded from the oracle: Spark throws on duplicate keys where
+# DuckDB keeps the first — semantics differ, documented not hidden.
+# ---------------------------------------------------------------------------
+
+
+def func_collection_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct"),
+        F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+        F.element_at(F.array_sort(words), 1).alias("first_sorted"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.array_max(F.transform(words, F.length)).cast("int").alias("max_word_len"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("total_chars"),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(words)), lambda x: x % 2 == 0
+            )
+        ).cast("int").alias("n_even_positions"),
+    )
+
+
+FUNC_COLLECTION_SURFACE_SQL = """\
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)                         AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT)         AS n_distinct,
+       array_to_string(string_split(text, ' ')[1:3], '-')               AS first3,
+       list_sort(string_split(text, ' '))[1]                            AS first_sorted,
+       list_contains(string_split(text, ' '), 'the')                    AS has_the,
+       CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS INT)
+                                                                        AS max_word_len,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT)
+                                                                        AS total_chars,
+       CAST(len(list_filter(range(1, len(string_split(text, ' ')) + 1),
+                            x -> x % 2 = 0)) AS INT)                    AS n_even_positions
+FROM documents"""
+
+
+register("func_collection_surface", func_collection_surface, FUNC_COLLECTION_SURFACE_SQL)
