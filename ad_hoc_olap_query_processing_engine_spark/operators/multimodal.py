@@ -190,3 +190,62 @@ WHERE j % {FRAME_SAMPLE_EVERY} = 0"""
 
 
 register("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mm_resize — the resize/downsample plumbing: shrink each payload to at most
+# RESIZE_TARGET samples by striding (stride = ceil(len/target), the
+# nearest-neighbor decimation a real image resize reduces to on a 1-D
+# signal). Kernel in mapInPandas where PIL's thumbnail() would sit; the
+# output digest makes the resampled bytes oracle-checkable. A real deployment
+# swaps the stride loop for the decoder call and keeps the schema.
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 64
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "orig_len": [], "resized_len": [], "resized_md5": []}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(raw)
+                stride = max(1, -(-len(data) // RESIZE_TARGET))  # ceil div
+                small = data[::stride]
+                out["media_id"].append(mid)
+                out["orig_len"].append(len(data))
+                out["resized_len"].append(len(small))
+                out["resized_md5"].append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, orig_len long, resized_len int, resized_md5 string"
+    return p.mapInPandas(resize, schema=schema)
+
+
+# stride positions 1, 1+k, 1+2k … ≤ len — with k = ceil(len/target) this
+# yields ceil(len/k) ≤ target samples, exactly python's data[::k]
+MM_RESIZE_SQL = f"""\
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS n,
+         GREATEST(1, CAST(CEIL(length(text) / {RESIZE_TARGET}.0) AS INT)) AS k
+  FROM documents),
+small AS (
+  SELECT doc_id, n,
+         array_to_string(
+           list_transform(range(0, CAST(CEIL(n / (1.0 * k)) AS INT)),
+                          j -> substr(text, CAST(1 + j * k AS INT), 1)), '') AS s
+  FROM sized)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS orig_len,
+       CAST(length(s) AS INT) AS resized_len,
+       md5(s) AS resized_md5
+FROM small"""
+
+
+register("mm_resize", mm_resize, MM_RESIZE_SQL)

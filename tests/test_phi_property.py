@@ -118,9 +118,19 @@ def phi_specs(draw) -> str:
         slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
     lines.append(",".join(slots))
     if draw(st.booleans()):
-        fld = draw(st.sampled_from(gv_names))
-        op = draw(st.sampled_from([">", "<", ">="]))
-        lines.append(f"{{MF.{fld},{op},{draw(st.integers(0, 30))}}}")
+        # 1-3 HAVING leaves chained with mixed &&/|| joiners (left-fold
+        # semantics, B5/B6 superset) over any output aggregates
+        n_leaves = draw(st.integers(1, 3))
+        parts = []
+        for _ in range(n_leaves):
+            fld = draw(st.sampled_from(gv_names))
+            op = draw(st.sampled_from([">", "<", ">="]))
+            parts.append(f"{{MF.{fld},{op},{draw(st.integers(0, 30))}}}")
+        joiners = [draw(st.sampled_from(["[&&]", "[||]"])) for _ in range(n_leaves - 1)]
+        line = parts[0]
+        for j, leaf in zip(joiners, parts[1:]):
+            line += f" {j} {leaf}"
+        lines.append(line)
     return "\n".join(lines)
 
 
