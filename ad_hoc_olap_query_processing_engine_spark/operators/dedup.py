@@ -77,8 +77,9 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
      unnest(range(1, len(toks) - {SHINGLE_WORDS - 2})) AS u(i)"""
 
 
-def _pair_jaccard_sql(cand_cte: str) -> str:
-    """Intersection/union arithmetic shared by both SQL oracles."""
+def _pair_jaccard_ctes(cand_cte: str) -> str:
+    """Intersection/union arithmetic shared by the dedup SQL oracles, ending
+    with a ``vpairs`` CTE of the verified (doc_a, doc_b, jaccard) pairs."""
     return f"""\
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -86,13 +87,20 @@ inter AS (
   FROM {cand_cte} c
   JOIN sh x ON x.doc_id = c.doc_a
   JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-  GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b,
-       i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
-FROM inter i
-JOIN sz sa ON i.doc_a = sa.doc_id
-JOIN sz sb ON i.doc_b = sb.doc_id
-WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}"""
+  GROUP BY c.doc_a, c.doc_b),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b,
+         i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD})"""
+
+
+def _pair_jaccard_sql(cand_cte: str) -> str:
+    return f"""\
+{_pair_jaccard_ctes(cand_cte)}
+SELECT doc_a, doc_b, jaccard FROM vpairs"""
 
 
 def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
@@ -218,10 +226,11 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    # postings feed signatures AND candidate verification — one shuffle, kept
-    sh = _shingles(d).persist()
+def minhash_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from (persisted) shingle postings: MinHash
+    signatures → banded LSH buckets → exact-Jaccard verification of the
+    candidates only. Shared by ``dedup_minhash_lsh`` (emits the pairs) and
+    ``dedup_cluster_cc`` (unions them into duplicate clusters)."""
     sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
     r = NUM_HASHES // BANDS
     band_keys = F.array(
@@ -247,7 +256,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_candidates(sh, cand)
 
 
-def _minhash_sql() -> str:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    # postings feed signatures AND candidate verification — one shuffle, kept
+    sh = _shingles(d).persist()
+    return minhash_pairs(sh)
+
+
+def _minhash_ctes() -> str:
+    """CTE chain ending with the verified ``vpairs`` — composed by both the
+    pair-emitting oracle and the connected-components oracle."""
     r = NUM_HASHES // BANDS
     mins = ",\n         ".join(
         f"MIN(ha + {i} * hb) AS m{i}" for i in range(NUM_HASHES)
@@ -259,7 +277,7 @@ def _minhash_sql() -> str:
         for b in range(BANDS)
     )
     return f"""\
-WITH sh AS ({_SHINGLES_SQL}),
+sh AS ({_SHINGLES_SQL}),
 hashed AS (
   SELECT doc_id,
          ('0x' || substr(md5(s), 1, 12))::BIGINT  AS ha,
@@ -275,7 +293,13 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-{_pair_jaccard_sql("cand")}"""
+{_pair_jaccard_ctes("cand")}"""
+
+
+def _minhash_sql() -> str:
+    return f"""\
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM vpairs"""
 
 
 register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
@@ -386,3 +410,102 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}"""
 
 
 register("dedup_simhash", dedup_simhash, _simhash_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_cc — duplicate CLUSTERS, not just pairs: connected components
+# over the verified MinHash-LSH pair graph, canonical keeper = min doc_id per
+# component. This is the step a training-data pipeline actually ships — "of
+# these near-duplicates, keep exactly one" — and pairwise ops alone can't
+# express it (transitivity: a~b, b~c puts a,c in one cluster even if the
+# sketch never paired them directly).
+#
+# Scale design: the iteration runs on the PAIR GRAPH (≪ corpus; only docs
+# with at least one near-dup), never re-touching documents. Min-label
+# propagation plus pointer jumping (label ← label[label]) converges in
+# O(log diameter) rounds — the Hash-to-Min idea of Rastogi et al. (ICDE'13)
+# — each round two small self-joins; lineage is truncated per round with
+# localCheckpoint so plans don't grow. An iterative algorithm needs a driver
+# convergence loop by nature; each round's action touches only the label
+# table (|V| rows).
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 16  # ≥ log2(diameter) for any plausible dup-graph diameter
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """(doc_id, cluster_id) for every node of the undirected (doc_a, doc_b)
+    pair graph; cluster_id = min doc_id of the component."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("u"), F.col("mn")).alias("l"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # hop: candidate label for u = min label among its neighbors
+        nbr = lab.select(F.col("u").alias("v"), F.col("l").alias("nl"))
+        prop = sym.join(nbr, "v").groupBy("u").agg(F.min("nl").alias("pl"))
+        step = lab.join(prop, "u", "left").select(
+            "u", F.least(F.col("l"), F.coalesce(F.col("pl"), F.col("l"))).alias("l")
+        )
+        # pointer jump: label ← label of the label (halves chain depth)
+        ptr = step.select(F.col("u").alias("pu"), F.col("l").alias("pl2"))
+        step = (
+            step.join(ptr, F.col("l") == F.col("pu"), "left")
+            .select(
+                "u",
+                F.least(F.col("l"), F.coalesce(F.col("pl2"), F.col("l"))).alias("l"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            step.alias("n")
+            .join(lab.alias("o"), "u")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        lab = step
+        if changed == 0:
+            break
+    return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d).persist()
+    cc = connected_components(minhash_pairs(sh))
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+        "cluster_size",
+    )
+
+
+def _cc_sql() -> str:
+    # transitive closure by recursive label walk — fine at oracle scale; the
+    # Spark side uses the log-round algorithm instead
+    return f"""\
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs),
+walk(u, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.u),
+cc AS (SELECT u AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY u),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id,
+       CAST(c.doc_id = c.cluster_id AS INT) AS is_keeper,
+       s.cluster_size
+FROM cc c JOIN sizes s USING (cluster_id)"""
+
+
+register("dedup_cluster_cc", dedup_cluster_cc, _cc_sql())

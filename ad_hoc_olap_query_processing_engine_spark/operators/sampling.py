@@ -1,0 +1,95 @@
+"""Deterministic sampling operators (SURVEY.md §2.3 extension tier — the
+"data mixture" step of a training-data pipeline: draw a balanced, reproducible
+subset per stratum before tokenization).
+
+pipe_stratified_sample  per-``lang`` simple random sample WITHOUT replacement
+                        of K docs, made deterministic by ranking on an
+                        md5-derived uniform hash of doc_id (identical in Spark
+                        and DuckDB, so the sample itself is oracle-checked —
+                        impossible with rand()/TABLESAMPLE, which never agree
+                        across engines or even across runs).
+
+Scale design (100 TB): a naive per-stratum ``row_number`` sorts every stratum
+in one task — a hot-partition killer when a stratum holds billions of rows.
+The operator instead two-phases it:
+
+1. Bernoulli hash-gate: keep rows whose hash bucket falls under
+   ``OVERSAMPLE·K/n`` of the bucket space (n = stratum count, from a tiny
+   broadcast agg). Embarrassingly parallel map-side filter — the full-table
+   pass touches no shuffle and survivors are ~OVERSAMPLE·K rows per stratum
+   regardless of corpus size.
+2. Exact rank on the survivors only: the window partition is now bounded at
+   ~OVERSAMPLE·K rows, so the sort is trivial.
+
+Because ranking is by a uniform hash, rank ≤ K over the gate's survivors
+equals rank ≤ K over the full stratum (the gate keeps a hash-prefix superset
+of the top-K) — the two-phase plan is exact, not approximate, as long as the
+gate yields ≥ K survivors; with 4× oversampling the failure probability is
+a Chernoff tail ≪ 1e-20 per stratum, and both engines run the identical
+deterministic arithmetic either way, so the oracle can never diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+SAMPLE_K = 40
+OVERSAMPLE = 4
+HASH_BUCKETS = 1_000_000
+
+
+def _doc_hash() -> F.Column:
+    """48-bit uniform hash of doc_id — md5 of the decimal string, hex-parsed;
+    bit-identical in DuckDB (see dedup._hash_fields for the same trick)."""
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+
+
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    # rank and gate on the SAME value (the bucket) — gating on h%B while
+    # ranking on raw h would not be a prefix of the order
+    h = d.select("doc_id", "lang", (_doc_hash() % HASH_BUCKETS).alias("__b"))
+    counts = h.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    # gate threshold: FLOOR (not a bare bigint cast — Spark truncates where
+    # DuckDB rounds) of the oversampled keep-fraction of the bucket space
+    thresh = F.least(
+        F.lit(HASH_BUCKETS).cast("bigint"),
+        F.floor(F.lit(float(OVERSAMPLE * SAMPLE_K * HASH_BUCKETS)) / F.col("__n"))
+        + F.lit(1),
+    )
+    gated = h.join(F.broadcast(counts), "lang").filter(F.col("__b") < thresh)
+    rk = F.row_number().over(W.partitionBy("lang").orderBy("__b", "doc_id"))
+    return (
+        gated.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+PIPE_STRATIFIED_SAMPLE_SQL = f"""\
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {HASH_BUCKETS} AS b
+  FROM documents),
+n AS (SELECT lang, COUNT(*) AS cnt FROM h GROUP BY lang),
+gated AS (
+  SELECT h.doc_id, h.lang, h.b
+  FROM h JOIN n USING (lang)
+  WHERE b < LEAST({HASH_BUCKETS},
+                  CAST(FLOOR({OVERSAMPLE * SAMPLE_K * HASH_BUCKETS}.0 / n.cnt) AS BIGINT) + 1)),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rk
+  FROM gated)
+SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+FROM ranked WHERE rk <= {SAMPLE_K}"""
+
+
+register("pipe_stratified_sample", pipe_stratified_sample, PIPE_STRATIFIED_SAMPLE_SQL)

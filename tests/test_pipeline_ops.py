@@ -41,6 +41,58 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert capped == 0
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle 10-11-12
+    # with a redundant edge, isolated pair 20-21; transitive closure must pull
+    # 4 down to cluster 1 even though (1,4) is never a pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_stratified_sample_is_exact_per_stratum(spark):
+    # the two-phase (hash-gate + rank) sample must equal the single-phase
+    # full-stratum rank — i.e. the gate is a pure optimization — and fill
+    # each stratum to min(K, stratum size)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import sampling
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table
+
+    out = sampling.pipe_stratified_sample(spark, SF_SMALL).toPandas()
+    d = load_table(spark, "documents", SF_SMALL)
+    full = (
+        d.select(
+            "doc_id",
+            "lang",
+            (sampling._doc_hash() % sampling.HASH_BUCKETS).alias("h"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id")),
+        )
+        .filter(F.col("rk") <= sampling.SAMPLE_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("sample_rank"))
+        .toPandas()
+    )
+    assert_frames_match(out, full)
+    sizes = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    got_sizes = out.groupby("lang")["doc_id"].count()
+    for lang, n in sizes.items():
+        assert got_sizes.get(lang, 0) == min(n, sampling.SAMPLE_K)
+
+
 def test_dedup_exact_covers_all_docs(spark):
     out = dedup.dedup_exact(spark, SF_SMALL)
     n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
