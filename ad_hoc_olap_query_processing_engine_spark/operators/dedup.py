@@ -436,7 +436,12 @@ CC_MAX_ROUNDS = 16  # ≥ log2(diameter) for any plausible dup-graph diameter
 def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
     """(doc_id, cluster_id) for every node of the undirected (doc_a, doc_b)
     pair graph; cluster_id = min doc_id of the component."""
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # materialize the (tiny) pair list ONCE, before the forward/reverse union
+    # doubles the plan — otherwise both union branches AND every round's join
+    # and convergence check recompute the upstream pair pipeline (the full
+    # LSH sketch) from scratch
+    p = pairs.localCheckpoint()
+    e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     lab = (
         sym.groupBy("u")

@@ -13,7 +13,7 @@ mm_byte_stats       metadata over the binary payload with built-in
 mm_feature_extract  the decode path: mapInPandas over (id, payload) batches
                     producing fixed-width feature vectors (byte-histogram
                     statistics as the deterministic fake; a real deployment
-                    swaps `_decode_payload` for PIL/torchvision and keeps the
+                    swaps `_decode_batch` for PIL/torchvision and keeps the
                     plumbing). Features are emitted as FEATURE_DIM scalar
                     columns f0..f7 (not one array column) so downstream
                     engines and the cross-engine hash check see plain
@@ -75,39 +75,44 @@ SELECT doc_id                                           AS media_id,
 FROM documents"""
 
 
-def _decode_payload(payload: bytes) -> list[float]:
-    """STUB decode kernel. A real image/audio decoder is NOT available in
-    this container (no PIL/ffmpeg); this deterministic fake computes a
-    byte-histogram feature so the distributed plumbing is exercised
-    end-to-end (vectorized — the kernel runs per Arrow batch, so Python
-    per-byte loops would dominate). Swap this single function for the real
-    decoder."""
+def _decode_batch(payloads: list[bytes]) -> "np.ndarray":
+    """STUB decode kernel, one Arrow batch at a time. A real image/audio
+    decoder is NOT available in this container (no PIL/ffmpeg); this
+    deterministic fake computes a per-payload byte-histogram so the
+    distributed plumbing is exercised end-to-end. Vectorized ACROSS rows:
+    all payloads concatenate into one uint8 buffer with segment ids, so the
+    whole batch is two numpy passes (no per-row numpy-call overhead). Swap
+    this single function for the real decoder."""
     import numpy as np
 
-    if not payload:
-        return [0.0] * FEATURE_DIM
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    counts = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
-    return (counts / len(arr)).tolist()
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    feats = np.zeros((n, FEATURE_DIM), dtype=np.float64)
+    if lens.sum() == 0:
+        return feats
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(
+        seg * FEATURE_DIM + buf % FEATURE_DIM, minlength=n * FEATURE_DIM
+    ).reshape(n, FEATURE_DIM)
+    np.divide(counts, lens[:, None], out=feats, where=lens[:, None] > 0)
+    return feats
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if len(pdf):
-                feats = np.stack(
-                    [_decode_payload(bytes(raw)) for raw in pdf["payload"]]
-                )
-            else:
-                feats = np.zeros((0, FEATURE_DIM))
+            payloads = [bytes(raw) for raw in pdf["payload"]]
+            feats = _decode_batch(payloads)
             cols = {
                 "media_id": pdf["media_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "n_bytes": pd.Series(
+                    [len(b) for b in payloads], dtype="int64", index=pdf.index
+                ),
             }
             for i in range(FEATURE_DIM):
                 cols[f"f{i}"] = feats[:, i]
