@@ -94,8 +94,27 @@ year,month
 sum_quant_prior,min_quant_other
 {MF.year.sum_quant_prior}[<=]{year}:{MF.month.sum_quant_prior}[<]{month},{MF.month.min_quant_other}[=]{month}:{MF.year.min_quant_other}[!=]{year}"""
 
+# phi_q8: per (prod, month) with a group-0 avg_quant —
+#   GV1 sum_quant_himonth: same prod, from months NUMERICALLY GREATER than
+#       this group's earliest sale day ({MF.min_day.·}[>]{month} — a grouping
+#       attribute compared against the anchor's group-0 aggregate; min_day
+#       spans 1..31 so the predicate genuinely flips per group).
+#   GV2 count_quant_prior: same prod, earlier month (same-attr θ) AND month
+#       ≤ this group's earliest sale day (θ + group-level mix).
+# Membership depends on tuples only through their group identity, so both
+# GVs take the GROUP_JOIN strategy (group-table self-join carrying the
+# anchor's group-0 field) — one fact scan, no sales re-join (pinned in
+# test_plans.py).
+EXTENSION_Q8 = """\
+prod,month,avg_quant,min_day,sum_quant_himonth,count_quant_prior
+2
+prod,month
+sum_quant_himonth,count_quant_prior
+{MF.prod.sum_quant_himonth}[=]{prod}:{MF.min_day.sum_quant_himonth}[>]{month},{MF.prod.count_quant_prior}[=]{prod}:{MF.month.count_quant_prior}[<]{month}:{MF.min_day.count_quant_prior}[<=]{month}"""
+
 EXTENSION_SPECS: dict[str, str] = {
     "phi_q7": EXTENSION_Q7,
+    "phi_q8": EXTENSION_Q8,
 }
 
 SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}

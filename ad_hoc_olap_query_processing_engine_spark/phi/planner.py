@@ -32,7 +32,11 @@ WINDOW     MF-predicates are equalities on a subset S of the grouping
 
 GROUP_JOIN Simple GVs the WINDOW frames can't encode — two θ conditions on
            distinct attributes, θ+anti mixes, strict θ on non-integral
-           attributes, min/max with anti — still never touch sales again:
+           attributes, min/max with anti, and GROUP-LEVEL conditions whose
+           tuple-side operands are all grouping attributes (including
+           comparisons against the anchor group's group-0 aggregates,
+           ``{MF.avg_quant.X}[>]{month}`` style) — still never touch sales
+           again:
            scan 0 emits the same partials as WINDOW, and the aggregate is a
            θ-self-join *of the group table* (|G| ⋈ |G|, both sides tiny)
            re-aggregated per group. Same single-fact-scan guarantee as
@@ -105,6 +109,12 @@ class _GVPlan:
     anti_attr: str | None = None  # window: != attribute
     thetas: list[tuple[str, str]] = field(default_factory=list)  # group_join
     anti_attrs: list[str] = field(default_factory=list)  # group_join
+    # group_join: generic group-level conditions — every tuple-side operand is
+    # a grouping attribute (so membership depends on tuples only through
+    # their group identity) and MF-side operands may reference group-0
+    # aggregates; evaluated between the other group's attrs (o) and the
+    # anchor group's fields (g).
+    gconds: list[Cond] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +129,10 @@ _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def classify_gv(
-    gv: GroupingVar, group_attrs: list[str], dtypes: dict[str, str] | None = None
+    gv: GroupingVar,
+    group_attrs: list[str],
+    dtypes: dict[str, str] | None = None,
+    g0_names: frozenset[str] | set[str] = frozenset(),
 ) -> _GVPlan:
     """Pick the cheapest correct strategy for one grouping variable.
 
@@ -127,15 +140,22 @@ def classify_gv(
     gates the θ-WINDOW strategy: strict </> compiles to a ±1 range frame,
     which is only correct for integral ordering attributes — anything else
     takes the GROUP_JOIN strategy (still one fact scan, θ-join on the group
-    table). Only non-simple conditions (MF-field refs, literals, tuple-attr
-    vs different group-attr) fall back to the fully-general JOIN_AGG."""
+    table). ``g0_names`` are the group-0 aggregate aliases: conditions
+    comparing a grouping attribute against the anchor group's group-0
+    aggregate (``{MF.avg_quant.X}[>]{month}`` style) are GROUP-LEVEL —
+    membership depends on tuples only through their group identity — so they
+    also take GROUP_JOIN (one fact scan) instead of re-joining sales. Only
+    true tuple-level dependence (a non-grouping tuple column vs an MF field,
+    or a reference to an earlier GV's aggregate) falls back to the fully
+    general staged JOIN_AGG."""
     eq_attrs: list[str] = []
     thetas: list[tuple[str, str]] = []
     anti_attrs: list[str] = []
-    simple = True  # every cond is  tuple.g <op> group.g  on the same attr g
+    gconds: list[Cond] = []
     for c in gv.mf_conds:
         dep = any(
-            o.kind == "mf" and o.name not in group_attrs for o in (c.left, c.right)
+            o.kind == "mf" and o.name not in group_attrs and o.name not in g0_names
+            for o in (c.left, c.right)
         )
         if dep:
             return _GVPlan(gv=gv, strategy="join")
@@ -146,16 +166,26 @@ def classify_gv(
             and c.right.name in group_attrs
         )
         if not same_attr:
-            simple = False
-            continue
+            tuple_cols = [o for o in (c.left, c.right) if o.kind == "col"]
+            if all(o.name in group_attrs for o in tuple_cols):
+                gconds.append(c)
+                continue
+            return _GVPlan(gv=gv, strategy="join")
         if c.op == "==":
             eq_attrs.append(c.right.name)
         elif c.op == "!=":
             anti_attrs.append(c.right.name)
         else:
             thetas.append((c.right.name, c.op))
-    if not simple:
-        return _GVPlan(gv=gv, strategy="join")
+    if gconds:
+        return _GVPlan(
+            gv=gv,
+            strategy="group_join",
+            eq_attrs=eq_attrs,
+            thetas=thetas,
+            anti_attrs=anti_attrs,
+            gconds=gconds,
+        )
     if not thetas and not anti_attrs and set(eq_attrs) == set(group_attrs):
         return _GVPlan(gv=gv, strategy="cond_agg", eq_attrs=eq_attrs)
     window_ok = len(thetas) + len(anti_attrs) <= 1
@@ -248,7 +278,8 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     if where is not None:
         base = base.filter(where)  # Catalyst pushes this into the scan
 
-    plans = [classify_gv(gv, v, dict(sales.dtypes)) for gv in q.gvs]
+    g0_names = frozenset(a.name for a in q.group0)
+    plans = [classify_gv(gv, v, dict(sales.dtypes), g0_names) for gv in q.gvs]
 
     # ---- scan 0: ONE hash aggregation builds the group table, group-0
     # aggregates, every COND_AGG aggregate, and the partials for WINDOW GVs.
@@ -403,8 +434,11 @@ def _group_join_gv(groups: DataFrame, v: list[str], p: _GVPlan) -> DataFrame:
         pcols = [f"__pcnt_{i}"]
     else:
         pcols = [f"__psum_{i}", f"__pcnt_{i}"]
+    gcond_cols = {
+        o.name for c in p.gconds for o in (c.left, c.right) if o.kind == "col"
+    }
     o_attrs = sorted(
-        set(p.eq_attrs) | {a for a, _ in p.thetas} | set(p.anti_attrs)
+        set(p.eq_attrs) | {a for a, _ in p.thetas} | set(p.anti_attrs) | gcond_cols
     )
     o = groups.select(
         *[F.col(a).alias(f"__o_{a}") for a in o_attrs],
@@ -413,11 +447,41 @@ def _group_join_gv(groups: DataFrame, v: list[str], p: _GVPlan) -> DataFrame:
     conds = [F.col(f"__o_{a}").eqNullSafe(F.col(a)) for a in p.eq_attrs]
     conds += [_PYOPS[op](F.col(f"__o_{a}"), F.col(a)) for a, op in p.thetas]
     conds += [~F.col(f"__o_{a}").eqNullSafe(F.col(a)) for a in p.anti_attrs]
+
+    # generic group-level conditions: tuple-side operands stand in for the
+    # other group (o), MF operands are the anchor's fields (grouping attrs or
+    # group-0 aggregates); membership (in)equality is null-safe like the
+    # oracle's IS [NOT] DISTINCT FROM.
+    def _gside(op_: Operand) -> Column:
+        if op_.kind == "col":
+            return F.col(f"__o_{op_.name}")
+        if op_.kind == "mf":
+            return F.col(op_.name)
+        return F.lit(op_.value)
+
+    for c in p.gconds:
+        left, right = _gside(c.left), _gside(c.right)
+        if c.op == "==":
+            conds.append(left.eqNullSafe(right))
+        elif c.op == "!=":
+            conds.append(~left.eqNullSafe(right))
+        else:
+            conds.append(_PYOPS[c.op](left, right))
+    # anchor side carries its grouping key plus any group-0 aggregates the
+    # group-level conditions reference
+    anchor_extra = sorted(
+        {
+            o_.name
+            for c in p.gconds
+            for o_ in (c.left, c.right)
+            if o_.kind == "mf" and o_.name not in v
+        }
+    )
     # pure-θ/anti join: broadcast the partials side so Catalyst plans a
     # BroadcastNestedLoopJoin over the (tiny) group table, never a cartesian
     # shuffle; with equi keys a hash join on them is fine.
     o_side = o if p.eq_attrs else F.broadcast(o)
-    joined = groups.select(*v).join(o_side, _and_all(conds), "inner")
+    joined = groups.select(*v, *anchor_extra).join(o_side, _and_all(conds), "inner")
     if fn in ("min", "max"):
         tot_aggs = [_AGG_FNS[fn](F.col(f"__o___p{fn}_{i}")).alias(f"__tm_{i}")]
     else:

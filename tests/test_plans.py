@@ -43,6 +43,24 @@ def test_group_join_phi_query_scans_fact_table_once(spark, sales):
     assert table_scan_count(df, "lineitem.parquet") == 1
 
 
+def test_group0_condition_phi_query_scans_fact_table_once(spark, sales):
+    """phi_q8's GVs compare a grouping attribute against the anchor's
+    GROUP-0 AGGREGATE — group-level membership, so GROUP_JOIN carries the
+    anchor's group-0 field into the group-table self-join instead of
+    re-joining sales (which JOIN_AGG would)."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import all_phi_queries
+    from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
+
+    q = all_phi_queries()["phi_q8"]
+    g0 = frozenset(a.name for a in q.group0)
+    for gv in q.gvs:
+        p = classify_gv(gv, q.group_attrs, dict(sales.dtypes), g0)
+        assert p.strategy == "group_join", (gv.agg.name, p.strategy)
+        assert p.gconds, gv.agg.name
+    df = compile_phi(q, sales)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+
+
 def test_dependent_phi_query_scans_twice(spark, sales):
     """Q6's dependent aggregate forces a second pass (scan 0 + one staged
     join); the persisted group table keeps it at 2, vs the reference's 3."""
