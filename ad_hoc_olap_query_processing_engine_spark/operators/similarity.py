@@ -231,7 +231,9 @@ def _srp_buckets(
 
 def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    buckets = _srp_buckets(e)
+    # the bucket index feeds the scan side AND the (filtered) query side —
+    # persist so the projection pipeline runs once
+    buckets = _srp_buckets(e).persist()
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -293,22 +295,28 @@ DEDUP_SRP_BANDS = 4
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    buckets = _srp_buckets(e, DEDUP_SRP_BITS, DEDUP_SRP_BANDS)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # the index feeds BOTH sides of the self-join — persist it so the whole
+    # projection pipeline runs once ("materialize the index" at scale); keep
+    # the self-join and its DISTINCT on bare ids (a pair can collide in
+    # several bands) so the shuffle never carries embedding arrays
+    idx = (
+        _srp_buckets(e, DEDUP_SRP_BITS, DEDUP_SRP_BANDS)
+        .select("vec_id", "bucket")
+        .persist()
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pair_ids = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("b.embedding").alias("emb_b"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cand = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
         _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
     )
@@ -406,7 +414,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(IVF_BITS)),
         F.lit(0),
     ).cast("int")
-    assigned = assigned.withColumn("cell", cell)
+    # cell assignments feed the scan side AND the probe/query side — persist
+    # so the projection pipeline runs once
+    assigned = assigned.withColumn("cell", cell).persist()
     # multi-probe: flip the sign bits with the smallest |projection| (ties →
     # lowest bit index) — the cells most likely to hold near-boundary
     # neighbors. IVF_PROBES-1 single-bit flips in confidence order.
