@@ -428,6 +428,108 @@ FROM lineitem
 GROUP BY l_returnflag"""
 
 
+# ---------------------------------------------------------------------------
+# rel_global_sort — total-order top-N. ORDER BY + LIMIT lets Catalyst plan
+# TakeOrderedAndProject: per-partition top-N heaps merged at the driver —
+# O(N·log k) with NO global sort/shuffle, the only total-order plan that
+# survives 100 TB (a ranked window over one partition would not). The sort
+# key is made unique (price, orderkey, linenumber) so the result set is
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+
+GLOBAL_SORT_LIMIT = 100
+
+
+def rel_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(GLOBAL_SORT_LIMIT)
+    )
+
+
+REL_GLOBAL_SORT_SQL = f"""\
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT {GLOBAL_SORT_LIMIT}"""
+
+
+# ---------------------------------------------------------------------------
+# rel_grouping_sets — explicit GROUPING SETS beyond rollup/cube: an arbitrary
+# set list (both single-attribute margins + grand total, which neither ROLLUP
+# nor CUBE alone produces) with GROUPING() indicators disambiguating real
+# NULLs from subtotal rows.
+# ---------------------------------------------------------------------------
+
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __li_gs
+        GROUP BY l_returnflag, l_linestatus
+          GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                         (l_linestatus), ())
+        """
+    )
+
+
+REL_GROUPING_SETS_SQL = """\
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())"""
+
+
+# ---------------------------------------------------------------------------
+# rel_histogram — equi-width value histogram in exact integer arithmetic:
+# price → cents (ROUND before the bigint cast: Spark truncates, DuckDB
+# rounds) → integer-DIV bucket → one map-side-combined groupBy on a tiny
+# key space. The standard distribution profile at any scale.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_CENTS = 500_000  # $5,000-wide buckets
+
+
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.select(cents.alias("cents"))
+        .select(F.expr(f"CAST(cents DIV {HIST_BUCKET_CENTS} AS INT)").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+REL_HISTOGRAM_SQL = f"""\
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+SELECT CAST(cents // {HIST_BUCKET_CENTS} AS INT) AS bucket,
+       COUNT(*) AS n_items,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM c GROUP BY 1"""
+
+
+register("rel_global_sort", rel_global_sort, REL_GLOBAL_SORT_SQL)
+register("rel_grouping_sets", rel_grouping_sets, REL_GROUPING_SETS_SQL)
+register("rel_histogram", rel_histogram, REL_HISTOGRAM_SQL)
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)
 register("rel_revenue_by_nation", rel_revenue_by_nation, REL_REVENUE_BY_NATION_SQL)
 register("rel_top_customers", rel_top_customers, REL_TOP_CUSTOMERS_SQL)

@@ -94,6 +94,14 @@ def test_brute_similarity_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in physical_plan(df)
 
 
+def test_global_sort_is_top_n_not_full_sort(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition heaps,
+    no global sort shuffle) — the only total-order plan that survives scale."""
+    df = relational.rel_global_sort(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pricing_summary_partial_aggregation(spark):
     """Map-side combine before the shuffle (HashAggregate partial/final)."""
     plan = physical_plan(relational.rel_pricing_summary(spark, SF_SMALL))
