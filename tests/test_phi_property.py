@@ -37,6 +37,9 @@ _SEEN_STRATEGIES: set[str] = set()
 def phi_specs(draw) -> str:
     v = draw(st.sampled_from(V_CHOICES))
     n = draw(st.integers(1, 3))
+    # always carry a group-0 aggregate (suffixless form), so GV conditions
+    # can reference the anchor's group-0 field (the GROUP_JOIN g0 path)
+    g0 = ["min_day"]
     gv_names, slots = [], []
     for i in range(1, n + 1):
         fn = draw(st.sampled_from(FNS))
@@ -55,6 +58,7 @@ def phi_specs(draw) -> str:
                     "two_theta",
                     "theta_anti",
                     "cross_attr",
+                    "g0_theta",
                 ]
             )
         )
@@ -94,6 +98,12 @@ def phi_specs(draw) -> str:
             op = draw(st.sampled_from(["<", "<=", ">", ">="]))
             conds.append(f"{{MF.month.{name}}}[{op}]{{month}}")
             conds.append(f"{{MF.{other}.{name}}}[!=]{{{other}}}")
+        elif kind == "g0_theta" and g0 and "month" in v:
+            # grouping attribute vs the anchor's GROUP-0 aggregate — the
+            # group-level GROUP_JOIN path (phi_q8 shape)
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v if g != "month"]
+            conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{month}}")
         elif kind == "cross_attr" and "month" in v:
             # tuple attr compared against a DIFFERENT group attr (day vs
             # group's month) — the fully-general join fallback
@@ -112,7 +122,7 @@ def phi_specs(draw) -> str:
             conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
         gv_names.append(name)
         slots.append(":".join(conds))
-    select = v + gv_names
+    select = v + g0 + gv_names
     lines = [",".join(select), str(n), ",".join(v), ",".join(gv_names)]
     if draw(st.booleans()):
         slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
@@ -148,7 +158,7 @@ def prop_ctx(spark):
 
 
 @settings(
-    max_examples=30,
+    max_examples=60,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -158,8 +168,10 @@ def test_random_phi_matches_oracle(spec, prop_ctx):
     sdf, con = prop_ctx
     q = parse_query(spec.splitlines(), known_cols=COLS)
     dtypes = dict(sdf.dtypes)
+    g0_names = frozenset(a.name for a in q.group0)
     for gv in q.gvs:
-        _SEEN_STRATEGIES.add(classify_gv(gv, q.group_attrs, dtypes).strategy)
+        p = classify_gv(gv, q.group_attrs, dtypes, g0_names)
+        _SEEN_STRATEGIES.add(p.strategy + ("+gcond" if p.gconds else ""))
     got = compile_phi(q, sdf).toPandas()
     exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
     assert_frames_match(got, exp)
@@ -169,6 +181,10 @@ def test_property_suite_exercised_every_strategy():
     """The generator must reach all four planner strategies (derandomized
     hypothesis → deterministic, so this is a stable coverage pin). Runs after
     test_random_phi_matches_oracle by file order."""
-    assert _SEEN_STRATEGIES >= {"cond_agg", "window", "group_join", "join"}, (
-        _SEEN_STRATEGIES
-    )
+    assert _SEEN_STRATEGIES >= {
+        "cond_agg",
+        "window",
+        "group_join",
+        "group_join+gcond",
+        "join",
+    }, _SEEN_STRATEGIES
