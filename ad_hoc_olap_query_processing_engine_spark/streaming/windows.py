@@ -360,3 +360,36 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 
 
 register("stream_stream_join", stream_stream_join, STREAM_STREAM_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_static_join — stream enriched against a STATIC dimension table.
+# ---------------------------------------------------------------------------
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each event joins the (batch) customer
+    dimension, then aggregates per nation. The static side needs no
+    watermark and keeps no state — Spark re-plans it per micro-batch, so at
+    scale the explicit broadcast makes every executor enrich map-side with
+    no shuffle of the stream. The canonical Kafka-events × warehouse-dim
+    pattern."""
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _drain(agg, spark, "complete")
+
+
+STREAM_STATIC_JOIN_SQL = """\
+SELECT c.c_nationkey,
+       COUNT(*)                                          AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey"""
+
+
+register("stream_static_join", stream_static_join, STREAM_STATIC_JOIN_SQL)
