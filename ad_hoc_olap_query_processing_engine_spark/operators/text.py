@@ -75,8 +75,9 @@ FROM t GROUP BY lang, source"""
 _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+def quality_frame(d: DataFrame) -> DataFrame:
+    """Per-document quality columns + the ``keep`` verdict — the reusable
+    scoring core behind text_quality and pipe_corpus_filter."""
     n_tok = _n_tokens()
     stop_hits: Column = F.lit(0.0)
     for w in _STOPWORDS:
@@ -97,7 +98,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("avg_token_len") >= 3)
         & (F.col("avg_token_len") <= 12)
     )
-    return out.withColumn("keep", keep).select(
+    return out.withColumn("keep", keep)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return quality_frame(d).select(
         "doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "alpha_ratio", "keep"
     )
 
