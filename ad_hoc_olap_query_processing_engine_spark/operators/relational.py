@@ -495,6 +495,46 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
 
 
 # ---------------------------------------------------------------------------
+# rel_latest_event — latest-record-per-key compaction (the CDC/upsert read
+# pattern: many versions per key, keep the newest). row_number over
+# (key → ts DESC) with a unique tiebreak; the window partitions on the
+# (numerous, uniform) key space, so no hot partitions at scale — this is the
+# standard "deduplicate a change stream into current state" plan.
+# ---------------------------------------------------------------------------
+
+
+def rel_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.unix_micros("ts").alias("latest_us"),
+            "value",
+        )
+    )
+
+
+REL_LATEST_EVENT_SQL = """\
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type,
+       event_id     AS latest_event_id,
+       epoch_us(ts) AS latest_us,
+       value
+FROM ranked WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
 # rel_histogram — equi-width value histogram in exact integer arithmetic:
 # price → cents (ROUND before the bigint cast: Spark truncates, DuckDB
 # rounds) → integer-DIV bucket → one map-side-combined groupBy on a tiny
@@ -528,6 +568,7 @@ FROM c GROUP BY 1"""
 
 
 register("rel_global_sort", rel_global_sort, REL_GLOBAL_SORT_SQL)
+register("rel_latest_event", rel_latest_event, REL_LATEST_EVENT_SQL)
 register("rel_grouping_sets", rel_grouping_sets, REL_GROUPING_SETS_SQL)
 register("rel_histogram", rel_histogram, REL_HISTOGRAM_SQL)
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)
