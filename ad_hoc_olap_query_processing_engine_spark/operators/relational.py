@@ -567,8 +567,87 @@ SELECT CAST(cents // {HIST_BUCKET_CENTS} AS INT) AS bucket,
 FROM c GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# rel_skew_salted_agg — the salted two-phase aggregation run END-TO-END and
+# oracle-checked against the plain GROUP BY: l_returnflag has only 3 values
+# (a genuinely hot key space), so the salt spreads each key over 32 partial
+# buckets before the tiny final merge. Proves the skew hatch is semantics-
+# preserving, not just unit-tested.
+# ---------------------------------------------------------------------------
+
+
+def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_groupby_agg
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    )
+    return salted_groupby_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("sum", "qty"),
+            "n_items": ("count", "qty"),
+            "max_qty": ("max", "qty"),
+        },
+    )
+
+
+REL_SKEW_SALTED_AGG_SQL = """\
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
+       COUNT(*)                                     AS n_items,
+       CAST(MAX(CAST(l_quantity AS INT)) AS INT)    AS max_qty
+FROM lineitem
+GROUP BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# rel_moving_window — event-time RANGE frame (trailing 1 hour) per user: the
+# time-based moving aggregate ROWS frames can't express (gaps and ties in
+# event time). Exact micro-unit integer sums keep the window arithmetic
+# bit-identical in DuckDB; the window partitions on user_id (numerous keys).
+# ---------------------------------------------------------------------------
+
+TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def rel_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("micros"),
+    )
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-TRAIL_US, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum("micros").over(w) / 1e6).alias("value_last_hour"),
+    )
+
+
+REL_MOVING_WINDOW_SQL = f"""\
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+  FROM events)
+SELECT user_id, event_id, us,
+       COUNT(*) OVER w AS n_last_hour,
+       SUM(micros) OVER w / 1000000.0 AS value_last_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)"""
+
+
 register("rel_global_sort", rel_global_sort, REL_GLOBAL_SORT_SQL)
 register("rel_latest_event", rel_latest_event, REL_LATEST_EVENT_SQL)
+register("rel_skew_salted_agg", rel_skew_salted_agg, REL_SKEW_SALTED_AGG_SQL)
+register("rel_moving_window", rel_moving_window, REL_MOVING_WINDOW_SQL)
 register("rel_grouping_sets", rel_grouping_sets, REL_GROUPING_SETS_SQL)
 register("rel_histogram", rel_histogram, REL_HISTOGRAM_SQL)
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)
