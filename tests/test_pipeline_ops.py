@@ -60,6 +60,12 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_empty_graph(spark):
+    # corpus with no near-dup pairs → empty components, loop exits cleanly
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
 def test_stratified_sample_is_exact_per_stratum(spark):
     # the two-phase (hash-gate + rank) sample must equal the single-phase
     # full-stratum rank — i.e. the gate is a pure optimization — and fill
