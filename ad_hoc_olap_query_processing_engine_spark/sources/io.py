@@ -38,6 +38,26 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema: T.S
     return r.load(path)
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (one ``value`` string column per line) —
+    the raw-corpus ingestion path; no schema, no inference pass."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """``binaryFile`` source: (path, modificationTime, length, content
+    binary) per file — the real ingestion path for the multimodal tier
+    (operators/multimodal.py consumes exactly this shape: an opaque binary
+    payload plus metadata). ``glob`` filters by filename pattern at the
+    listing level. Spark caps per-file size via
+    spark.sql.sources.binaryFile.maxLength; large media should be chunked
+    upstream."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def lakehouse_available(spark: SparkSession, fmt: str = "delta") -> bool:
     """True if a lakehouse format's jars are on the classpath. Not bundled in
     this environment — connectors must degrade, not crash."""

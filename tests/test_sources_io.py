@@ -52,6 +52,34 @@ def test_csv_without_schema_still_reads(spark, nation_df):
         assert back.count() == nation_df.count()
 
 
+def test_text_and_binary_file_sources(spark):
+    """Corpus round-trip through the raw-ingestion sources: text lines come
+    back line-exact, and binaryFile sees the same bytes the text writer put
+    down (the multimodal tier's real input shape)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "corpus_txt")
+        docs = spark.createDataFrame(
+            [("alpha beta",), ("gamma",), ("delta epsilon zeta",)], "value string"
+        )
+        docs.coalesce(1).write.mode("overwrite").text(path)
+        lines = io.read_text_lines(spark, path)
+        assert sorted(r.value for r in lines.collect()) == [
+            "alpha beta",
+            "delta epsilon zeta",
+            "gamma",
+        ]
+        blobs = io.read_binary_files(spark, path, glob="*.txt")
+        rows = blobs.select("length", "content").collect()
+        assert len(rows) == 1  # one part file
+        text = bytes(rows[0].content).decode()
+        assert sorted(text.strip().splitlines()) == [
+            "alpha beta",
+            "delta epsilon zeta",
+            "gamma",
+        ]
+        assert rows[0].length == len(rows[0].content)
+
+
 def test_lakehouse_formats_degrade_cleanly(spark):
     assert io.lakehouse_available(spark, "delta") in (True, False)
 
