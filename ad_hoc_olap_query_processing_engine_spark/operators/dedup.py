@@ -484,7 +484,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(d).persist()
     cc = connected_components(minhash_pairs(sh))
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(F.broadcast(sizes), "cluster_id").select(
+    # no broadcast hint: sizes has one row per duplicate CLUSTER — at corpus
+    # scale that is not broadcast-sized; AQE picks broadcast when it is
+    return cc.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),

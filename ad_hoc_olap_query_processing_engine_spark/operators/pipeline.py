@@ -15,7 +15,8 @@ pipe_corpus_filter  the end-to-end "kept corpus" query a training-data
 
 At 100 TB: quality scoring is shuffle-free map work; the dedup subtree is
 the bucketed LSH pipeline (never all-pairs); the final anti-join keys on
-doc_id against the (tiny) non-keeper set — broadcastable.
+doc_id — the non-keeper side scales with the corpus duplicate rate, so no
+broadcast hint (AQE broadcasts when it happens to be small).
 """
 
 from __future__ import annotations
@@ -35,8 +36,11 @@ def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(minhash_pairs(sh))
     nonkeep = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     q = quality_frame(d).filter(F.col("keep"))
+    # no broadcast hint: the non-keeper set is a duplicate-rate fraction of
+    # the whole corpus — shuffle anti-join is the scale-correct default and
+    # AQE still broadcasts when the set turns out small
     return (
-        q.join(F.broadcast(nonkeep), "doc_id", "left_anti")
+        q.join(nonkeep, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens")
     )
 
