@@ -181,9 +181,11 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # no broadcast hint on the size tables: one row PER DOCUMENT, i.e.
+    # corpus-sized — AQE broadcasts when the corpus is actually small
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
