@@ -66,3 +66,57 @@ WHERE q.keep AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)"""
 
 
 register("pipe_corpus_filter", pipe_corpus_filter, _corpus_filter_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_token_chunks — sequence packing: split each document's token stream
+# into fixed-width training windows (CHUNK_TOKENS tokens, last chunk ragged),
+# emitting per-chunk metadata + content digest. Pure JVM array work
+# (split → transform over a chunk-index sequence → slice → posexplode) — no
+# Python, no shuffle; rows fan out ~n_tokens/CHUNK_TOKENS per doc. The md5
+# digest makes the packed chunk bytes themselves oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# 32 (not a SOTA 2k/8k context) so the fixture corpus — docs up to ~100
+# tokens — genuinely produces multi-chunk output with ragged tails
+CHUNK_TOKENS = 32
+
+
+def pipe_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    # sequence(0, -1) would DESCEND (step defaults to -1); guard empty docs
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idxs, lambda i: F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk")).cast("binary")).alias("chunk_md5"),
+    )
+
+
+PIPE_TOKEN_CHUNKS_SQL = f"""\
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CAST(CEIL(len(toks) / {CHUNK_TOKENS}.0) AS INT) AS nc
+  FROM t)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}]) AS INT)
+         AS n_tokens,
+       md5(array_to_string(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}], ' '))
+         AS chunk_md5
+FROM c, unnest(range(0, nc)) AS u(i)"""
+
+
+register("pipe_token_chunks", pipe_token_chunks, PIPE_TOKEN_CHUNKS_SQL)
