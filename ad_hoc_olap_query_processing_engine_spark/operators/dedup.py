@@ -452,15 +452,27 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        # hop: candidate label for u = min label among its neighbors
+        # hop: candidate label for u = min label among its neighbors.
+        # Convergence is checked BEFORE the merge/jump stages: when no
+        # neighbor offers a smaller label (the common case after init for
+        # clique/star-shaped dup clusters), the round costs one small join
+        # instead of two joins + a checkpoint.
         nbr = lab.select(F.col("u").alias("v"), F.col("l").alias("nl"))
         prop = sym.join(nbr, "v").groupBy("u").agg(F.min("nl").alias("pl"))
+        changed = (
+            lab.join(prop, "u")
+            .filter(F.col("pl") < F.col("l"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            break
         step = lab.join(prop, "u", "left").select(
             "u", F.least(F.col("l"), F.coalesce(F.col("pl"), F.col("l"))).alias("l")
         )
         # pointer jump: label ← label of the label (halves chain depth)
         ptr = step.select(F.col("u").alias("pu"), F.col("l").alias("pl2"))
-        step = (
+        lab = (
             step.join(ptr, F.col("l") == F.col("pu"), "left")
             .select(
                 "u",
@@ -468,16 +480,6 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
             )
             .localCheckpoint()
         )
-        changed = (
-            step.alias("n")
-            .join(lab.alias("o"), "u")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
-        lab = step
-        if changed == 0:
-            break
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 
