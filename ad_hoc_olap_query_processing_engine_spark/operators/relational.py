@@ -646,8 +646,107 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 
 register("rel_global_sort", rel_global_sort, REL_GLOBAL_SORT_SQL)
 register("rel_latest_event", rel_latest_event, REL_LATEST_EVENT_SQL)
+# ---------------------------------------------------------------------------
+# rel_rank_stats — distribution-rank window functions (percent_rank /
+# cume_dist) the main window suite doesn't cover. The ordering key is made
+# unique (acctbal, custkey) so peer groups are singletons — both functions
+# become exact rank arithmetic, bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def rel_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+REL_RANK_STATS_SQL = """\
+SELECT c_custkey, c_mktsegment,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_range_bucket_join — interval range join via time bucketing: every
+# event falling in [anchor_ts, anchor_ts + 2h) of a campaign-anchor purchase
+# event, aggregated per anchor. There is NO equi key, so the naive plan is a
+# broadcast-nested-loop θ-join — quadratic work that dies at scale. The
+# scale pattern: expand each interval to the 1-hour buckets it covers (≤3
+# copies per anchor), bucket every event once, equi-join on the bucket
+# (ordinary shuffle hash join, prunable, AQE-planned), then apply the exact
+# range predicate as a post-filter. Each event bucket hits an interval's
+# bucket list at most once, so no dedup step is needed. No broadcast hint:
+# the anchor set is a fixed fraction of the corpus, so it scales with it.
+# All arithmetic is exact integer micros; the money sum is decimal-exact.
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 7_200_000_000  # 2 h interval width
+RANGE_BUCKET_US = 3_600_000_000  # 1 h buckets
+ANCHOR_MOD = 23
+
+
+def rel_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    anchors = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % ANCHOR_MOD == 0)
+    ).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + RANGE_WINDOW_US).alias("end_us"),
+    )
+    # `div` = exact integer division (a double-division + cast can be off by
+    # one at bucket boundaries at epoch-micro magnitudes)
+    expanded = anchors.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {RANGE_BUCKET_US}"),
+                F.expr(f"end_us div {RANGE_BUCKET_US}"),
+            )
+        ),
+    )
+    bucketed_ev = ev.withColumn("bucket", F.expr(f"us div {RANGE_BUCKET_US}"))
+    return (
+        bucketed_ev.join(expanded, "bucket")
+        .filter((F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us")))
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("val").cast("double").alias("sum_value"),
+        )
+    )
+
+
+REL_RANGE_BUCKET_JOIN_SQL = f"""\
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,6)) AS val
+  FROM events),
+a AS (
+  SELECT event_id AS anchor_id, us AS start_us, us + {RANGE_WINDOW_US} AS end_us
+  FROM e WHERE event_type = 'purchase' AND event_id % {ANCHOR_MOD} = 0)
+SELECT a.anchor_id, COUNT(*) AS n_events,
+       CAST(SUM(e.val) AS DOUBLE) AS sum_value
+FROM a JOIN e ON e.us >= a.start_us AND e.us < a.end_us
+GROUP BY a.anchor_id"""
+
+
 register("rel_skew_salted_agg", rel_skew_salted_agg, REL_SKEW_SALTED_AGG_SQL)
 register("rel_moving_window", rel_moving_window, REL_MOVING_WINDOW_SQL)
+register("rel_rank_stats", rel_rank_stats, REL_RANK_STATS_SQL)
+register("rel_range_bucket_join", rel_range_bucket_join, REL_RANGE_BUCKET_JOIN_SQL)
 register("rel_grouping_sets", rel_grouping_sets, REL_GROUPING_SETS_SQL)
 register("rel_histogram", rel_histogram, REL_HISTOGRAM_SQL)
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)

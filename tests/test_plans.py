@@ -114,3 +114,10 @@ def test_column_pruning_on_scan(spark):
     plan = physical_plan(df)
     assert "l_comment" not in plan  # never existed, sanity
     assert "l_suppkey" not in plan  # exists in the table, unused here
+
+def test_range_bucket_join_is_equi_not_nested_loop(spark):
+    """The interval range join must plan as a bucket equi-join — a
+    BroadcastNestedLoopJoin/CartesianProduct θ-join is quadratic at scale."""
+    plan = physical_plan(relational.rel_range_bucket_join(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
