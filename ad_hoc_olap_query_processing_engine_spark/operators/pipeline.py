@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .dedup import _minhash_ctes, _shingles, connected_components, minhash_pairs
+from .dedup import _SHINGLES_SQL, _minhash_ctes, _shingles, connected_components, minhash_pairs
 from .registry import register
 from .text import TEXT_QUALITY_SQL, quality_frame
 
@@ -120,3 +120,54 @@ FROM c, unnest(range(0, nc)) AS u(i)"""
 
 
 register("pipe_token_chunks", pipe_token_chunks, PIPE_TOKEN_CHUNKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_decontaminate — benchmark decontamination: flag training documents
+# that share any word shingle with the held-out eval set (here a
+# deterministic 1/97 slice of the corpus standing in for a benchmark suite;
+# a real run would load the benchmark as its own table). The check is an
+# inverted-index equi-join on the shingle — the same postings shape as the
+# n-gram dedup tier, never an all-pairs comparison. Per-shingle fan-out is
+# df_train × df_eval; the eval side of a real deployment is a fixed-size
+# benchmark (thousands of docs), which bounds the product no matter how
+# large the training corpus grows. No broadcast hint on either side: the
+# 1/97 slice used here scales with the corpus, and AQE broadcasts the
+# postings when they do turn out small.
+#
+# Output: one row per CONTAMINATED training doc with the number of distinct
+# leaked shingles and the number of eval documents hit — the report a
+# pipeline acts on (drop or audit).
+# ---------------------------------------------------------------------------
+
+EVAL_SLICE_MOD = 97
+
+
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d)
+    is_eval = F.col("doc_id") % EVAL_SLICE_MOD == 0
+    eval_sh = sh.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "s")
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+PIPE_DECONTAMINATE_SQL = f"""\
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % {EVAL_SLICE_MOD} = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_SLICE_MOD} <> 0)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.s)       AS n_shared_shingles,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON ev.s = tr.s
+GROUP BY tr.doc_id"""
+
+
+register("pipe_decontaminate", pipe_decontaminate, PIPE_DECONTAMINATE_SQL)

@@ -247,3 +247,122 @@ SELECT lang, bigram, n, rank FROM ranked WHERE rank <= {NGRAM_TOP_K}"""
 
 
 register("text_ngram_topk", text_ngram_topk, TEXT_NGRAM_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style intra-document repetition flags: the
+# distinct-token ratio (pure JVM array arithmetic, no shuffle) and the
+# top-bigram fraction (share of the document's bigrams taken by its most
+# frequent bigram). The bigram counting shuffles on (doc_id, bigram) —
+# high-cardinality uniform keys — and every aggregate is exact-integer, so
+# the derived double ratios are bit-identical across engines. Documents too
+# short to form a bigram keep NULL repetition stats (LEFT join) and are not
+# flagged.
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAM_FRAC_FLAG = 0.2
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bigram = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep = per_bigram.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("n_bigrams")
+    )
+    frac = F.col("top_n").cast("double") / F.col("n_bigrams")
+    return (
+        base.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            frac.alias("top_bigram_frac"),
+            F.coalesce(frac > TOP_BIGRAM_FRAC_FLAG, F.lit(False)).alias("repetitive"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""\
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+  FROM t),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM t, unnest(range(1, len(toks))) AS u(i)),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, MAX(n) AS top_n, SUM(n) AS n_bigrams FROM bc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT)                    AS n_tokens,
+       b.distinct_ratio                           AS distinct_ratio,
+       CAST(COALESCE(r.n_bigrams, 0) AS BIGINT)   AS n_bigrams,
+       CAST(r.top_n AS DOUBLE) / r.n_bigrams      AS top_bigram_frac,
+       COALESCE(CAST(r.top_n AS DOUBLE) / r.n_bigrams > {TOP_BIGRAM_FRAC_FLAG},
+                FALSE)                            AS repetitive
+FROM base b LEFT JOIN rep r USING (doc_id)"""
+
+
+register("text_repetition", text_repetition, TEXT_REPETITION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_vocab — min-frequency vocabulary build: global token counts, drop
+# tokens below VOCAB_MIN_COUNT, assign contiguous ids by (count DESC, token)
+# — the id table a tokenizer-training step consumes. The count shuffle keys
+# on the token (high-cardinality; partial aggregation absorbs hot stopwords
+# map-side), and the id assignment is a single-partition window over the
+# POST-FILTER vocabulary, which is bounded by vocabulary size (~100k-1M
+# terms), not corpus size — safe at 100 TB where a global sort of the
+# postings would not be.
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_COUNT = 5
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return counts.select(
+        "token", "n", F.row_number().over(w).cast("int").alias("token_id")
+    )
+
+
+TEXT_VOCAB_SQL = f"""\
+WITH c AS (
+  SELECT t.token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY t.token
+  HAVING COUNT(*) >= {VOCAB_MIN_COUNT})
+SELECT token, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id
+FROM c"""
+
+
+register("text_vocab", text_vocab, TEXT_VOCAB_SQL)

@@ -186,3 +186,41 @@ def test_timebucket_gapfill_fills_gaps(spark):
     assert got[(0, "a")] == 1 and got[(86400, "a")] is None
     assert got[(86400, "b")] is None and got[(2 * 86400, "b")] is None
     assert got[(2 * 86400, "a")] == 1
+
+
+def test_decontaminate_flags_only_training_docs(spark):
+    """Contamination rows are training docs only (never the eval slice) and
+    every hit leaks at least one shingle to at least one eval doc."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+    rows = pipeline.pipe_decontaminate(spark, SF_SMALL).collect()
+    assert rows, "fixture corpus should contain contaminated docs"
+    for r in rows:
+        assert r.doc_id % pipeline.EVAL_SLICE_MOD != 0
+        assert r.n_shared_shingles >= 1
+        assert r.n_eval_docs >= 1
+
+
+def test_repetition_invariants(spark):
+    """Ratios stay in [0,1]; the flag matches the fraction; docs too short
+    for a bigram keep NULL stats and are not flagged."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+
+    for r in text.text_repetition(spark, SF_SMALL).collect():
+        assert 0.0 < r.distinct_ratio <= 1.0
+        if r.n_bigrams == 0:
+            assert r.top_bigram_frac is None and not r.repetitive
+        else:
+            assert 0.0 < r.top_bigram_frac <= 1.0
+            assert r.repetitive == (r.top_bigram_frac > text.TOP_BIGRAM_FRAC_FLAG)
+
+
+def test_vocab_ids_are_contiguous_by_frequency(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+
+    rows = text.text_vocab(spark, SF_SMALL).orderBy("token_id").collect()
+    assert rows and rows[0].token_id == 1
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r.n >= text.VOCAB_MIN_COUNT for r in rows)
