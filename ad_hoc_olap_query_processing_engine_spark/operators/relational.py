@@ -743,10 +743,55 @@ FROM a JOIN e ON e.us >= a.start_us AND e.us < a.end_us
 GROUP BY a.anchor_id"""
 
 
+# ---------------------------------------------------------------------------
+# rel_bucketed_join — co-located fact-to-fact join: per-order line rollup
+# joining lineitem to orders on the order key. When the bucketed layout is
+# materialized in the session catalog (catalog.materialize_bucketed — tests
+# and deployments do; the driver's stateless correctness run does not), both
+# scans are bucketed+sorted by the key, so the SortMergeJoin AND the
+# orderkey groupBy run with ZERO shuffle Exchange (pinned in test_plans).
+# Without it the op falls back to the identical plain-parquet join — same
+# rows, Catalyst shuffles as usual. Result values are layout-independent,
+# so one oracle covers both paths.
+# ---------------------------------------------------------------------------
+
+
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import catalog as _cat
+
+    li_name = _cat.bucketed_name("lineitem", sf_dir)
+    o_name = _cat.bucketed_name("orders", sf_dir)
+    if spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name):
+        li, o = spark.table(li_name), spark.table(o_name)
+    else:
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("total_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("gross_revenue"),
+        )
+    )
+
+
+REL_BUCKETED_JOIN_SQL = """\
+SELECT l.l_orderkey, o.o_orderpriority,
+       COUNT(*)                                                AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS INT)) AS BIGINT)          AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                               AS gross_revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey, o.o_orderpriority"""
+
+
 register("rel_skew_salted_agg", rel_skew_salted_agg, REL_SKEW_SALTED_AGG_SQL)
 register("rel_moving_window", rel_moving_window, REL_MOVING_WINDOW_SQL)
 register("rel_rank_stats", rel_rank_stats, REL_RANK_STATS_SQL)
 register("rel_range_bucket_join", rel_range_bucket_join, REL_RANGE_BUCKET_JOIN_SQL)
+register("rel_bucketed_join", rel_bucketed_join, REL_BUCKETED_JOIN_SQL)
 register("rel_grouping_sets", rel_grouping_sets, REL_GROUPING_SETS_SQL)
 register("rel_histogram", rel_histogram, REL_HISTOGRAM_SQL)
 register("rel_pricing_summary", rel_pricing_summary, REL_PRICING_SUMMARY_SQL)

@@ -224,3 +224,33 @@ def test_vocab_ids_are_contiguous_by_frequency(spark):
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(r.n >= text.VOCAB_MIN_COUNT for r in rows)
+
+
+def test_bucketed_join_layout_is_value_identical(spark):
+    """The bucketed layout changes the plan, never the rows: the bucketed-
+    table path must produce exactly the plain-parquet path's result."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import relational
+    from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
+    plain = relational.rel_bucketed_join(spark, SF_SMALL).toPandas()
+    catalog.materialize_bucketed(spark, SF_SMALL)
+    assert spark.catalog.tableExists(catalog.bucketed_name("lineitem", SF_SMALL))
+    bucketed = relational.rel_bucketed_join(spark, SF_SMALL).toPandas()
+    assert_frames_match(bucketed, plain)
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """A 33-node path with DESCENDING ids (the min label must cross the full
+    diameter-32 graph) must fully resolve within 8 rounds — only possible if
+    the pointer-jump halving actually works; plain one-hop propagation would
+    need 32 rounds and leave wrong labels behind this cap."""
+    n = 33
+    ids = [1000 - i for i in range(n)]  # path 1000-999-...-968, min at the end
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs, max_rounds=8).collect()
+    }
+    assert got == {(i, min(ids)) for i in ids}

@@ -121,3 +121,21 @@ def test_range_bucket_join_is_equi_not_nested_loop(spark):
     plan = physical_plan(relational.rel_range_bucket_join(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_zero_shuffle(spark):
+    """With the bucketed layout materialized, the orderkey join AND the
+    orderkey groupBy must plan with no shuffle Exchange at all — both scans
+    already report the same hashpartitioning. (Broadcast disabled so the
+    canonical co-located SortMergeJoin is what's pinned, not a small-SF
+    broadcast special case.)"""
+    catalog.materialize_bucketed(spark, SF_SMALL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(relational.rel_bucketed_join(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" not in plan
