@@ -580,3 +580,53 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.embedding").alias("embedding"),
     )
     return _exact_rerank(cand)
+
+
+# ---------------------------------------------------------------------------
+# embed_knn_classify — k-NN majority-vote classification: each query vector's
+# label is predicted from its TOP_K exact-cosine neighbors' labels, ties
+# broken by (votes DESC, label ASC). The neighbor search is the brute
+# pipeline above (broadcast query batch, one streaming pass over the vector
+# table); everything after it operates on Q×K rows, so the label lookups
+# broadcast the tiny query-derived side against the corpus-scale label table
+# — never the reverse.
+# ---------------------------------------------------------------------------
+
+
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    topk = sim_brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    nn = e.select("vec_id", "label").join(F.broadcast(topk), "vec_id")
+    votes = nn.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+    return (
+        e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+        .join(F.broadcast(pred), "query_id")
+        .select("query_id", "true_label", "predicted_label", "n_votes")
+    )
+
+
+# DuckDB supports a nested WITH inside a CTE body, so the brute-top-k oracle
+# is reused verbatim as the neighbor search.
+EMBED_KNN_CLASSIFY_SQL = f"""\
+WITH topk AS ({SIM_BRUTE_TOPK_SQL}),
+votes AS (
+  SELECT t.query_id, e.label, COUNT(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+  GROUP BY t.query_id, e.label),
+best AS (
+  SELECT query_id, label AS predicted_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS rk
+  FROM votes)
+SELECT b.query_id, q.label AS true_label, b.predicted_label, b.n_votes
+FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+WHERE b.rk = 1"""
+
+
+register("embed_knn_classify", embed_knn_classify, EMBED_KNN_CLASSIFY_SQL)

@@ -366,3 +366,60 @@ FROM c"""
 
 
 register("text_vocab", text_vocab, TEXT_VOCAB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_topk — top TF-IDF terms per document. The idf is the RATIONAL
+# form n_docs/df (no logarithm: libm/JVM log results are not guaranteed
+# bit-identical across engines, but exact-integer products divided as
+# doubles are), so every score is deterministic and the whole ranking is
+# oracle-checked. Term frequencies shuffle on (doc_id, token) and document
+# frequencies on token — both high-cardinality uniform keys; the corpus size
+# joins in as a broadcast 1-row aggregate, never a driver-side action. The
+# per-doc top-k is a window over each doc's own terms (bounded by document
+# length, no global sort).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+TEXT_TFIDF_TOPK_SQL = f"""\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
+
+
+register("text_tfidf_topk", text_tfidf_topk, TEXT_TFIDF_TOPK_SQL)
