@@ -128,9 +128,9 @@ def phi_specs(draw) -> str:
         slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
     lines.append(",".join(slots))
     if draw(st.booleans()):
-        # 1-3 HAVING leaves chained with mixed &&/|| joiners (left-fold
-        # semantics, B5/B6 superset) over any output aggregates
-        n_leaves = draw(st.integers(1, 3))
+        # 1-5 HAVING leaves chained with mixed &&/|| joiners — the left-fold
+        # builds trees up to 4 deep (((a&&b)||c)&&d)…, the B5/B6 superset
+        n_leaves = draw(st.integers(1, 5))
         parts = []
         for _ in range(n_leaves):
             fld = draw(st.sampled_from(gv_names))
