@@ -330,7 +330,12 @@ def func_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNC_JSON_EXTRACT_SQL = """\
 SELECT event_type,
        COUNT(*)                                              AS n_events,
-       AVG(CAST(json_extract_string(props, '$.k') AS INT))   AS avg_k,
+       -- exact-sum division, not AVG(): DuckDB's integer AVG is an
+       -- incremental accumulation whose last ulp depends on parallel
+       -- accumulation order; SUM/COUNT is order-independent and matches
+       -- Spark's Average bit-for-bit
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+         / COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)     AS sum_value
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50

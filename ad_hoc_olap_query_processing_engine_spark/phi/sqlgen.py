@@ -78,7 +78,12 @@ def _agg_sql(a: Agg, tuple_alias: str = "s") -> str:
     if a.fn == "count":
         return "COUNT(*)"
     if a.fn == "avg":
-        return f"CAST(AVG({src}) AS DOUBLE)"
+        # NOT AVG(): DuckDB's integer AVG accumulates incrementally, so its
+        # last ulp depends on the parallel accumulation order (observed
+        # 1-ulp run-to-run flips under its morsel scheduler). The exact-sum
+        # single division is order-independent and matches Spark's Average
+        # (integral sum, one double division) bit-for-bit.
+        return f"(CAST(SUM({src}) AS DOUBLE) / COUNT({src}))"
     if a.fn == "sum":
         return f"CAST(SUM({src}) AS BIGINT)"
     return f"{a.fn.upper()}({src})"
