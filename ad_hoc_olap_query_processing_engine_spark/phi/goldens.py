@@ -112,9 +112,27 @@ prod,month
 sum_quant_himonth,count_quant_prior
 {MF.prod.sum_quant_himonth}[=]{prod}:{MF.min_day.sum_quant_himonth}[>]{month},{MF.prod.count_quant_prior}[=]{prod}:{MF.month.count_quant_prior}[<]{month}:{MF.min_day.count_quant_prior}[<=]{month}"""
 
+# phi_q9: per (cust, month) with a group-0 avg_quant — the TEXTBOOK EMF
+# "relative to own average" query:
+#   GV1 count_quant_below: this group's sales strictly below the group's own
+#       average quantity ({MF.avg_quant.·}[<]{quant} — a tuple-level
+#       condition against the anchor's group-0 aggregate).
+#   GV2 sum_quant_above: quantity sold at-or-above the group's own average.
+# Both GVs are pinned to their own group (equalities on cust AND month), so
+# they take the FACT_WINDOW strategy: avg_quant attaches to each fact row
+# via a partitionBy(V) window sharing the scan-0 shuffle — one fact pass,
+# no join back against sales (pinned in test_plans.py).
+EXTENSION_Q9 = """\
+cust,month,avg_quant,count_quant_below,sum_quant_above
+2
+cust,month
+count_quant_below,sum_quant_above
+{MF.cust.count_quant_below}[=]{cust}:{MF.month.count_quant_below}[=]{month}:{MF.avg_quant.count_quant_below}[<]{quant},{MF.cust.sum_quant_above}[=]{cust}:{MF.month.sum_quant_above}[=]{month}:{MF.avg_quant.sum_quant_above}[>=]{quant}"""
+
 EXTENSION_SPECS: dict[str, str] = {
     "phi_q7": EXTENSION_Q7,
     "phi_q8": EXTENSION_Q8,
+    "phi_q9": EXTENSION_Q9,
 }
 
 SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}

@@ -103,7 +103,7 @@ PERSIST_GROUP_TABLE = True
 @dataclass
 class _GVPlan:
     gv: GroupingVar
-    strategy: str  # "cond_agg" | "window" | "group_join" | "join"
+    strategy: str  # "cond_agg" | "window" | "fact_window" | "group_join" | "join"
     eq_attrs: list[str] = field(default_factory=list)  # window/gj: equalities
     theta: tuple[str, str] | None = None  # window: (attr, op) range condition
     anti_attr: str | None = None  # window: != attribute
@@ -115,6 +115,11 @@ class _GVPlan:
     # aggregates; evaluated between the other group's attrs (o) and the
     # anchor group's fields (g).
     gconds: list[Cond] = field(default_factory=list)
+    # fact_window: tuple-level conditions pinned to the tuple's OWN group
+    # (same-group equalities on every grouping attribute), whose MF-side
+    # operands are grouping attrs or group-0 aggregates — evaluated per fact
+    # row with the group-0 values attached by a partitionBy(V) window.
+    rowconds: list[Cond] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -144,14 +149,20 @@ def classify_gv(
     comparing a grouping attribute against the anchor group's group-0
     aggregate (``{MF.avg_quant.X}[>]{month}`` style) are GROUP-LEVEL —
     membership depends on tuples only through their group identity — so they
-    also take GROUP_JOIN (one fact scan) instead of re-joining sales. Only
-    true tuple-level dependence (a non-grouping tuple column vs an MF field,
-    or a reference to an earlier GV's aggregate) falls back to the fully
-    general staged JOIN_AGG."""
+    also take GROUP_JOIN (one fact scan) instead of re-joining sales.
+    Tuple-level conditions (a non-grouping tuple column vs an MF field, e.g.
+    the textbook ``{MF.avg_quant.X}[<]{quant}`` below-own-average count) take
+    FACT_WINDOW when the GV is pinned to the tuple's own group by equalities
+    on every grouping attribute: group-0 values attach to each fact row via
+    a partitionBy(V) window in the same shuffle as the scan-0 groupBy —
+    still one fact pass. Only an unpinned tuple-level condition or a
+    reference to an earlier GV's aggregate falls back to the fully general
+    staged JOIN_AGG (the genuinely dependent case)."""
     eq_attrs: list[str] = []
     thetas: list[tuple[str, str]] = []
     anti_attrs: list[str] = []
     gconds: list[Cond] = []
+    rowconds: list[Cond] = []
     for c in gv.mf_conds:
         dep = any(
             o.kind == "mf" and o.name not in group_attrs and o.name not in g0_names
@@ -170,13 +181,26 @@ def classify_gv(
             if all(o.name in group_attrs for o in tuple_cols):
                 gconds.append(c)
                 continue
-            return _GVPlan(gv=gv, strategy="join")
+            rowconds.append(c)
+            continue
         if c.op == "==":
             eq_attrs.append(c.right.name)
         elif c.op == "!=":
             anti_attrs.append(c.right.name)
         else:
             thetas.append((c.right.name, c.op))
+    if rowconds:
+        if set(eq_attrs) == set(group_attrs) and not thetas and not anti_attrs:
+            # pinned to its own group: the anchor's grouping attrs are the
+            # row's own columns and its group-0 aggregates are window values,
+            # so group-level conds fold into the same per-row guard
+            return _GVPlan(
+                gv=gv,
+                strategy="fact_window",
+                eq_attrs=eq_attrs,
+                rowconds=rowconds + gconds,
+            )
+        return _GVPlan(gv=gv, strategy="join")
     if gconds:
         return _GVPlan(
             gv=gv,
@@ -265,6 +289,29 @@ def _agg_expr(fn: str, src: str, guard: Column | None, alias: str) -> Column:
     return _AGG_FNS[fn](src_col).alias(alias)
 
 
+def _rowcond_operand(o: Operand, g0_names: frozenset[str] | set[str]) -> Column:
+    """FACT_WINDOW per-row translation: the GV is pinned to the tuple's own
+    group, so an MF grouping attr is the row's own column and an MF group-0
+    aggregate is its windowed value (``__g0w_<name>``)."""
+    if o.kind == "lit":
+        return F.lit(o.value)
+    if o.kind == "mf" and o.name in g0_names:
+        return F.col(f"__g0w_{o.name}")
+    return F.col(o.name)
+
+
+def _rowcond_col(c: Cond, g0_names: frozenset[str] | set[str]) -> Column:
+    left = _rowcond_operand(c.left, g0_names)
+    right = _rowcond_operand(c.right, g0_names)
+    # membership (in)equality is null-safe, like the oracle's
+    # IS [NOT] DISTINCT FROM; θ comparisons are plain SQL (NULL → excluded)
+    if c.op == "==":
+        return left.eqNullSafe(right)
+    if c.op == "!=":
+        return ~left.eqNullSafe(right)
+    return _PYOPS[c.op](left, right)
+
+
 # ---------------------------------------------------------------------------
 # compilation
 # ---------------------------------------------------------------------------
@@ -281,8 +328,38 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     g0_names = frozenset(a.name for a in q.group0)
     plans = [classify_gv(gv, v, dict(sales.dtypes), g0_names) for gv in q.gvs]
 
+    # ---- FACT_WINDOW prep: attach each referenced group-0 aggregate to
+    # every fact row with a partitionBy(V) window. The window and the scan-0
+    # groupBy share one hashpartitioning(V) exchange, so the whole query is
+    # still a single pass over the fact table (the groupBy loses map-side
+    # combine — full rows cross the shuffle — but the staged JOIN alternative
+    # re-reads AND re-shuffles the full fact table a second time).
+    agg_base = base
+    fw_plans = [p for p in plans if p.strategy == "fact_window"]
+    if fw_plans:
+        g0_by_name = {a.name: a for a in q.group0}
+        needed = sorted(
+            {
+                o.name
+                for p in fw_plans
+                for c in p.rowconds
+                for o in (c.left, c.right)
+                if o.kind == "mf" and o.name in g0_names
+            }
+        )
+        wv = W.partitionBy(*v)
+        for nm in needed:
+            a = g0_by_name[nm]
+            expr = (
+                F.count(F.lit(1))
+                if a.fn == "count"
+                else _AGG_FNS[a.fn](F.col(a.src))
+            )
+            agg_base = agg_base.withColumn(f"__g0w_{nm}", expr.over(wv))
+
     # ---- scan 0: ONE hash aggregation builds the group table, group-0
-    # aggregates, every COND_AGG aggregate, and the partials for WINDOW GVs.
+    # aggregates, every COND_AGG / FACT_WINDOW aggregate, and the partials
+    # for WINDOW GVs.
     aggs: list[Column] = []
     for a in q.group0:
         aggs.append(_agg_expr(a.fn, a.src, None, a.name))
@@ -291,6 +368,11 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
         guard = _sigma(gv.tuple_conds)
         if p.strategy == "cond_agg":
             aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, guard, gv.agg.name))
+        elif p.strategy == "fact_window":
+            parts = ([] if guard is None else [guard]) + [
+                _rowcond_col(c, g0_names) for c in p.rowconds
+            ]
+            aggs.append(_agg_expr(gv.agg.fn, gv.agg.src, _and_all(parts), gv.agg.name))
         elif p.strategy in ("window", "group_join"):
             i = gv.index
             if gv.agg.fn in ("avg", "sum", "count"):
@@ -312,7 +394,7 @@ def compile_phi(q: PhiQuery, sales: DataFrame) -> DataFrame:
     if not aggs:
         groups = base.select(*v).distinct()
     else:
-        groups = base.groupBy(*v).agg(*aggs)
+        groups = agg_base.groupBy(*v).agg(*aggs)
 
     # ---- WINDOW GVs: pure group-table rollups, no second pass over sales.
     # θ-conditions need ordering → range-frame window. Unordered totals

@@ -386,3 +386,33 @@ def test_null_keys_through_dependent_stage(fixture_sales):
     null_rows = got[got["cust"].isna()]
     assert len(null_rows) == 1
     assert null_rows["count_quant_2"].iloc[0] == 1  # 13 > avg 12
+
+
+def test_classify_pinned_rowcond_is_fact_window():
+    # pinned to its own group on every grouping attr + a tuple column vs the
+    # anchor's group-0 aggregate → FACT_WINDOW (one fact pass, windowed g0)
+    q = parse_query(
+        ["cust,month,avg_quant,count_quant_lo", "1", "cust,month",
+         "count_quant_lo",
+         "{MF.cust.count_quant_lo}[=]{cust}:{MF.month.count_quant_lo}[=]{month}"
+         ":{MF.avg_quant.count_quant_lo}[<]{quant}"],
+        known_cols=COLS,
+    )
+    g0 = frozenset(a.name for a in q.group0)
+    p = classify_gv(q.gvs[0], q.group_attrs, g0_names=g0)
+    assert p.strategy == "fact_window"
+    assert len(p.rowconds) == 1
+
+
+def test_classify_unpinned_rowcond_stays_join():
+    # same tuple-level condition but membership NOT pinned on month → the
+    # anchor group differs from the row's own group → staged JOIN_AGG
+    q = parse_query(
+        ["cust,month,avg_quant,count_quant_lo", "1", "cust,month",
+         "count_quant_lo",
+         "{MF.cust.count_quant_lo}[=]{cust}"
+         ":{MF.avg_quant.count_quant_lo}[<]{quant}"],
+        known_cols=COLS,
+    )
+    g0 = frozenset(a.name for a in q.group0)
+    assert classify_gv(q.gvs[0], q.group_attrs, g0_names=g0).strategy == "join"

@@ -59,6 +59,7 @@ def phi_specs(draw) -> str:
                     "theta_anti",
                     "cross_attr",
                     "g0_theta",
+                    "pinned_rowcond",
                 ]
             )
         )
@@ -104,6 +105,12 @@ def phi_specs(draw) -> str:
             op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
             conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v if g != "month"]
             conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{month}}")
+        elif kind == "pinned_rowcond":
+            # same-group equalities on ALL v + a tuple column vs the anchor's
+            # group-0 aggregate — the FACT_WINDOW strategy (windowed g0 guard)
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds += [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+            conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{quant}}")
         elif kind == "cross_attr" and "month" in v:
             # tuple attr compared against a DIFFERENT group attr (day vs
             # group's month) — the fully-general join fallback
@@ -184,6 +191,7 @@ def test_property_suite_exercised_every_strategy():
     assert _SEEN_STRATEGIES >= {
         "cond_agg",
         "window",
+        "fact_window",
         "group_join",
         "group_join+gcond",
         "join",
