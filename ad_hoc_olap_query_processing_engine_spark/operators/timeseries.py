@@ -96,3 +96,87 @@ FROM grid g LEFT JOIN agged a
 
 
 register("func_timebucket", func_timebucket, FUNC_TIMEBUCKET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_funnel — ordered conversion funnel per user (view → first click AFTER
+# that view → first purchase AFTER that click), reported as one stage-count
+# row. Each stage's anchor time attaches per row via a min-over-user window;
+# the three windows and the final user rollup share ONE hashpartitioning
+# (user_id) exchange, so the whole funnel is a single pass over events — the
+# same shape at 100 TB, where per-user event counts (window partition size)
+# stay bounded while users scale out. Epoch-micro integer mins keep every
+# stage timestamp exact across engines; the conversion rate is an
+# exact-count division.
+# ---------------------------------------------------------------------------
+
+
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    e = e.withColumn("__t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("us") > F.col("__t_view")),
+            F.col("us"),
+        )
+    ).over(w)
+    e = e.withColumn("__t_click", t_click)
+    t_purch = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("__t_click")),
+            F.col("us"),
+        )
+    ).over(w)
+    e = e.withColumn("__t_purch", t_purch)
+    # min over a per-user-constant window column == that constant (min
+    # instead of first: order-independent by construction)
+    per_user = e.groupBy("user_id").agg(
+        F.min("__t_view").alias("t_view"),
+        F.min("__t_click").alias("t_click"),
+        F.min("__t_purch").alias("t_purch"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purch").alias("n_purchased_after_click"),
+        (F.count("t_purch").cast("double") / F.count("t_view")).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+REL_FUNNEL_SQL = """\
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+u AS (
+  SELECT user_id,
+         MIN(us) FILTER (WHERE event_type = 'view') AS t_view
+  FROM e GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.us) AS t_click
+  FROM e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > u.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.us) AS t_purch
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t_click
+  GROUP BY e.user_id)
+SELECT COUNT(*)          AS n_users,
+       COUNT(u.t_view)   AS n_viewed,
+       COUNT(c.t_click)  AS n_clicked_after_view,
+       COUNT(p.t_purch)  AS n_purchased_after_click,
+       CAST(COUNT(p.t_purch) AS DOUBLE) / COUNT(u.t_view)
+                         AS view_to_purchase_rate
+FROM u
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id"""
+
+
+register("rel_funnel", rel_funnel, REL_FUNNEL_SQL)

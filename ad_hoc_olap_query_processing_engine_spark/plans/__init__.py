@@ -1,5 +1,6 @@
 from .inspect import (
     count_exchanges,
+    exchange_args,
     has_broadcast_join,
     physical_plan,
     pushed_filters,
@@ -8,6 +9,7 @@ from .inspect import (
 
 __all__ = [
     "count_exchanges",
+    "exchange_args",
     "has_broadcast_join",
     "physical_plan",
     "pushed_filters",

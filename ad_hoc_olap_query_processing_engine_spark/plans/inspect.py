@@ -56,3 +56,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if body:
             out.append(body)
     return out
+
+
+def exchange_args(df: DataFrame) -> list[str]:
+    """The Arguments line of every Exchange node in the formatted plan —
+    e.g. ['hashpartitioning(user_id, ...)', 'SinglePartition, ...'] — so
+    tests can count/classify shuffles precisely (the node name and its
+    partitioning are on separate lines in ``formatted`` mode)."""
+    plan = physical_plan(df)
+    ids = re.findall(r"\((\d+)\) \w*Exchange\b", plan)
+    out: list[str] = []
+    for i in ids:
+        m = re.search(rf"\({i}\) \w*Exchange\b[^\n]*\n(?:[^\n]*\n)?Arguments: ([^\n]*)", plan)
+        if m:
+            out.append(m.group(1))
+    return out

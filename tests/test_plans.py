@@ -137,5 +137,41 @@ def test_bucketed_join_has_zero_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastExchange" not in plan
+    # no Exchange NODE of any kind (formatted mode separates the node name
+    # from its partitioning arguments, so match the node lines themselves)
+    import re
+
+    assert not re.findall(r"\(\d+\) \w*Exchange\b", plan)
+
+
+def test_fact_window_phi_query_scans_fact_table_once(spark, sales):
+    """phi_q9's below-own-average GVs take FACT_WINDOW: the group-0 average
+    attaches per fact row via a partitionBy(V) window sharing the scan-0
+    shuffle — one fact pass and exactly one hashpartitioning exchange, never
+    a join back against sales."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import all_phi_queries
+    from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
+
+    q = all_phi_queries()["phi_q9"]
+    g0 = frozenset(a.name for a in q.group0)
+    for gv in q.gvs:
+        p = classify_gv(gv, q.group_attrs, dict(sales.dtypes), g0)
+        assert p.strategy == "fact_window", (gv.agg.name, p.strategy)
+    df = compile_phi(q, sales)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 1
+
+
+def test_funnel_single_pass_single_shuffle(spark):
+    """The 3-stage funnel must share ONE user_id exchange across its three
+    windows and the per-user rollup — one pass over events (the global
+    stage-count agg is a single-partition reduce over 5 values)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = timeseries.rel_funnel(spark, SF_SMALL)
+    args = exchange_args(df)
+    assert sum(a.startswith("hashpartitioning") for a in args) == 1, args
+    assert table_scan_count(df, "events.parquet") == 1
