@@ -54,4 +54,8 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, **kwargs) -> None:
         f"column mismatch: {list(got_n.columns)} vs {list(exp_n.columns)}"
     )
     assert len(got_n) == len(exp_n), f"row count {len(got_n)} != {len(exp_n)}"
-    pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False, rtol=1e-9, atol=1e-9)
+    # EXACT float compare (rtol=atol=0): the driver hash-matches raw values,
+    # so any ulp drift a tolerance would hide still fails the round gate —
+    # better to catch it here (this is how the DuckDB-AVG accumulation-order
+    # flake was eventually found).
+    pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False, rtol=0, atol=0)
