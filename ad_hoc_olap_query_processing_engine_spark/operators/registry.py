@@ -45,6 +45,7 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import timeseries  # noqa: F401
     from ..functions import scalar  # noqa: F401
+    from ..sources import pydatasource  # noqa: F401
     from ..streaming import windows  # noqa: F401
 
 

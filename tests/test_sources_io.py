@@ -110,3 +110,39 @@ def test_sales_cache_env_switches_path(spark, monkeypatch, tmp_path):
     monkeypatch.setenv(catalog.SALES_CACHE_ENV, "0")
     live = catalog.sales_df(spark, SF_SMALL)
     assert "lineitem" in physical_plan(live)
+
+
+def test_pyrowgroup_datasource_matches_native_reader(spark):
+    """The Python DataSource API connector must return exactly what the
+    built-in parquet reader returns for the same file+projection, with one
+    input partition per parquet row group (the connector's parallelism
+    contract). A multi-row-group file (small row_group_size) exercises >1
+    partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ad_hoc_olap_query_processing_engine_spark.sources.pydatasource import (
+        read_pyrowgroup,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "multi_rg.parquet")
+        table = pa.table(
+            {
+                "k": pa.array(range(1000), type=pa.int64()),
+                "s": pa.array([f"v{i % 7}" for i in range(1000)]),
+            }
+        )
+        pq.write_table(table, path, row_group_size=100)
+        via = read_pyrowgroup(spark, path)
+        native = spark.read.parquet(path)
+        assert via.rdd.getNumPartitions() == 10  # one per row group
+        assert via.schema == native.schema
+        assert_frames_match(
+            via.toPandas().sort_values("k").reset_index(drop=True),
+            native.toPandas().sort_values("k").reset_index(drop=True),
+        )
+        # column pruning at the pyarrow layer
+        pruned = read_pyrowgroup(spark, path, columns=["s"])
+        assert pruned.columns == ["s"]
+        assert pruned.count() == 1000
