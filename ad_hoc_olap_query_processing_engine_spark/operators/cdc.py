@@ -1,0 +1,186 @@
+"""Change-data-capture surface: snapshot diff and CDC batch apply (merge).
+
+The reference engine reads one static JDBC snapshot per run
+(reference: src/QueryProcessor1.java:76-96) — it has no notion of a table
+changing between runs. Production corpora do: a crawl refresh adds, removes,
+and rewrites documents; a dimension refresh rewrites rows. The two CDC
+primitives every pipeline needs are
+
+rel_snapshot_diff   old vs new snapshot → row-level (key, status) for
+                    status ∈ added/removed/changed. FULL OUTER JOIN on the
+                    key and compare an md5 ROW FINGERPRINT over the tracked
+                    columns — one hash comparison regardless of column
+                    count, the generic wide-table diff. One shuffle on the
+                    key; at 100 TB both sides hash-partition on the key and
+                    the fingerprint is computed map-side, so the exchanged
+                    rows carry (key, 32-byte hash), not the full row.
+
+rel_merge_upsert    apply a CDC batch (upserts + deletes) onto a base
+                    snapshot — MERGE INTO semantics without a lakehouse
+                    format: base LEFT ANTI touched-keys ∪ upserts. The
+                    touched-key set scales with the batch, not the base, so
+                    it broadcasts (explicit hint: it is derived from the
+                    batch, which is small by definition in CDC). Output is
+                    an aggregate profile of the merged state, which the
+                    oracle recomputes through its own merge pipeline.
+
+Both snapshots are derived deterministically from the driver's `orders`
+parquet (modulo-key membership + a one-cent price rewrite) so the operators
+run on real input data and stay hash-checkable.
+
+Money is compared in exact integer cents (ROUND before the bigint cast —
+Spark truncates doubles, DuckDB rounds; going through ROUND pins both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# deterministic snapshot derivation: old drops keys ≡4 (mod 5), new drops
+# keys ≡6 (mod 7), and new rewrites the price of keys ≡0 (mod 3) by +1 cent —
+# so the diff exercises added, removed, AND changed rows.
+_OLD_DROP_MOD, _OLD_DROP_REM = 5, 4
+_NEW_DROP_MOD, _NEW_DROP_REM = 7, 6
+_CHG_MOD = 3
+
+
+def _cents(col: str = "o_totalprice") -> Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _old_snapshot(orders: DataFrame) -> DataFrame:
+    return orders.filter(
+        F.col("o_orderkey") % _OLD_DROP_MOD != _OLD_DROP_REM
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", _cents().alias("cents"))
+
+
+def _new_snapshot(orders: DataFrame) -> DataFrame:
+    return orders.filter(F.col("o_orderkey") % _NEW_DROP_MOD != _NEW_DROP_REM).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % _CHG_MOD == 0, _cents() + 1)
+        .otherwise(_cents())
+        .alias("cents"),
+    )
+
+
+def _fingerprint(df: DataFrame) -> DataFrame:
+    """32-byte md5 row fingerprint over the tracked columns (md5 and the
+    '|' join are bit-identical in Spark and DuckDB)."""
+    return df.withColumn(
+        "fp",
+        F.md5(F.concat_ws("|", "o_orderstatus", "o_orderpriority", "cents")),
+    )
+
+
+_SNAPSHOT_CTES = f"""\
+old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {_OLD_DROP_MOD} <> {_OLD_DROP_REM}),
+new AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % {_CHG_MOD} = 0 THEN 1 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % {_NEW_DROP_MOD} <> {_NEW_DROP_REM})"""
+
+_FP = "md5(concat_ws('|', o_orderstatus, o_orderpriority, cents))"
+
+
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    old = _fingerprint(_old_snapshot(orders)).select(
+        F.col("o_orderkey"), F.col("fp").alias("old_fp"), F.col("cents").alias("old_cents")
+    )
+    new = _fingerprint(_new_snapshot(orders)).select(
+        F.col("o_orderkey"), F.col("fp").alias("new_fp"), F.col("cents").alias("new_cents")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())  # unchanged rows drop out
+        .select("o_orderkey", "status", "old_cents", "new_cents")
+    )
+
+
+REL_SNAPSHOT_DIFF_SQL = f"""\
+WITH {_SNAPSHOT_CTES},
+o AS (SELECT o_orderkey, {_FP} AS fp, cents FROM old),
+n AS (SELECT o_orderkey, {_FP} AS fp, cents FROM new)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed' END AS status,
+       o.cents AS old_cents,
+       n.cents AS new_cents
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp"""
+
+
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the CDC batch (new-side rows of added/changed keys as upserts,
+    removed keys as deletes) onto the old snapshot; profile the merged
+    state. The merged state must equal the new snapshot — the oracle
+    recomputes the same merge pipeline in SQL, so a bug in the anti-join /
+    union mechanics (dropped deletes, duplicated upserts) breaks the hash."""
+    orders = load_table(spark, "orders", sf_dir)
+    old = _fingerprint(_old_snapshot(orders))
+    new = _fingerprint(_new_snapshot(orders))
+    old_k = old.select("o_orderkey", F.col("fp").alias("old_fp"))
+    # the batch: every key whose fingerprint differs between snapshots
+    upserts = new.join(old_k, "o_orderkey", "left").filter(
+        F.col("old_fp").isNull() | (F.col("old_fp") != F.col("fp"))
+    ).drop("old_fp")
+    deletes = old.join(
+        new.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select("o_orderkey")
+    # MERGE: base minus touched keys, plus the upserted rows. The touched
+    # set is batch-sized (CDC batches ≪ base) → broadcast the anti side.
+    touched = upserts.select("o_orderkey").unionByName(deletes)
+    merged = old.join(
+        F.broadcast(touched), "o_orderkey", "left_anti"
+    ).unionByName(upserts)
+    return merged.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+REL_MERGE_UPSERT_SQL = f"""\
+WITH {_SNAPSHOT_CTES},
+o AS (SELECT *, {_FP} AS fp FROM old),
+n AS (SELECT *, {_FP} AS fp FROM new),
+upserts AS (
+  SELECT n.* FROM n LEFT JOIN o ON n.o_orderkey = o.o_orderkey
+  WHERE o.fp IS NULL OR o.fp <> n.fp),
+deletes AS (
+  SELECT o.o_orderkey FROM o LEFT JOIN n ON o.o_orderkey = n.o_orderkey
+  WHERE n.o_orderkey IS NULL),
+touched AS (SELECT o_orderkey FROM upserts UNION ALL SELECT o_orderkey FROM deletes),
+merged AS (
+  SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+  UNION ALL
+  SELECT * FROM upserts)
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)                   AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MIN(o_orderkey)            AS min_key,
+       MAX(o_orderkey)            AS max_key
+FROM merged
+GROUP BY o_orderstatus, o_orderpriority"""
+
+
+register("rel_snapshot_diff", rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL)
+register("rel_merge_upsert", rel_merge_upsert, REL_MERGE_UPSERT_SQL)

@@ -520,3 +520,55 @@ FROM cc c JOIN sizes s USING (cluster_id)"""
 
 
 register("dedup_cluster_cc", dedup_cluster_cc, _cc_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_name — edit-distance entity resolution over the DISTINCT value
+# domain. The scale pattern: never fuzzy-join raw rows — first collapse to
+# (value, support) via one exact groupBy (64 distinct names here vs 2k rows;
+# at 100 TB the domain is still ~constant while rows grow), then block the
+# distinct values on a cheap key (the trailing noun token) so the
+# levenshtein comparisons run per block instead of all-pairs. Both the
+# blocking and the comparison are built-in JVM expressions, and DuckDB's
+# levenshtein is the same classic (unit-cost) edit distance, so the whole
+# operator is oracle-checked.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .withColumn("blk", F.regexp_extract("p_name", r"(\S+)$", 1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("support").alias("support_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("support").alias("support_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "support_a", "support_b")
+    )
+
+
+DEDUP_FUZZY_NAME_SQL = f"""\
+WITH n AS (
+  SELECT p_name, COUNT(*) AS support,
+         regexp_extract(p_name, '(\\S+)$', 1) AS blk
+  FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       a.support AS support_a, b.support AS support_b
+FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}"""
+
+
+register("dedup_fuzzy_name", dedup_fuzzy_name, DEDUP_FUZZY_NAME_SQL)

@@ -171,3 +171,55 @@ GROUP BY tr.doc_id"""
 
 
 register("pipe_decontaminate", pipe_decontaminate, PIPE_DECONTAMINATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_shard_shuffle — deterministic global shuffle + sharding for training:
+# every doc gets a shard (hash bucket) and a position within the shard
+# (rank by hash), yielding a reproducible pseudorandom global order
+# independent of input layout — rand() would give neither reproducibility
+# nor an oracle. At scale, NUM_SHARDS is chosen so one shard ≈ one output
+# file (100k+ shards at 100 TB): the per-shard rank window then sorts a
+# file-sized partition, never a hot global sort, and shard assignment is a
+# map-only expression. The md5→48-bit-int hash is the same cross-engine
+# recipe as sampling/dedup, so the full (doc_id, shard, pos) assignment is
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+NUM_SHARDS = 16
+
+
+def pipe_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    base = d.select("doc_id", "n_chars", h.alias("__h"))
+    pos = F.row_number().over(
+        W.partitionBy(F.col("__h") % NUM_SHARDS).orderBy("__h", "doc_id")
+    )
+    return base.select(
+        "doc_id",
+        (F.col("__h") % NUM_SHARDS).cast("int").alias("shard"),
+        pos.cast("int").alias("pos"),
+        "n_chars",
+    )
+
+
+PIPE_SHARD_SHUFFLE_SQL = f"""\
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hh
+  FROM documents)
+SELECT doc_id,
+       CAST(hh % {NUM_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % {NUM_SHARDS} ORDER BY hh, doc_id) AS INT) AS pos,
+       n_chars
+FROM h"""
+
+
+register("pipe_shard_shuffle", pipe_shard_shuffle, PIPE_SHARD_SHUFFLE_SQL)

@@ -254,3 +254,86 @@ def test_connected_components_long_path_converges_logarithmically(spark):
         for r in dedup.connected_components(pairs, max_rounds=8).collect()
     }
     assert got == {(i, min(ids)) for i in ids}
+
+
+def test_snapshot_diff_statuses_partition_the_key_space(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators import cdc
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", SF_SMALL)
+    old = cdc._old_snapshot(orders)
+    new = cdc._new_snapshot(orders)
+    diff = cdc.rel_snapshot_diff(spark, SF_SMALL).collect()
+    by_status = {}
+    for r in diff:
+        by_status.setdefault(r.status, set()).add(r.o_orderkey)
+    old_keys = {r.o_orderkey for r in old.select("o_orderkey").collect()}
+    new_keys = {r.o_orderkey for r in new.select("o_orderkey").collect()}
+    assert by_status["added"] == new_keys - old_keys
+    assert by_status["removed"] == old_keys - new_keys
+    assert by_status["changed"] <= old_keys & new_keys
+    # changed rows carry both sides; added/removed carry exactly one
+    for r in diff:
+        if r.status == "changed":
+            assert r.old_cents is not None and r.new_cents == r.old_cents + 1
+        elif r.status == "added":
+            assert r.old_cents is None and r.new_cents is not None
+        else:
+            assert r.new_cents is None and r.old_cents is not None
+
+
+def test_merge_apply_reproduces_new_snapshot(spark):
+    """The merged state must equal the new snapshot row-for-row — the real
+    MERGE invariant, stronger than the aggregated query output."""
+    from pyspark.sql import functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import cdc
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", SF_SMALL)
+    old = cdc._fingerprint(cdc._old_snapshot(orders))
+    new = cdc._fingerprint(cdc._new_snapshot(orders))
+    old_k = old.select("o_orderkey", F.col("fp").alias("old_fp"))
+    upserts = (
+        new.join(old_k, "o_orderkey", "left")
+        .filter(F.col("old_fp").isNull() | (F.col("old_fp") != F.col("fp")))
+        .drop("old_fp")
+    )
+    deletes = old.join(new.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey"
+    )
+    touched = upserts.select("o_orderkey").unionByName(deletes)
+    merged = old.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
+    assert merged.exceptAll(new).count() == 0
+    assert new.exceptAll(merged).count() == 0
+
+
+def test_fuzzy_name_pairs_are_blocked_and_thresholded(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        dedup_fuzzy_name,
+    )
+
+    rows = dedup_fuzzy_name(spark, SF_SMALL).collect()
+    assert rows, "fixture produced no fuzzy pairs; threshold too tight"
+    for r in rows:
+        assert r.name_a < r.name_b  # canonical orientation, no dup mirror pairs
+        assert 0 < r.dist <= FUZZY_MAX_DIST
+        # blocking key: pairs share the trailing noun token
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]
+
+
+def test_shard_shuffle_is_a_permutation_with_dense_positions(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        NUM_SHARDS,
+        pipe_shard_shuffle,
+    )
+
+    rows = pipe_shard_shuffle(spark, SF_SMALL).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)  # every doc exactly once
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < NUM_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
