@@ -164,9 +164,48 @@ def _split_slots(line: str) -> list[str]:
     return [s.strip() for s in slots]
 
 
+def _tokenize_having(line: str) -> list[tuple[str, "re.Match[str] | None"]]:
+    """HAVING tokens: leaves ``{field,op,value}``, joiners (``&&``/``||``,
+    bracketed or bare), and ``(``/``)`` grouping (an engine extension — the
+    reference's hand-patched HAVING, QueryProcessor6.java:340,346, is a flat
+    chain; parentheses let a query override the left-fold association)."""
+    tokens: list[tuple[str, re.Match[str] | None]] = []
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if ch.isspace():
+            i += 1
+        elif ch == "(":
+            tokens.append(("lparen", None))
+            i += 1
+        elif ch == ")":
+            tokens.append(("rparen", None))
+            i += 1
+        elif ch == "{":
+            m = _HAVING_LEAF_RE.match(line, i)
+            if m is None:
+                raise PhiParseError(f"malformed HAVING leaf at: {line[i:]!r}")
+            tokens.append(("leaf", m))
+            i = m.end()
+        else:
+            j = i
+            while j < len(line) and line[j] not in "{()":
+                j += 1
+            seg = line[i:j]
+            if "&&" in seg:
+                tokens.append(("and", None))
+            elif "||" in seg:
+                tokens.append(("or", None))
+            else:
+                raise PhiParseError(f"malformed HAVING joiner: {seg.strip()!r}")
+            i = j
+    return tokens
+
+
 def parse_having(line: str, output_fields: set[str]) -> Having:
     """Parse the HAVING line. Operands name output columns (with or without a
-    ``MF.`` prefix, cf. QueryProcessor6.java:340,346) or are typed literals."""
+    ``MF.`` prefix, cf. QueryProcessor6.java:340,346) or are typed literals.
+    Joiners left-fold (reference association); parenthesized groups nest."""
 
     def leaf_operand(text: str) -> Operand:
         t = text.strip()
@@ -178,30 +217,46 @@ def parse_having(line: str, output_fields: set[str]) -> Having:
             return Operand(kind="mf", name=t)
         return Operand(kind="lit", value=parse_literal(t))
 
-    leaves: list[Having] = []
-    joiners: list[str] = []
-    pos = 0
-    for m in _HAVING_LEAF_RE.finditer(line):
-        between = line[pos : m.start()].strip()
-        if leaves:
-            if "&&" in between:
-                joiners.append("and")
-            elif "||" in between:
-                joiners.append("or")
-            else:
-                raise PhiParseError(f"malformed HAVING joiner: {between!r}")
-        cond = Cond(
-            left=leaf_operand(m.group(1)),
-            op=_normalize_op(m.group(2)),
-            right=leaf_operand(m.group(3)),
-        )
-        leaves.append(Having(op="leaf", cond=cond))
-        pos = m.end()
-    if not leaves:
+    tokens = _tokenize_having(line)
+    if not tokens:
         raise PhiParseError(f"malformed HAVING clause: {line!r}")
-    tree = leaves[0]
-    for joiner, leaf in zip(joiners, leaves[1:]):
-        tree = Having(op=joiner, children=[tree, leaf])
+    pos = 0
+
+    def term() -> Having:
+        nonlocal pos
+        if pos >= len(tokens):
+            raise PhiParseError(f"truncated HAVING clause: {line!r}")
+        kind, m = tokens[pos]
+        if kind == "lparen":
+            pos += 1
+            node = expr()
+            if pos >= len(tokens) or tokens[pos][0] != "rparen":
+                raise PhiParseError(f"unbalanced '(' in HAVING: {line!r}")
+            pos += 1
+            return node
+        if kind == "leaf":
+            assert m is not None
+            pos += 1
+            cond = Cond(
+                left=leaf_operand(m.group(1)),
+                op=_normalize_op(m.group(2)),
+                right=leaf_operand(m.group(3)),
+            )
+            return Having(op="leaf", cond=cond)
+        raise PhiParseError(f"malformed HAVING clause: {line!r}")
+
+    def expr() -> Having:
+        nonlocal pos
+        tree = term()
+        while pos < len(tokens) and tokens[pos][0] in ("and", "or"):
+            joiner = tokens[pos][0]
+            pos += 1
+            tree = Having(op=joiner, children=[tree, term()])
+        return tree
+
+    tree = expr()
+    if pos != len(tokens):
+        raise PhiParseError(f"unbalanced ')' in HAVING: {line!r}")
     return tree
 
 

@@ -128,3 +128,30 @@ def test_mf_vs_mf_condition():
 def test_bad_operator_rejected():
     with pytest.raises(PhiParseError):
         parse_condition("{quant}[~~]{10}", SALES_COLUMNS)
+
+
+def test_having_parentheses_override_left_fold():
+    from ad_hoc_olap_query_processing_engine_spark.phi.parser import parse_having
+
+    fields = {"a", "b", "c"}
+    nested = parse_having("{MF.a,>,1} && ({MF.b,>,2} || {MF.c,>,3})", fields)
+    assert nested.op == "and"
+    assert nested.children[1].op == "or"
+    # without parens the same chain left-folds: ((a && b) || c)
+    flat = parse_having("{MF.a,>,1} && {MF.b,>,2} || {MF.c,>,3}", fields)
+    assert flat.op == "or"
+    assert flat.children[0].op == "and"
+
+
+def test_having_unbalanced_parens_raise():
+    import pytest
+
+    from ad_hoc_olap_query_processing_engine_spark.phi.parser import (
+        PhiParseError,
+        parse_having,
+    )
+
+    with pytest.raises(PhiParseError):
+        parse_having("({MF.a,>,1} && {MF.b,>,2}", {"a", "b"})
+    with pytest.raises(PhiParseError):
+        parse_having("{MF.a,>,1}) && {MF.b,>,2}", {"a", "b"})

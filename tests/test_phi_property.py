@@ -135,19 +135,22 @@ def phi_specs(draw) -> str:
         slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
     lines.append(",".join(slots))
     if draw(st.booleans()):
-        # 1-5 HAVING leaves chained with mixed &&/|| joiners — the left-fold
-        # builds trees up to 4 deep (((a&&b)||c)&&d)…, the B5/B6 superset
-        n_leaves = draw(st.integers(1, 5))
-        parts = []
-        for _ in range(n_leaves):
-            fld = draw(st.sampled_from(gv_names))
-            op = draw(st.sampled_from([">", "<", ">="]))
-            parts.append(f"{{MF.{fld},{op},{draw(st.integers(0, 30))}}}")
-        joiners = [draw(st.sampled_from(["[&&]", "[||]"])) for _ in range(n_leaves - 1)]
-        line = parts[0]
-        for j, leaf in zip(joiners, parts[1:]):
-            line += f" {j} {leaf}"
-        lines.append(line)
+        # random HAVING tree: flat left-fold chains (the B5/B6 superset) AND
+        # parenthesized nested groups (the grammar extension) — parens must
+        # agree with sqlgen's recursive rendering at every nesting depth
+        def having_tree(depth: int) -> str:
+            if depth == 0 or draw(st.integers(0, 2)) == 0:
+                fld = draw(st.sampled_from(gv_names))
+                op = draw(st.sampled_from([">", "<", ">="]))
+                return f"{{MF.{fld},{op},{draw(st.integers(0, 30))}}}"
+            n_terms = draw(st.integers(2, 3))
+            parts = [having_tree(depth - 1) for _ in range(n_terms)]
+            line = parts[0]
+            for p in parts[1:]:
+                line += f" {draw(st.sampled_from(['[&&]', '[||]']))} {p}"
+            return f"({line})" if draw(st.booleans()) else line
+
+        lines.append(having_tree(2))
     return "\n".join(lines)
 
 
