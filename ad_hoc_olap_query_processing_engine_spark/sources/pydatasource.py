@@ -33,7 +33,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..operators.registry import register
 
@@ -116,8 +122,84 @@ class ParquetRowGroupSource(DataSource):
         return _RowGroupReader(self.options["path"], self._columns())
 
 
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class _JsonLinesWriter(DataSourceWriter):
+    """Executor-side writer with the standard two-phase commit contract:
+    every task writes to a UNIQUE temp name (task attempt id — retries and
+    speculative duplicates can never collide), the driver's ``commit``
+    renames winners into place and writes a ``_SUCCESS`` manifest, and
+    ``abort`` removes the orphans. Readers treat the manifest as the commit
+    point, so a half-failed write is never visible — the same protocol a
+    real object-store sink needs (with rename swapped for multipart
+    complete)."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(
+            self._path,
+            f"_tmp-part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl",
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            os.replace(m.tmp_path, os.path.join(self._path, f"part-{i:05d}.jsonl"))
+            total += m.rows
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
+            json.dump({"files": len(messages), "rows": total}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonLinesSink(DataSource):
+    """``df.write.format("pyjsonl").mode(...).option("path", p).save()`` —
+    the write half of the Python DataSource API surface."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        import os
+        import shutil
+
+        path = self.options["path"]
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+        return _JsonLinesWriter(path)
+
+
 def register_pyrowgroup(spark: SparkSession) -> None:
     spark.dataSource.register(ParquetRowGroupSource)
+    spark.dataSource.register(JsonLinesSink)
 
 
 def read_pyrowgroup(

@@ -146,3 +146,33 @@ def test_pyrowgroup_datasource_matches_native_reader(spark):
         pruned = read_pyrowgroup(spark, path, columns=["s"])
         assert pruned.columns == ["s"]
         assert pruned.count() == 1000
+
+
+def test_pyjsonl_sink_round_trip_with_commit_manifest(spark, nation_df):
+    """Write half of the Python DataSource API: rows round-trip through the
+    JSONL sink, the committed directory carries a _SUCCESS manifest with
+    accurate counts, and no uncommitted temp files remain."""
+    import json
+
+    from ad_hoc_olap_query_processing_engine_spark.sources.pydatasource import (
+        register_pyrowgroup,
+    )
+
+    register_pyrowgroup(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nation_jsonl")
+        nation_df.write.format("pyjsonl").mode("overwrite").option(
+            "path", path
+        ).save()
+        files = sorted(os.listdir(path))
+        assert "_SUCCESS" in files
+        assert not [f for f in files if f.startswith("_tmp-")]
+        manifest = json.load(open(os.path.join(path, "_SUCCESS")))
+        assert manifest["rows"] == nation_df.count()
+        back = spark.read.schema(nation_df.schema).json(
+            os.path.join(path, "part-*.jsonl")
+        )
+        assert_frames_match(
+            back.toPandas().sort_values("n_nationkey").reset_index(drop=True),
+            nation_df.toPandas().sort_values("n_nationkey").reset_index(drop=True),
+        )
