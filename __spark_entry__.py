@@ -39,6 +39,55 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# Queries the round-2 driver never reached (CORRECTNESS_r02.json stopped at
+# 50 rows, module-import order). Listed FIRST so a budget-limited driver
+# checks them before re-confirming the already-green tail; the round-1 ERR
+# reformulations (mm_feature_extract, sim_srp_ann, sim_ivf_ann) lead.
+_CHECK_FIRST = (
+    "mm_feature_extract",
+    "sim_srp_ann",
+    "sim_ivf_ann",
+    "dedup_embedding",
+    "embed_centroids",
+    "embed_knn_classify",
+    "sim_brute_topk",
+    "func_timebucket",
+    "rel_funnel",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_stateful_user_agg",
+    "stream_dedup",
+    "stream_stream_join",
+    "stream_static_join",
+    "mm_byte_stats",
+    "mm_frame_sample",
+    "mm_resize",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_ngram_topk",
+    "text_repetition",
+    "text_vocab",
+    "text_tfidf_topk",
+    "pipe_corpus_filter",
+    "pipe_token_chunks",
+    "pipe_decontaminate",
+    "pipe_shard_shuffle",
+    "pipe_stratified_sample",
+    "func_scalar_surface",
+    "func_collection_surface",
+    "src_pyds_docstats",
+)
+
+
+def _prioritize(full: dict) -> dict:
+    head = {n: full[n] for n in _CHECK_FIRST if n in full}
+    head.update((n, r) for n, r in full.items() if n not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -48,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ad_hoc_olap_query_processing_engine_spark.operators import registry
 
     out.update(registry.spark_queries())
-    return out
+    return _prioritize(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -62,4 +111,4 @@ def oracle_sql() -> dict[str, str]:
     from ad_hoc_olap_query_processing_engine_spark.operators import registry
 
     out.update(registry.oracle_sqls())
-    return out
+    return _prioritize(out)

@@ -134,16 +134,39 @@ WITH cand AS (
 
 # Plane-table upper bound on embedding dimensionality: lets the broadcast
 # plane table be generated from spark.range with NO driver-side action to
-# discover the true dim (dims beyond the data simply never join).
+# discover the true dim (dims beyond the data simply never join). Where the
+# caller knows sf_dir, `_peek_dim` reads the true dim from the parquet footer
+# (a driver-side FILE read, not a Spark action) so the plane table is
+# n_bits×dim instead of n_bits×4096 — 64× smaller on the driver's 64-dim data.
 MAX_DIM = 4096
 
+_DIM_CACHE: dict[str, int] = {}
 
-def _plane_table(spark: SparkSession, prefix: str, n_bits: int) -> DataFrame:
+
+def _peek_dim(sf_dir: str) -> int:
+    """True embedding dimensionality from the first list entry of the first
+    row group (pyarrow, driver-side). Falls back to MAX_DIM — correctness
+    never depends on this, only plane-table size."""
+    if sf_dir not in _DIM_CACHE:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+            col = pf.read_row_group(0, columns=["embedding"]).column(0)
+            _DIM_CACHE[sf_dir] = len(col[0]) or MAX_DIM
+        except Exception:
+            _DIM_CACHE[sf_dir] = MAX_DIM
+    return _DIM_CACHE[sf_dir]
+
+
+def _plane_table(spark: SparkSession, prefix: str, n_bits: int, dim: int = MAX_DIM) -> DataFrame:
     """The (plane bit, dimension) → ±1 weight table, derived from the first
     md5 byte of 'prefix:bit:dim' — md5 and hex-parse are bit-identical in
     Spark and DuckDB, so both engines build the same planes with no RNG
-    state. n_bits×MAX_DIM rows — broadcast-sized at any data scale."""
-    ids = spark.range(n_bits * MAX_DIM)
+    state. n_bits×dim rows — broadcast-sized at any data scale."""
+    ids = spark.range(n_bits * dim)
     bt = (F.col("id") % n_bits).cast("int")
     d = F.floor(F.col("id") / n_bits).cast("int")
     h = F.conv(
@@ -163,7 +186,7 @@ def _plane_table(spark: SparkSession, prefix: str, n_bits: int) -> DataFrame:
     return ids.select(bt.alias("bt"), d.alias("d"), w.alias("w"))
 
 
-def _projections(e: DataFrame, prefix: str, n_bits: int) -> DataFrame:
+def _projections(e: DataFrame, prefix: str, n_bits: int, dim: int = MAX_DIM) -> DataFrame:
     """(vec_id, bt, p): exact-integer signed projection of each quantized
     vector onto each plane, p = Σ_d floor(x_d·1000)·w(bt,d). posexplode →
     broadcast-join the plane table → hash re-aggregate: one md5 per PLANE
@@ -175,7 +198,7 @@ def _projections(e: DataFrame, prefix: str, n_bits: int) -> DataFrame:
         lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
     )
     elems = e.select("vec_id", F.posexplode(q).alias("d", "v"))
-    planes = _plane_table(e.sparkSession, prefix, n_bits)
+    planes = _plane_table(e.sparkSession, prefix, n_bits, dim)
     return (
         elems.join(F.broadcast(planes), "d")
         .groupBy("vec_id", "bt")

@@ -23,6 +23,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -81,7 +82,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one driver table, normalizing nanos timestamps to TimestampType."""
+    """Read one driver table, normalizing every timestamp flavor to TIMESTAMP.
+
+    Driver parquet has shipped ``ts`` as both ``timestamp[ns]`` (round 1) and
+    ``timestamp[us]`` with no timezone (round 2+), which vanilla Spark reads
+    as ``TIMESTAMP_NTZ`` — a type ``unix_micros`` and ``withWatermark``
+    reject. We pin the session timezone to UTC (runtime-settable, works on
+    externally-built sessions) and cast NTZ → TIMESTAMP; under UTC the cast
+    is a pure metadata change (identical epoch micros), so results match
+    DuckDB, which reads the same naive micros as its own TIMESTAMP.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
@@ -91,6 +101,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(path)
     for col in nanos_cols:
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast(TimestampType()) for c in ntz_cols})
     return df
 
 

@@ -61,8 +61,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(link_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # timestamp[us] no-tz parquet → TIMESTAMP_NTZ, which withWatermark
+        # rejects; load_table() above already pinned session tz to UTC, so
+        # this cast preserves the stored epoch micros exactly.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -12,9 +12,13 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# TimestampNTZType mirrors the driver's parquet (`timestamp[us]`, no tz) —
+# round 2 shipped with TimestampType here, which is exactly why the suite
+# missed the NTZ watermark regression. The stream casts NTZ → TIMESTAMP the
+# same way production `_events_stream` does.
 SCHEMA = T.StructType(
     [
-        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("ts", T.TimestampNTZType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("value", T.DoubleType(), False),
     ]
@@ -29,6 +33,7 @@ def _mk(spark, offsets_minutes):
 
 
 def test_late_rows_dropped_after_watermark(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "src")
         os.makedirs(src)
@@ -37,7 +42,8 @@ def test_late_rows_dropped_after_watermark(spark):
 
         stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
         agg = (
-            stream.withWatermark("ts", "1 hour")
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").cast("long").alias("ws"), "n")
