@@ -44,6 +44,11 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # checks them before re-confirming the already-green tail; the round-1 ERR
 # reformulations (mm_feature_extract, sim_srp_ann, sim_ivf_ann) lead.
 _CHECK_FIRST = (
+    "func_multires_rollup",
+    "pipe_weighted_sample",
+    "rel_asof_tolerance",
+    "rel_heavy_hitters",
+    "text_rarity_score",
     "rel_skew_salted_join",
     "mm_feature_extract",
     "sim_srp_ann",

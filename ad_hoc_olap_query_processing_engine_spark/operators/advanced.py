@@ -100,6 +100,101 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 
 
 # ---------------------------------------------------------------------------
+# rel_asof_tolerance — the bounded-staleness as-of variants every market-data
+# / feature-store pipeline needs: BACKWARD with a max-staleness window (a
+# quote older than the tolerance is no match) and FORWARD (earliest right row
+# at-or-after the probe). Same single-shuffle union-merge as asof_join — the
+# tolerance is a post-pick null-out (if the closest match is already outside
+# the window, no in-window match exists), and the forward direction is the
+# mirrored window frame over the SAME sorted partition, so both directions
+# share one exchange. Oracle: DuckDB ASOF JOIN both directions + CASE.
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.unix_micros("ts").alias("p_us")
+    )
+    l_tagged = clicks.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("double").alias("__r_value"),
+        F.lit(None).cast("bigint").alias("__r_us"),
+    )
+    r_tagged = purchases.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col("value").alias("__r_value"),
+        F.col("p_us").alias("__r_us"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # backward: rights sort before lefts at equal ts (>= semantics); ties on
+    # (user, ts) break on value so the pick is deterministic
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r_value"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # forward over the SAME sort: frame starts at the current row and runs
+    # forward; at equal ts the left row precedes nothing on the right side
+    # frame-wise (rights at the same ts sort earlier, hence NOT in the
+    # forward frame) → strictly-later semantics, mirrored in the oracle with
+    # e.ts < p.ts
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r_value"))
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    out = (
+        u.withColumn("__b_value", F.last("__r_value", ignorenulls=True).over(wb))
+        .withColumn("__b_us", F.last("__r_us", ignorenulls=True).over(wb))
+        .withColumn("__f_value", F.first("__r_value", ignorenulls=True).over(wf))
+        .withColumn("__f_us", F.first("__r_us", ignorenulls=True).over(wf))
+        .filter(F.col("__is_left") == 1)
+    )
+    us = F.unix_micros("__ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.when(us - F.col("__b_us") <= ASOF_TOL_US, F.col("__b_value")).alias(
+            "prior_purchase_1h"
+        ),
+        F.when(F.col("__f_us") - us <= ASOF_TOL_US, F.col("__f_value")).alias(
+            "next_purchase_1h"
+        ),
+    )
+
+
+REL_ASOF_TOLERANCE_SQL = f"""\
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+back AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+              THEN p.value END AS prior_purchase_1h
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts >= p.ts),
+fwd AS (
+  SELECT c.event_id, c.user_id,
+         CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOL_US}
+              THEN p.value END AS next_purchase_1h
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts < p.ts)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+       b.prior_purchase_1h, f.next_purchase_1h
+FROM back b JOIN fwd f ON b.event_id = f.event_id"""
+
+
+# ---------------------------------------------------------------------------
 # pivot / unpivot
 # ---------------------------------------------------------------------------
 
@@ -270,6 +365,7 @@ FROM documents GROUP BY lang"""
 
 
 register("rel_asof_join", rel_asof_join, REL_ASOF_JOIN_SQL)
+register("rel_asof_tolerance", rel_asof_tolerance, REL_ASOF_TOLERANCE_SQL)
 register("rel_pivot_revenue", rel_pivot_revenue, REL_PIVOT_REVENUE_SQL)
 register("rel_unpivot_measures", rel_unpivot_measures, REL_UNPIVOT_MEASURES_SQL)
 register("rel_full_outer_activity", rel_full_outer_activity, REL_FULL_OUTER_ACTIVITY_SQL)

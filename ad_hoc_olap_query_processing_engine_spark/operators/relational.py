@@ -439,6 +439,64 @@ GROUP BY l_returnflag"""
 
 
 # ---------------------------------------------------------------------------
+# rel_heavy_hitters — per-group frequent-items via the approx_top_k sketch,
+# contract-checked like rel_approx_distinct: the exact top-5 count multiset
+# per event_type is computed independently (two-phase groupBy, then a rank
+# over the ALREADY-AGGREGATED counts table — window partitions hold |users|
+# aggregate rows, not raw events), and the query asserts the sketch's top-5
+# counts equal it. maxItemsTracked exceeds the key NDV, so the sketch counts
+# are exact and the boolean is stable even when ties make the sketch's ITEM
+# choice arbitrary — comparing count multisets, not items, is what makes a
+# sketch with tie-freedom oracle-checkable. At 100 TB the sketch side is one
+# pass with mergeable partial state; the exact side exists only as the check.
+# ---------------------------------------------------------------------------
+
+HH_K = 5
+
+
+def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    )
+    to_csv = lambda arr: F.array_join(  # noqa: E731
+        F.transform(F.sort_array(arr, asc=False), lambda x: x.cast("string")), ","
+    )
+    exact = (
+        counts.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= HH_K)
+        .groupBy("event_type")
+        .agg(to_csv(F.collect_list("n")).alias("top_counts"))
+    )
+    sketch = e.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {HH_K}, 100000)").alias("__tk")
+    )
+    sketch = sketch.select(
+        "event_type", to_csv(F.expr("transform(__tk, x -> x.count)")).alias("__sk")
+    )
+    return exact.join(F.broadcast(sketch), "event_type").select(
+        "event_type",
+        "top_counts",
+        (F.col("top_counts") == F.col("__sk")).alias("sketch_matches_exact"),
+    )
+
+
+REL_HEAVY_HITTERS_SQL = f"""\
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+  FROM counts)
+SELECT event_type,
+       STRING_AGG(CAST(n AS VARCHAR), ',' ORDER BY n DESC) AS top_counts,
+       TRUE AS sketch_matches_exact
+FROM ranked WHERE rk <= {HH_K}
+GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
 # rel_global_sort — total-order top-N. ORDER BY + LIMIT lets Catalyst plan
 # TakeOrderedAndProject: per-partition top-N heaps merged at the driver —
 # O(N·log k) with NO global sort/shuffle, the only total-order plan that
@@ -851,3 +909,4 @@ register("rel_running_spend", rel_running_spend, REL_RUNNING_SPEND_SQL)
 register("func_json_extract", func_json_extract, FUNC_JSON_EXTRACT_SQL)
 register("func_daily_events", func_daily_events, FUNC_DAILY_EVENTS_SQL)
 register("rel_approx_distinct", rel_approx_distinct, REL_APPROX_DISTINCT_SQL)
+register("rel_heavy_hitters", rel_heavy_hitters, REL_HEAVY_HITTERS_SQL)

@@ -93,3 +93,56 @@ FROM ranked WHERE rk <= {SAMPLE_K}"""
 
 
 register("pipe_stratified_sample", pipe_stratified_sample, PIPE_STRATIFIED_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_weighted_sample — weighted random sampling WITHOUT replacement
+# (Efraimidis–Spirakis): each doc draws a uniform u from its id hash and gets
+# key ln(u)/w (w = doc length); the top-K keys ARE a weighted sample — longer
+# docs proportionally likelier, the standard "sample by token count" mixture
+# step. One map-side pass + a top-K (no per-stratum sort, no rand()):
+# order-statistics on a global key is TakeOrdered at any scale. Determinism:
+# u comes from the same 48-bit md5 uniform as pipe_stratified_sample, and the
+# ln/division floats are identical IEEE inputs in both engines — adjacent
+# keys are ~1e-3 apart at 500 docs while cross-engine libm drift is ≤1 ulp
+# (~1e-16 relative), so the selected set and its ranking hash-match.
+# ---------------------------------------------------------------------------
+
+W_SAMPLE_K = 30
+
+
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    u = (_doc_hash() + F.lit(1)).cast("double") / F.lit(float(2**48))  # (0, 1]
+    key = F.log(u) / F.col("n_chars").cast("double")  # ES key, log-domain
+    # top-K via orderBy+limit = TakeOrdered (per-partition heaps + tiny merge,
+    # never a global sort/window); ranks are assigned on the K survivors only
+    sampled = (
+        d.select("doc_id", "lang", "n_chars", key.alias("__key"))
+        .orderBy(F.desc("__key"), "doc_id")
+        .limit(W_SAMPLE_K)
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("__key"), "doc_id"))
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        rk.cast("int").alias("sample_rank"),
+    )
+
+
+PIPE_WEIGHTED_SAMPLE_SQL = f"""\
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+            / CAST({2**48} AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rk
+  FROM keyed)
+SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS sample_rank
+FROM ranked WHERE rk <= {W_SAMPLE_K}"""
+
+
+register("pipe_weighted_sample", pipe_weighted_sample, PIPE_WEIGHTED_SAMPLE_SQL)

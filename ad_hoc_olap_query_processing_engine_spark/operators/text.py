@@ -423,3 +423,55 @@ SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TFIDF_TOP_K
 
 
 register("text_tfidf_topk", text_tfidf_topk, TEXT_TFIDF_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_rarity_score — corpus-unigram-LM document scoring, the "perplexity
+# filter" of a training-data pipeline: fit the unigram model on the corpus
+# itself (token → global count), score each document by how surprising its
+# tokens are under that model. The textbook score is avg(-log p(tok)), but
+# libm logs are not bit-identical across engines and float-sum order is not
+# associative — so the score is the exact-rational analogue: the mean INVERSE
+# probability, Σ floor(total·10⁶ / count(tok)) per token, one bigint sum,
+# divided once at the end. Same ordering of documents (monotone in token
+# rarity), zero float accumulation — the whole pipeline hash-matches.
+# Shuffles: token explode → (token) count (partial-agg absorbs stopwords
+# map-side), broadcast of the 1-row total, then a (doc_id) re-aggregation.
+# ---------------------------------------------------------------------------
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = model.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        toks.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__inv", F.expr("(__total * 1000000) DIV __cnt"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum("__inv").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+                "mean_inv_prob"
+            ),
+        )
+    )
+
+
+TEXT_RARITY_SCORE_SQL = """\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+model AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM model)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM((total.total * 1000000) // m.cnt) AS DOUBLE) / COUNT(*) / 1000000
+         AS mean_inv_prob
+FROM toks t JOIN model m USING (token) CROSS JOIN total
+GROUP BY t.doc_id"""
+
+
+register("text_rarity_score", text_rarity_score, TEXT_RARITY_SCORE_SQL)

@@ -180,3 +180,80 @@ LEFT JOIN p ON p.user_id = u.user_id"""
 
 
 register("rel_funnel", rel_funnel, REL_FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_multires_rollup — the hypertable continuous-aggregate ladder: an hourly
+# base aggregate computed ONCE from raw events, and the daily tier derived
+# FROM THE HOURLY AGGREGATE, never from raw (count/sum/min/max re-aggregate
+# losslessly). That is the 100 TB shape: raw is touched exactly once per
+# refresh window, and each coarser tier aggregates |finer tier| rows —
+# thousands — regardless of raw volume; TimescaleDB/Druid maintain their
+# rollup ladders the same way. Both resolutions surface in one frame tagged
+# by a `resolution` column. The oracle recomputes BOTH tiers from raw — so a
+# hash match proves the rollup-of-rollup derivation is lossless, which is the
+# whole point of the operator.
+# ---------------------------------------------------------------------------
+
+HOUR_SECS = 3600
+
+
+def func_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hour = (
+        F.floor(F.unix_micros(F.col("ts")) / (HOUR_SECS * 1_000_000)) * HOUR_SECS
+    ).cast("bigint")
+    hourly = (
+        e.withColumn("__b", hour)
+        .groupBy("__b", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sum"),
+            F.min(F.col("value").cast("decimal(18,6)")).alias("__min"),
+            F.max(F.col("value").cast("decimal(18,6)")).alias("__max"),
+        )
+    )
+    # daily tier: re-aggregate the HOURLY rows (floor of the hourly bucket,
+    # sum of counts/sums, min of mins, max of maxes)
+    day = (F.floor(F.col("__b") / BUCKET_SECS) * BUCKET_SECS).cast("bigint")
+    daily = (
+        hourly.withColumn("__b", day)
+        .groupBy("__b", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum").alias("__sum"),
+            F.min("__min").alias("__min"),
+            F.max("__max").alias("__max"),
+        )
+    )
+    out = hourly.withColumn("resolution", F.lit("1h")).unionByName(
+        daily.withColumn("resolution", F.lit("1d"))
+    )
+    return out.select(
+        "resolution",
+        F.col("__b").alias("bucket_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("__sum").cast("double").alias("sum_value"),
+        F.col("__min").cast("double").alias("min_value"),
+        F.col("__max").cast("double").alias("max_value"),
+    )
+
+
+FUNC_MULTIRES_ROLLUP_SQL = f"""\
+WITH tiers AS (
+  SELECT '1h' AS resolution, CAST({HOUR_SECS} AS BIGINT) AS width
+  UNION ALL
+  SELECT '1d', {BUCKET_SECS})
+SELECT t.resolution,
+       CAST(FLOOR(epoch_us(e.ts) / (t.width * 1000000)) * t.width AS BIGINT) AS bucket_start,
+       e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(MIN(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events e CROSS JOIN tiers t
+GROUP BY 1, 2, 3"""
+
+
+register("func_multires_rollup", func_multires_rollup, FUNC_MULTIRES_ROLLUP_SQL)
