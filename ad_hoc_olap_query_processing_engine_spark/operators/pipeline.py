@@ -25,15 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .dedup import _SHINGLES_SQL, _minhash_ctes, _shingles, connected_components, minhash_pairs
+from .dedup import (
+    _SHINGLES_SQL,
+    _minhash_ctes,
+    connected_components,
+    shingle_postings,
+    verified_minhash_pairs,
+)
 from .registry import register
 from .text import TEXT_QUALITY_SQL, quality_frame
 
 
 def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d).persist()
-    cc = connected_components(minhash_pairs(sh))
+    cc = connected_components(verified_minhash_pairs(spark, sf_dir))
     nonkeep = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     q = quality_frame(d).filter(F.col("keep"))
     # no broadcast hint: the non-keeper set is a duplicate-rate fraction of
@@ -144,8 +149,7 @@ EVAL_SLICE_MOD = 97
 
 
 def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d)
+    sh = shingle_postings(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_SLICE_MOD == 0
     eval_sh = sh.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "s")
     train_sh = sh.filter(~is_eval)
