@@ -150,7 +150,7 @@ def phi_specs(draw) -> str:
                 line += f" {draw(st.sampled_from(['[&&]', '[||]']))} {p}"
             return f"({line})" if draw(st.booleans()) else line
 
-        lines.append(having_tree(2))
+        lines.append(having_tree(draw(st.integers(2, 4))))
     return "\n".join(lines)
 
 

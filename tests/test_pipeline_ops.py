@@ -66,6 +66,33 @@ def test_connected_components_empty_graph(spark):
     assert dedup.connected_components(pairs).count() == 0
 
 
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    """Adversarial worst case: a 200-node path (diameter 199). Plain min-label
+    propagation needs ~diameter rounds — far beyond CC_MAX_ROUNDS — so this
+    only converges if the pointer-jumping step actually halves chain depth
+    every round (O(log d)). Node ids descend so labels must travel the full
+    length of the path."""
+    n = 200
+    # path 200-199-...-1 written as (doc_a, doc_b) pairs; min id (1) is at
+    # the far end from the max, the worst case for min-label flow
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {1}
+
+
+def test_connected_components_two_paths_stay_separate(spark):
+    """Two disjoint paths must not merge: labels may only flow along edges."""
+    a = [(i, i + 1) for i in range(1, 50)]          # component min id 1
+    b = [(i, i + 1) for i in range(1000, 1050)]     # component min id 1000
+    pairs = spark.createDataFrame(a + b, "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id) for r in dedup.connected_components(pairs).collect()}
+    assert all(c == 1 for d, c in got if d < 1000)
+    assert all(c == 1000 for d, c in got if d >= 1000)
+
+
 def test_stratified_sample_is_exact_per_stratum(spark):
     # the two-phase (hash-gate + rank) sample must equal the single-phase
     # full-stratum rank — i.e. the gate is a pure optimization — and fill
