@@ -212,6 +212,10 @@ def func_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("value").cast("decimal(18,6)")).alias("__min"),
             F.max(F.col("value").cast("decimal(18,6)")).alias("__max"),
         )
+        # the hourly tier IS the materialized continuous aggregate — persist
+        # it so the output union and the daily derivation share one fact
+        # pass (without this, the unioned lineage re-scans raw events)
+        .persist()
     )
     # daily tier: re-aggregate the HOURLY rows (floor of the hourly bucket,
     # sum of counts/sums, min of mins, max of maxes)

@@ -175,3 +175,38 @@ def test_funnel_single_pass_single_shuffle(spark):
     args = exchange_args(df)
     assert sum(a.startswith("hashpartitioning") for a in args) == 1, args
     assert table_scan_count(df, "events.parquet") == 1
+
+
+def test_multires_rollup_scans_events_once(spark):
+    """The rollup ladder's core claim: raw events are read exactly once —
+    the daily tier re-aggregates the HOURLY aggregate, so both resolutions
+    come from one fact pass (at 100 TB the coarse tier costs |hourly rows|,
+    not |raw|)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+
+    df = timeseries.func_multires_rollup(spark, SF_SMALL)
+    assert table_scan_count(df, "events.parquet") == 1
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark):
+    """Efraimidis-Spirakis top-K must plan as TakeOrdered (per-partition
+    heaps + tiny merge), never a full global Sort before the limit."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import sampling
+
+    plan = physical_plan(sampling.pipe_weighted_sample(spark, SF_SMALL))
+    assert "TakeOrdered" in plan
+
+
+def test_asof_tolerance_two_scans_one_exchange(spark):
+    """Both as-of directions + tolerance run from ONE sorted shuffle of the
+    clicks∪purchases union: two filtered scans of events (one per side),
+    exactly one hashpartitioning exchange (user_id), no join."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import advanced
+
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = advanced.rel_asof_tolerance(spark, SF_SMALL)
+    assert table_scan_count(df, "events.parquet") == 2
+    args = exchange_args(df)
+    assert sum(a.startswith("hashpartitioning") for a in args) == 1, args
+    assert "Join" not in physical_plan(df)
