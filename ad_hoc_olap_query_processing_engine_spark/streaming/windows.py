@@ -291,6 +291,90 @@ register("stream_stateful_user_agg", stream_stateful_user_agg, STREAM_STATEFUL_U
 
 
 # ---------------------------------------------------------------------------
+# stream_tws_extremes — custom stateful operator on transformWithStateInPandas
+# (the Spark 4 successor to applyInPandasWithState: typed state primitives —
+# value/list/map state, timers, TTL — instead of one opaque tuple). Covering
+# BOTH stateful APIs matters: applyInPandasWithState is the stable surface,
+# transformWithState is where new state features land.
+#
+# The transformWithState Python runner requires protobuf (its driver↔worker
+# control channel is proto-serialized); environments without it crash the
+# runner at init, so registration is gated on the import — the operator code
+# itself is complete and runs wherever `google.protobuf` is installed.
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (n, min_micros, max_micros) in a typed ValueState;
+    each micro-batch emits refreshed extremes for the users it touched."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("ext", "n long, mn long, mx long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = (self._st.get() or (0, None, None)) if self._st.exists() else (0, None, None)
+            for pdf in rows:
+                n += len(pdf)
+                lo, hi = int(pdf["micros"].min()), int(pdf["micros"].max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self._st.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn / 1e6],
+                    "max_value": [mx / 1e6],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # exact micro-unit ints in state; decimals only at the boundary
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint").alias("micros"),
+    )
+    agg = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Extremes(),
+        outputStructType="user_id long, n_events long, min_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain(agg, spark, "update")
+
+
+STREAM_TWS_EXTREMES_SQL = """\
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) / 1000000.0
+         AS min_value,
+       MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) / 1000000.0
+         AS max_value
+FROM events GROUP BY user_id"""
+
+
+if tws_available():
+    register("stream_tws_extremes", stream_tws_extremes, STREAM_TWS_EXTREMES_SQL)
+
+
+# ---------------------------------------------------------------------------
 # stream_dedup — streaming deduplication (dropDuplicates + watermark).
 # ---------------------------------------------------------------------------
 

@@ -57,3 +57,19 @@ def test_foreach_batch_sink_exactly_once(spark, tmp_path):
         == batches_after_first
     )
     assert os.path.isdir(out)
+
+
+def test_tws_extremes_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs protobuf in the Python runner; the
+    op registers only where that holds (and runs correctly when it does)."""
+    import pytest
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import registry
+    from ad_hoc_olap_query_processing_engine_spark.streaming import windows
+
+    registered = "stream_tws_extremes" in registry.all_ops()
+    assert registered == windows.tws_available()
+    if not windows.tws_available():
+        pytest.skip("protobuf absent: transformWithState runner unavailable")
+    got = windows.stream_tws_extremes(spark, "/root/testdata/sf0.001")
+    assert got.count() > 0
