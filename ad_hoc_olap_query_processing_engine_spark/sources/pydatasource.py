@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -197,9 +198,70 @@ class JsonLinesSink(DataSource):
         return _JsonLinesWriter(path)
 
 
+# ---------------------------------------------------------------------------
+# Streaming half of the Python DataSource API: a deterministic tick source.
+#
+# ``SimpleDataSourceStreamReader`` is the extension point for streaming
+# ingestion from systems Spark has no connector for (a message queue, a
+# polling REST API, a change feed). The contract this implements is the one
+# any such connector must honor for exactly-once:
+#
+# - ``initialOffset``    → the logical start position ({"seq": 0})
+# - ``read(start)``      → rows for one micro-batch + the END offset; called
+#                          only on the fresh path
+# - ``readBetweenOffsets(start, end)`` → DETERMINISTIC REPLAY of a committed
+#                          range after restart — same offsets, same rows
+#
+# Rows are a pure function of the sequence number (seq, seq % BUCKETS,
+# seq * 7 % 100), so replay determinism is exact and testable: the resume
+# test restarts the query from a checkpoint and must see batch 2, never a
+# duplicate of batch 1.
+# ---------------------------------------------------------------------------
+
+TICKS_PER_BATCH = 50
+TICK_BUCKETS = 5
+
+
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the simple-reader prefetch path pickles
+        # the row payload between driver and executors
+        return [(i, i % TICK_BUCKETS, float(i * 7 % 100)) for i in range(lo, hi)]
+
+    def read(self, start: dict):
+        lo = start["seq"]
+        hi = lo + TICKS_PER_BATCH
+        return self._rows(lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["seq"], end["seq"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the source is stateless by construction
+
+
+class TickStreamSource(DataSource):
+    """``spark.readStream.format("pyticks").load()`` — deterministic
+    synthetic tick stream certifying the streaming DataSource surface."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyticks"
+
+    def schema(self) -> str:
+        return "seq bigint, bucket bigint, value double"
+
+    def simpleStreamReader(self, schema):
+        return _TickStreamReader()
+
+
 def register_pyrowgroup(spark: SparkSession) -> None:
     spark.dataSource.register(ParquetRowGroupSource)
     spark.dataSource.register(JsonLinesSink)
+    spark.dataSource.register(TickStreamSource)
 
 
 def read_pyrowgroup(

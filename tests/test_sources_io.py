@@ -223,3 +223,40 @@ def test_jdbc_source_pushdown_and_partitioned_read(spark):
         assert part.rdd.getNumPartitions() == 4
         assert part.count() == 100
         assert {r.STATE for r in part.select("STATE").distinct().collect()} == {"NY", "CT", "NJ"}
+
+
+def test_pyticks_stream_batches_and_checkpoint_resume(spark):
+    """The streaming Python DataSource contract: trigger-once batch 1 reads
+    [0, 50); a RESTARTED query on the same checkpoint resumes from the
+    committed offset and emits [50, 100) — no duplicates, no gaps (the
+    exactly-once offset protocol, driven end-to-end)."""
+    from ad_hoc_olap_query_processing_engine_spark.sources import pydatasource
+
+    pydatasource.register_pyrowgroup(spark)
+    n = pydatasource.TICKS_PER_BATCH
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "out")
+
+        def one_batch():
+            q = (
+                spark.readStream.format("pyticks").load()
+                .writeStream.outputMode("append")
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            q.stop()
+            return {r.seq for r in spark.read.parquet(out).collect()}
+
+        first = one_batch()
+        assert first == set(range(0, n))
+        cumulative = one_batch()  # restarted query, same checkpoint + sink
+        assert cumulative == set(range(0, 2 * n))  # no duplicates, no gaps
+        # replay determinism directly: a committed range re-reads identically
+        rdr = pydatasource._TickStreamReader()
+        replay = list(rdr.readBetweenOffsets({"seq": 0}, {"seq": n}))
+        fresh, _ = rdr.read({"seq": 0})
+        assert replay == list(fresh)
