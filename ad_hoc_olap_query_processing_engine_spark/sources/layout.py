@@ -1,0 +1,127 @@
+"""Table-layout maintenance: the jobs a 100 TB parquet warehouse runs to keep
+scans fast (the reference has no notion of layout — its one table lives in
+PostgreSQL; reference: src/QueryProcessor1.java:76-96 full-scans it).
+
+compact_small_files   the OPTIMIZE/compaction job: streaming and per-trigger
+                      batch writers leave thousands of KB-sized files; each
+                      costs an open + footer parse per scan task. Rewrite a
+                      directory into ~target-sized files. File count is
+                      computed from the on-disk byte size (driver-side
+                      listing, no data read); the rewrite is one coalesce-
+                      free repartition so rows distribute evenly regardless
+                      of input skew. Two-phase: write to a temp dir, then
+                      atomically swap — readers never see a half-compacted
+                      table.
+
+zorder_key            multi-dimensional clustering: interleave the bits of
+                      several int columns into one sort key so that sorting
+                      by the key makes row-group min/max ranges NARROW ON
+                      EVERY dimension at once (a plain sort only helps its
+                      leading column). Scans filtering on ANY of the z
+                      columns then skip most row groups via footer stats —
+                      the same reason Delta/Iceberg expose OPTIMIZE ZORDER.
+                      Pure JVM bit arithmetic (shiftright/and/shiftleft),
+                      rank-normalized via ntile so skewed value domains
+                      still split evenly.
+
+write_zordered        repartitionByRange(z) + sortWithinPartitions(z) +
+                      parquet write: range partitioning gives global
+                      clustering (each file owns a z-range), the local sort
+                      orders rows inside row groups.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-dimension resolution: 2^16 rank buckets
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``in_path`` (parquet dir) into ``out_path`` with files sized
+    ~``target_file_bytes``. Returns the output file count."""
+    n_files = max(1, -(-dir_bytes(in_path) // target_file_bytes))  # ceil
+    tmp = out_path.rstrip("/") + "._compacting"
+    (
+        spark.read.parquet(in_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
+    os.replace(tmp, out_path)
+    return n_files
+
+
+def _zorder_interleave(ranks: list[Column], bits: int) -> Column:
+    n = len(ranks)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for d, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + d)
+    return key
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = Z_BITS, key_col: str = "__z"
+) -> DataFrame:
+    """Attach an interleaved-bit (Morton) key over min-max-normalized
+    dimensions. Normalization bounds come from ONE tiny aggregate broadcast
+    onto the scan — no global window/sort anywhere (an ntile-based rank
+    normalization would funnel the whole table through one window
+    partition). Linear scaling wastes bit space under heavy value-domain
+    skew; a warehouse deployment upgrades the scaling to approx-quantile
+    cut points fit on a sample — the interleave stays identical. Bits
+    interleave round-robin so every dimension contributes equally at every
+    prefix length of the key."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+    )
+    keyed = df.crossJoin(F.broadcast(bounds))
+    top = F.lit((1 << bits) - 1)
+    ranks = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        ranks.append(
+            F.least(
+                top, F.floor((F.col(c).cast("double") - lo) / span * (1 << bits))
+            ).cast("bigint")
+        )
+    return keyed.withColumn(key_col, _zorder_interleave(ranks, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    keyed = with_zorder_key(df, cols)
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
