@@ -254,3 +254,55 @@ FROM small"""
 
 
 register("mm_resize", mm_resize, MM_RESIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mm_arrow_bytesum — the mapInArrow surface: the kernel receives and returns
+# raw pyarrow RecordBatches (no pandas materialization at all), the right
+# API when the decode library itself speaks Arrow buffers (pyarrow-image,
+# audio frame readers) or when pandas conversion would dominate. Same
+# vectorized shape as _decode_batch: the whole batch concatenates into one
+# uint8 buffer + segment ids, two numpy passes, no per-row Python.
+# ---------------------------------------------------------------------------
+
+
+def mm_arrow_bytesum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir).select("media_id", "payload")
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            n = len(payloads)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            if n and lens.sum():
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+                sums = np.bincount(seg, weights=buf, minlength=n).astype(np.int64)
+            else:
+                sums = np.zeros(n, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("media_id"), pa.array(lens), pa.array(sums)],
+                names=["media_id", "n_bytes", "byte_sum"],
+            )
+
+    return p.mapInArrow(kernel, schema="media_id long, n_bytes long, byte_sum long")
+
+
+# ASCII corpus: ord(char) == byte value, so the per-char sum mirrors the
+# uint8 buffer sum exactly
+MM_ARROW_BYTESUM_SQL = """\
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+sums AS (
+  SELECT doc_id, CAST(SUM(ord(c)) AS BIGINT) AS byte_sum
+  FROM chars GROUP BY doc_id)
+SELECT d.doc_id                    AS media_id,
+       octet_length(encode(d.text)) AS n_bytes,
+       s.byte_sum
+FROM documents d JOIN sums s ON s.doc_id = d.doc_id"""
+
+
+register("mm_arrow_bytesum", mm_arrow_bytesum, MM_ARROW_BYTESUM_SQL)
