@@ -75,10 +75,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stateful operators instantiate one state-store (checkpoint dir, provider,
 # maintenance thread) PER shuffle partition, captured at query start. The
 # local harness processes the whole table in one micro-batch, so 32 state
-# partitions are pure constant overhead (measured: stream-stream join 12.6 s
-# → 2.8 s at 8). On a real cluster, size this to key cardinality/throughput —
-# it is a per-query knob, not a global one.
-STREAM_STATE_PARTITIONS = 8
+# partitions are pure constant overhead (measured at sf0.1: stream-stream
+# join 12.6 s @32 → 3.7 s @8 → 2.3 s @4; below 4 the gain flattens while
+# parallel headroom disappears). On a real cluster, size this to key
+# cardinality/throughput — it is a per-query knob, not a global one.
+STREAM_STATE_PARTITIONS = 4
 
 
 def _drain(agg: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
