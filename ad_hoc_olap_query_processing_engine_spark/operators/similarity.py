@@ -228,8 +228,30 @@ proj AS (
 # ---------------------------------------------------------------------------
 
 
+# Session-scoped shared projection table for the 'srp' plane family, built
+# once at the WIDEST width any consumer needs (DEDUP_SRP_BITS) with the true
+# embedding dim from the parquet footer. Plane bt's weight depends only on
+# (bt, dim) — never on the table width — so every narrower index is a
+# bt-prefix filter of this one table (the materialized-index pattern again:
+# ANN queries and near-dup mining share one projection build per session).
+_SRP_PROJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def srp_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SRP_PROJ_CACHE:
+        e = load_table(spark, "embeddings", sf_dir)
+        _SRP_PROJ_CACHE[key] = _projections(
+            e, "srp", DEDUP_SRP_BITS, _peek_dim(sf_dir)
+        ).persist()
+    return _SRP_PROJ_CACHE[key]
+
+
 def _srp_buckets(
-    e: DataFrame, n_bits: int = SRP_BITS, bands: int = SRP_BANDS
+    e: DataFrame,
+    n_bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    proj: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, bucket): one row per (vector, band) with the
     band's SRP signature (band offset + sign bits) — the shared LSH bucket
@@ -238,7 +260,10 @@ def _srp_buckets(
     the same hyperplane in every index). Built from the projection table; the
     join back to ``e`` re-attaches the embedding for re-ranking."""
     bpb = n_bits // bands
-    proj = _projections(e, "srp", n_bits)
+    if proj is None:
+        proj = _projections(e, "srp", n_bits)
+    else:
+        proj = proj.filter(F.col("bt") < n_bits)
     band = F.floor(F.col("bt") / bpb).cast("int")
     bit = F.when(
         F.col("p") >= 0, F.expr(f"shiftleft(1, CAST(bt % {bpb} AS INT))")
@@ -255,8 +280,9 @@ def _srp_buckets(
 def sim_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     # the bucket index feeds the scan side AND the (filtered) query side —
-    # persist so the projection pipeline runs once
-    buckets = _srp_buckets(e).persist()
+    # persist so the banding pipeline runs once (projections come from the
+    # shared session-scoped table)
+    buckets = _srp_buckets(e, proj=srp_projections(spark, sf_dir)).persist()
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -323,7 +349,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join and its DISTINCT on bare ids (a pair can collide in
     # several bands) so the shuffle never carries embedding arrays
     idx = (
-        _srp_buckets(e, DEDUP_SRP_BITS, DEDUP_SRP_BANDS)
+        _srp_buckets(
+            e, DEDUP_SRP_BITS, DEDUP_SRP_BANDS, proj=srp_projections(spark, sf_dir)
+        )
         .select("vec_id", "bucket")
         .persist()
     )
@@ -426,7 +454,7 @@ IVF_PROBES = 3  # own cell + the two least-confident single-bit flips
 
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    proj = _projections(e, "ivf", IVF_BITS)
+    proj = _projections(e, "ivf", IVF_BITS, _peek_dim(sf_dir))
     assigned = proj.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("bt") == b, F.col("p"))).alias(f"p{b}")
