@@ -474,6 +474,52 @@ register("udf_grouped_zscore", udf_grouped_zscore, UDF_GROUPED_ZSCORE_SQL)
 
 
 # ---------------------------------------------------------------------------
+# udf_weighted_avg — GROUPED_AGG pandas_udf, the third Python-kernel flavor
+# (scalar pandas_udf = udf_token_count, grouped-map applyInPandas =
+# udf_grouped_zscore, grouped-agg = this): the whole group's columns arrive
+# as pandas Series and ONE scalar returns. Arithmetic is exact int64 inside
+# the kernel (micro-unit values × integer weights), one true division at the
+# end — deterministic against DuckDB's identical formula. Cost note, honest:
+# GROUPED_AGG UDAFs get no partial aggregation (every row shuffles to its
+# group), so built-ins remain the hot path; this certifies the escape hatch.
+# ---------------------------------------------------------------------------
+
+
+def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint").alias("micros"),
+        (F.col("user_id") % 5 + 1).cast("bigint").alias("w"),
+    )
+
+    @F.pandas_udf("double")
+    def wavg(micros: pd.Series, w: pd.Series) -> float:
+        num = int((micros.astype("int64") * w.astype("int64")).sum())
+        den = int(w.sum())
+        return num / den / 1e6
+
+    # a GROUPED_AGG pandas UDF cannot mix with built-in aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second tiny
+    # aggregation joined on the group key
+    wavgs = ev.groupBy("event_type").agg(wavg("micros", "w").alias("wavg_value"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return wavgs.join(F.broadcast(counts), "event_type")
+
+
+UDF_WEIGHTED_AVG_SQL = """\
+SELECT event_type,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                * (user_id % 5 + 1)) AS DOUBLE)
+         / CAST(SUM(user_id % 5 + 1) AS DOUBLE) / 1000000.0 AS wavg_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type"""
+
+
+register("udf_weighted_avg", udf_weighted_avg, UDF_WEIGHTED_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
 # rel_range_join — interval θ-join: for each purchase, count/sum the same
 # user's click events in the 10 minutes leading up to it. The join has an
 # equi key (user_id) plus the range condition, so Spark plans a hash join on

@@ -227,3 +227,61 @@ FROM h"""
 
 
 register("pipe_shard_shuffle", pipe_shard_shuffle, PIPE_SHARD_SHUFFLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_pack_bins — cross-document sequence packing: concatenate many short
+# documents into fixed-capacity context windows (pipe_token_chunks splits ONE
+# long doc; training pipelines also need the converse — pack shorts together
+# so windows aren't mostly padding). Exact global first-fit is inherently
+# sequential, so the distributed form shards documents deterministically and
+# runs streaming-concat-then-cut per shard: a running token cumsum (window
+# over doc_id order within the shard) assigns each doc the bin its START
+# offset falls in. Bins are full up to straddle slack — the standard
+# approximation — and the whole assignment is pure integer window math,
+# identical in DuckDB. At 100 TB the shard count scales out; each shard's
+# window sorts only its own docs.
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256  # tokens per packed window
+PACK_SHARDS = 8
+
+
+def pipe_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / PACK_CAPACITY).cast("int").alias("bin_id"),
+        (start % PACK_CAPACITY).cast("int").alias("bin_offset"),
+    )
+
+
+PIPE_PACK_BINS_SQL = f"""\
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(st // {PACK_CAPACITY} AS INT) AS bin_id,
+       CAST(st % {PACK_CAPACITY} AS INT) AS bin_offset
+FROM s"""
+
+
+register("pipe_pack_bins", pipe_pack_bins, PIPE_PACK_BINS_SQL)
