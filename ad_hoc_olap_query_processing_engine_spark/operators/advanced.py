@@ -119,28 +119,33 @@ def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value", F.unix_micros("ts").alias("p_us")
     )
+    # the matched row's (us, value) travels as ONE struct so both fields
+    # always come from the SAME purchase row — separate last(value)/last(us)
+    # calls with ignorenulls would pick different rows when value is NULL
     l_tagged = clicks.select(
         "event_id",
         "user_id",
         F.col("ts").alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("double").alias("__r_value"),
-        F.lit(None).cast("bigint").alias("__r_us"),
+        F.lit(None).cast("struct<us:bigint,value:double>").alias("__r"),
     )
     r_tagged = purchases.select(
         F.lit(None).cast("bigint").alias("event_id"),
         "user_id",
         F.col("ts").alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.col("value").alias("__r_value"),
-        F.col("p_us").alias("__r_us"),
+        F.struct(F.col("p_us").alias("us"), F.col("value").alias("value")).alias("__r"),
     )
     u = l_tagged.unionByName(r_tagged)
-    # backward: rights sort before lefts at equal ts (>= semantics); ties on
-    # (user, ts) break on value so the pick is deterministic
+    # backward: rights sort before lefts at equal ts (>= semantics); rights
+    # tying on (user, ts) further order by the struct (us, value), so the
+    # Spark pick is deterministic — the DuckDB ASOF oracle's pick among
+    # exact-(user, ts) duplicate purchases is arbitrary, so the oracle
+    # contract (like rel_asof_join's) assumes the event stream has no such
+    # duplicates, which the generated data satisfies
     wb = (
         W.partitionBy("user_id")
-        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r_value"))
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     # forward over the SAME sort: frame starts at the current row and runs
@@ -150,14 +155,12 @@ def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e.ts < p.ts
     wf = (
         W.partitionBy("user_id")
-        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r_value"))
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r"))
         .rowsBetween(0, W.unboundedFollowing)
     )
     out = (
-        u.withColumn("__b_value", F.last("__r_value", ignorenulls=True).over(wb))
-        .withColumn("__b_us", F.last("__r_us", ignorenulls=True).over(wb))
-        .withColumn("__f_value", F.first("__r_value", ignorenulls=True).over(wf))
-        .withColumn("__f_us", F.first("__r_us", ignorenulls=True).over(wf))
+        u.withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__r", ignorenulls=True).over(wf))
         .filter(F.col("__is_left") == 1)
     )
     us = F.unix_micros("__ts")
@@ -165,10 +168,10 @@ def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         us.alias("ts_us"),
-        F.when(us - F.col("__b_us") <= ASOF_TOL_US, F.col("__b_value")).alias(
+        F.when(us - F.col("__b.us") <= ASOF_TOL_US, F.col("__b.value")).alias(
             "prior_purchase_1h"
         ),
-        F.when(F.col("__f_us") - us <= ASOF_TOL_US, F.col("__f_value")).alias(
+        F.when(F.col("__f.us") - us <= ASOF_TOL_US, F.col("__f.value")).alias(
             "next_purchase_1h"
         ),
     )

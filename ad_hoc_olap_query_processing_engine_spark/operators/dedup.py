@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from .session_cache import session_cached
 
 NUM_HASHES = 16
 BANDS = 8  # r = NUM_HASHES // BANDS = 2
@@ -83,14 +84,15 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
 # per query. This is the warehouse-index pattern — at 100 TB the posting
 # table is a maintained artifact the dedup jobs share, not per-query work.
 # Purely physical: each query's plan semantics are unchanged.
-_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _POSTINGS_CACHE:
-        _POSTINGS_CACHE[key] = _shingles(load_table(spark, "documents", sf_dir)).persist()
-    return _POSTINGS_CACHE[key]
+    return session_cached(
+        "shingle_postings",
+        spark,
+        sf_dir,
+        lambda: _shingles(load_table(spark, "documents", sf_dir)).persist(),
+    )
 
 
 # The verified near-dup pair table is likewise shared downstream (pair list →
@@ -98,14 +100,15 @@ def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second maintained index of the family. Tiny by construction (one row per
 # verified near-dup pair), so localCheckpoint materializes it eagerly and
 # later consumers skip the whole sketch pipeline.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = minhash_pairs(shingle_postings(spark, sf_dir)).localCheckpoint()
-    return _PAIRS_CACHE[key]
+    return session_cached(
+        "verified_minhash_pairs",
+        spark,
+        sf_dir,
+        lambda: minhash_pairs(shingle_postings(spark, sf_dir)).localCheckpoint(),
+    )
 
 
 def _pair_jaccard_ctes(cand_cte: str) -> str:

@@ -144,9 +144,12 @@ _DIM_CACHE: dict[str, int] = {}
 
 
 def _peek_dim(sf_dir: str) -> int:
-    """True embedding dimensionality from the first list entry of the first
-    row group (pyarrow, driver-side). Falls back to MAX_DIM — correctness
-    never depends on this, only plane-table size."""
+    """Embedding dimensionality as the MAX list length over the first row
+    group (pyarrow, driver-side). Correct whenever no later row group is
+    wider than the first — true for fixed-width embedding tables, which
+    test_schema_parity pins for the driver data. Falls back to MAX_DIM (a
+    plane table wider than the data is only a size cost, never wrong; one
+    NARROWER than some row would silently drop that row's top dims)."""
     if sf_dir not in _DIM_CACHE:
         try:
             import os
@@ -155,7 +158,9 @@ def _peek_dim(sf_dir: str) -> int:
 
             pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
             col = pf.read_row_group(0, columns=["embedding"]).column(0)
-            _DIM_CACHE[sf_dir] = len(col[0]) or MAX_DIM
+            import pyarrow.compute as pc
+
+            _DIM_CACHE[sf_dir] = int(pc.max(pc.list_value_length(col)).as_py()) or MAX_DIM
         except Exception:
             _DIM_CACHE[sf_dir] = MAX_DIM
     return _DIM_CACHE[sf_dir]
@@ -234,17 +239,22 @@ proj AS (
 # (bt, dim) — never on the table width — so every narrower index is a
 # bt-prefix filter of this one table (the materialized-index pattern again:
 # ANN queries and near-dup mining share one projection build per session).
-_SRP_PROJ_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def srp_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SRP_PROJ_CACHE:
-        e = load_table(spark, "embeddings", sf_dir)
-        _SRP_PROJ_CACHE[key] = _projections(
-            e, "srp", DEDUP_SRP_BITS, _peek_dim(sf_dir)
-        ).persist()
-    return _SRP_PROJ_CACHE[key]
+    from .session_cache import session_cached
+
+    return session_cached(
+        "srp_projections",
+        spark,
+        sf_dir,
+        lambda: _projections(
+            load_table(spark, "embeddings", sf_dir),
+            "srp",
+            DEDUP_SRP_BITS,
+            _peek_dim(sf_dir),
+        ).persist(),
+    )
 
 
 def _srp_buckets(

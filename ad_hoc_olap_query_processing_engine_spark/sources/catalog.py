@@ -103,6 +103,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
     ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     if ntz_cols:
+        # Deliberately a SESSION-level setting, not scoped to this read: the
+        # whole engine's timestamp contract (and every DuckDB oracle) is
+        # UTC-epoch semantics, and the driver hands us vanilla sessions this
+        # function must make correct. A host app embedding this library with
+        # its own non-UTC session timezone should pin UTC itself (our
+        # session factory does) — mixing timezone conventions inside one
+        # session is not a supported configuration.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast(TimestampType()) for c in ntz_cols})
     return df

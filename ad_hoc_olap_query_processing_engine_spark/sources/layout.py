@@ -66,9 +66,19 @@ def compact_small_files(
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    # swap via two renames, never rmtree-then-rename: a crash between the
+    # renames leaves the old data at ._old (recoverable), not deleted with
+    # the new data stranded. On an object store this whole step becomes a
+    # metastore location flip, which is where true atomicity lives.
     if os.path.isdir(out_path):
-        shutil.rmtree(out_path)
-    os.replace(tmp, out_path)
+        old = out_path.rstrip("/") + "._old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.replace(out_path, old)
+        os.replace(tmp, out_path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, out_path)
     return n_files
 
 
@@ -94,6 +104,10 @@ def with_zorder_key(
     cut points fit on a sample — the interleave stays identical. Bits
     interleave round-robin so every dimension contributes equally at every
     prefix length of the key."""
+    # keep every interleaved shift index inside a signed 64-bit key: with n
+    # dimensions the top bit lands at bits*n - 1, so cap per-dimension bits
+    # at 62//n instead of silently wrapping into the sign bit
+    bits = min(bits, 62 // max(len(cols), 1))
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],

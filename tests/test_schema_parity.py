@@ -69,3 +69,16 @@ def test_driver_parquet_ts_flavor_is_known():
         f"driver events.ts is now {ts!r} — add a normalization branch to "
         "catalog.load_table for it"
     )
+
+
+def test_embeddings_are_fixed_width():
+    """The SRP plane table is sized from row-group-0's max list length
+    (similarity._peek_dim); that is only safe while every embedding has the
+    same dimensionality — pin it against the driver data."""
+    import duckdb
+
+    lo, hi = duckdb.sql(
+        f"SELECT MIN(len(embedding)), MAX(len(embedding)) "
+        f"FROM '{SF}/embeddings.parquet'"
+    ).fetchone()
+    assert lo == hi, f"ragged embeddings: min dim {lo} != max dim {hi}"
