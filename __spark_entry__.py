@@ -44,6 +44,7 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # checks them before re-confirming the already-green tail; the round-1 ERR
 # reformulations (mm_feature_extract, sim_srp_ann, sim_ivf_ann) lead.
 _CHECK_FIRST = (
+    "text_bm25_topk",
     "udf_weighted_avg",
     "pipe_pack_bins",
     "mm_arrow_bytesum",

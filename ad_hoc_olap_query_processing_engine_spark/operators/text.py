@@ -475,3 +475,92 @@ GROUP BY t.doc_id"""
 
 
 register("text_rarity_score", text_rarity_score, TEXT_RARITY_SCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — ranked retrieval (the RAG/IR face of the text tier): BM25
+# score of every document against a fixed query-term set, top-K results.
+# Classic Okapi BM25 with exact-integer inputs (tf, df, dl all ints; avgdl
+# one exact division), so the float formula evaluates the identical IEEE
+# operation tree in Spark and DuckDB — scores round to 6 dp only to absorb
+# sub-ulp association differences, ranking ties break on doc_id.
+#
+# Plan shape at 100 TB: tf explode shuffles on (doc_id, token) once; the
+# query-term table is a literal broadcast; df/avgdl are tiny broadcast aggs;
+# the final top-K is TakeOrdered, never a global sort. An inverted-index
+# deployment would precompute tf/df as maintained tables — the same two
+# aggregates this computes inline.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("data", "model", "system")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_len"),
+    )
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    per_term = scored.withColumn("__s", idf * tf_part)
+    ranked = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("__s"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    return ranked
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(len(string_split(text, ' '))) AS total_len
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * ((tf.tf * ({BM25_K1} + 1)) /
+            (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl /
+             (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25, COUNT(*) AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}"""
+
+
+register("text_bm25_topk", text_bm25_topk, _bm25_sql())
