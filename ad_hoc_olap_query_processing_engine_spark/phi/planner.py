@@ -5,7 +5,7 @@ table and an O(|sales| × |groups|) nested loop per grouping variable
 (reference: src/QueryProcessor1.java:113-172 scan 0, :200-302 GV scans). We
 compile the same semantics to a declarative DataFrame plan and let Catalyst /
 Tungsten / AQE pick physical strategies. Per grouping variable, the planner
-picks the cheapest of four strategies (SURVEY.md §2.2 compilation rules):
+picks the cheapest of five strategies (SURVEY.md §2.2 compilation rules):
 
 COND_AGG   MF-predicates are same-group equalities covering every grouping
            attribute (incl. the implicit synthesis of reference
@@ -29,6 +29,13 @@ WINDOW     MF-predicates are equalities on a subset S of the grouping
                                   extra grouping attributes)
            avg is computed as Σpartial_sum / Σpartial_count — tuple-weighted,
            never avg-of-avgs. No second pass over sales at all.
+
+FACT_WINDOW Tuple-level conditions against the anchor group's group-0
+           aggregates, pinned to the tuple's own group by equalities on
+           every grouping attribute (the textbook below-own-average count):
+           the group-0 value attaches to each fact row via a partitionBy(V)
+           window sharing the scan-0 shuffle — one fact pass, one exchange,
+           no join back against sales.
 
 GROUP_JOIN Simple GVs the WINDOW frames can't encode — two θ conditions on
            distinct attributes, θ+anti mixes, strict θ on non-integral
