@@ -35,11 +35,12 @@ sim_ivf_ann       IVF sketch with a DETERMINISTIC coarse quantizer: 3 SRP
                   query.
 
 sim_ivf_kmeans    the library k-means variant of the IVF quantizer (learned
-                  centroids beat data-oblivious SRP cells on recall). Not
-                  registered — KMeans sketches can't be mirrored in SQL — but
-                  unit-tested; the fit runs on a seeded SAMPLE of the
-                  vectors, never the full set (at 100 TB an iterative fit
-                  over every vector is the scale-killer).
+                  centroids beat data-oblivious SRP cells on recall).
+                  Registered rows-only — KMeans sketches can't be mirrored
+                  in SQL; unit tests pin subset-of-brute semantics. The fit
+                  runs on a seeded SAMPLE of the vectors with a bounded
+                  iteration budget, never the full set (at 100 TB an
+                  iterative fit over every vector is the scale-killer).
 
 At 100 TB the brute path is O(Q·N) per query batch but embarrassingly
 parallel with no shuffle (broadcast queries); the SRP/IVF paths cut
@@ -559,8 +560,11 @@ register("sim_ivf_ann", sim_ivf_ann, _ivf_sql())
 
 
 # ---------------------------------------------------------------------------
-# sim_ivf_kmeans — library k-means IVF (not registered: sketch not SQL-
-# mirrorable). The quantizer fit runs on a seeded SAMPLE, never the full set.
+# sim_ivf_kmeans — library k-means IVF, registered WITHOUT an oracle (the
+# contract's rows-only check for genuinely non-SQL-expressible ops: KMeans
+# centroids can't be mirrored in DuckDB). Unit tests pin the semantics that
+# ARE checkable — results are a subset of brute-force with bounded recall.
+# The quantizer fit runs on a seeded SAMPLE, never the full set.
 # ---------------------------------------------------------------------------
 
 KMEANS_FIT_FRACTION = 0.1
@@ -584,7 +588,11 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit_set = e.select("vec") if frac >= 1.0 else e.select("vec").sample(
         fraction=frac, seed=42
     )
-    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="vec", predictionCol="cell")
+    # bounded iteration budget: a coarse quantizer needs rough cell
+    # boundaries, not convergence — 5 Lloyd rounds on the sample suffice
+    km = KMeans(
+        k=IVF_CLUSTERS, seed=42, maxIter=5, featuresCol="vec", predictionCol="cell"
+    )
     model = km.fit(fit_set)
     assigned = model.transform(e).select("vec_id", "embedding", "cell")
 
@@ -641,6 +649,9 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.embedding").alias("embedding"),
     )
     return _exact_rerank(cand)
+
+
+register("sim_ivf_kmeans", sim_ivf_kmeans, None)  # rows-only: not SQL-expressible
 
 
 # ---------------------------------------------------------------------------
