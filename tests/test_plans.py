@@ -210,3 +210,14 @@ def test_asof_tolerance_two_scans_one_exchange(spark):
     args = exchange_args(df)
     assert sum(a.startswith("hashpartitioning") for a in args) == 1, args
     assert "Join" not in physical_plan(df)
+
+
+def test_bm25_is_top_k_not_global_sort(spark):
+    """BM25 retrieval must plan the final ranking as TakeOrdered and keep the
+    df/avgdl sides broadcast — no corpus-wide sort, no shuffled join against
+    the tiny statistics."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+
+    plan = physical_plan(text.text_bm25_topk(spark, SF_SMALL))
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -87,3 +87,26 @@ def test_salted_join_plan_shape(spark):
         assert "__salt" in plan and "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_ops_match_plain_on_adversarial_skew(spark):
+    """One key holding ~90% of rows (the case salting exists for): both
+    hatches must still be result-identical to the unsalted plans."""
+    import pandas as pd
+
+    rows = [(0, i % 7) for i in range(9000)] + [(k, k) for k in range(1, 1000)]
+    big = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    plain_agg = big.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("v").alias("n")
+    )
+    salted_agg = skew.salted_groupby_agg(
+        big, keys=["k"], aggs={"s": ("sum", "v"), "n": ("count", "v")}
+    )
+    assert_frames_match(salted_agg.toPandas(), plain_agg.toPandas())
+
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 1000), "tag": [f"t{i}" for i in range(1000)]})
+    )
+    plain_join = big.join(small, "k").groupBy("tag").count()
+    salted_join = skew.salted_join(big, small, "k").groupBy("tag").count()
+    assert_frames_match(salted_join.toPandas(), plain_join.toPandas())
