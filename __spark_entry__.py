@@ -39,56 +39,65 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-# Queries the round-2 driver never reached (CORRECTNESS_r02.json stopped at
-# 50 rows, module-import order). Listed FIRST so a budget-limited driver
-# checks them before re-confirming the already-green tail; the round-1 ERR
-# reformulations (mm_feature_extract, sim_srp_ann, sim_ivf_ann) lead.
+# The driver checks only the first ~50 of queries() per round, so ordering IS
+# the evidence strategy. Round-4 priority: (a) the five queries whose latest
+# driver row is a round-2 NTZ fail (fixed in round 3 at catalog.load_table,
+# verified by the local DuckDB crosscheck, but never re-driver-checked),
+# (b) sim_ivf_kmeans, registered round 3 and never driver-checked at all,
+# (c) phi_q6-q9 and every other query whose latest green row is round 2 —
+# so after this round no registered query's freshest driver status is a fail
+# or older than round 3. The round-3-confirmed set (CORRECTNESS_r03.json,
+# 50/50 pass) rotates to the tail.
 _CHECK_FIRST = (
-    "text_bm25_topk",
-    "udf_weighted_avg",
-    "pipe_pack_bins",
-    "mm_arrow_bytesum",
-    "func_multires_rollup",
-    "pipe_weighted_sample",
-    "rel_asof_tolerance",
-    "rel_heavy_hitters",
-    "text_rarity_score",
-    "rel_skew_salted_join",
-    "mm_feature_extract",
-    "sim_srp_ann",
-    "sim_ivf_ann",
-    "dedup_embedding",
-    "embed_centroids",
-    "embed_knn_classify",
-    "sim_brute_topk",
-    "func_timebucket",
-    "rel_funnel",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful_user_agg",
-    "stream_dedup",
-    "stream_stream_join",
-    "stream_static_join",
-    "mm_byte_stats",
-    "mm_frame_sample",
-    "mm_resize",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_ngram_topk",
-    "text_repetition",
-    "text_vocab",
-    "text_tfidf_topk",
-    "pipe_corpus_filter",
-    "pipe_token_chunks",
-    "pipe_decontaminate",
-    "pipe_shard_shuffle",
-    "pipe_stratified_sample",
-    "func_scalar_surface",
-    "func_collection_surface",
-    "src_pyds_docstats",
+    # (a) stale round-2 fails — fix is live, needs a fresh hard signal
+    "rel_asof_join",
+    "rel_latest_event",
+    "rel_moving_window",
+    "rel_range_bucket_join",
+    "rel_sessionize",
+    # (b) never driver-checked (rows-only by contract)
+    "sim_ivf_kmeans",
+    # (c) last confirmed in round 2
+    "phi_q6",
+    "phi_q7",
+    "phi_q8",
+    "phi_q9",
+    "rel_global_sort",
+    "rel_skew_salted_agg",
+    "rel_rank_stats",
+    "rel_bucketed_join",
+    "rel_grouping_sets",
+    "rel_histogram",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_customers",
+    "rel_late_ship_priority",
+    "rel_idle_customers",
+    "rel_set_ops",
+    "rel_rollup_revenue",
+    "rel_cube_lineitem",
+    "rel_running_spend",
+    "func_json_extract",
+    "func_daily_events",
+    "rel_approx_distinct",
+    "rel_pivot_revenue",
+    "rel_unpivot_measures",
+    "rel_full_outer_activity",
+    "rel_percentiles",
+    "udf_token_count_pandas",
+    "rel_correlated_subquery",
+    "rel_string_agg",
+    "udf_grouped_zscore",
+    "rel_range_join",
+    "rel_window_suite",
+    "rel_snapshot_diff",
+    "rel_merge_upsert",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_cc",
+    "dedup_fuzzy_name",
 )
 
 
