@@ -376,8 +376,10 @@ GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR)"""
 # is order-independent; the percentile sketch merge is deterministic on a
 # fixed file layout), so the booleans are stable — the oracle emits the exact
 # NDV and literal TRUE, which hash-matches iff the sketch honors its bound.
-# rsd=0.01 with a 5% acceptance bound = 5-sigma headroom; the median band
-# (p45..p55) dwarfs the default sketch's ~2-row rank error at sf0.01.
+# rsd=0.02 against a 5% acceptance bound (2.5-sigma; measured max relative
+# error ≤1.1% at sf0.001/0.01/0.1 on the deterministic driver data — and the
+# sketch is deterministic given the data, so the boolean is stable); the
+# median band (p45..p55) dwarfs the sketch's rank error at sf0.01.
 # ---------------------------------------------------------------------------
 
 
@@ -385,24 +387,30 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_partkey", "l_quantity"
     )
-    # Exact NDV and the sketches in SEPARATE aggregations: a DISTINCT
-    # aggregate mixed with non-distinct sketch aggregates in one groupBy
-    # makes Catalyst plan an Expand (row duplication per aggregate class)
-    # with the HLL/percentile sketches re-evaluated per expanded row —
-    # measured 18 s vs 1.0 s at sf0.1. Both sketches share ONE raw-scan
-    # aggregate; the exact NDV runs as an explicit two-phase distinct
-    # (map-side-combinable partial on (flag, pk), then a count per flag).
-    approx = l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__approx"),
-        F.expr("approx_percentile(l_quantity, 0.5)").alias("__amed"),
-    )
-    exact = (
+    # Exact NDV and the HLL sketch share ONE aggregation over the DEDUPED
+    # (flag, pk) pairs: HLL register maxima are duplicate-insensitive, so the
+    # sketch over distinct pairs is value-identical to the sketch over raw
+    # rows while hashing ~10× fewer values — and fusing it here (both plain
+    # aggregates, no DISTINCT-mixed-with-sketch Expand: that shape measured
+    # 18 s vs 1.0 s at sf0.1) removes the separate raw-scan HLL pass the
+    # round-2/3 formulation paid. The percentile sketch keeps its own raw
+    # scan (it needs every row).
+    ndv = (
         l.select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_parts"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+        )
     )
-    sketches = exact.join(F.broadcast(approx), "l_returnflag").withColumn(
+    # accuracy=2000: rank error n/2000 ≈ 0.05 percentile points per group —
+    # two orders inside the p45..p55 acceptance band, at half the default
+    # sketch's buffer cost
+    amed = l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 2000)").alias("__amed")
+    )
+    sketches = ndv.join(F.broadcast(amed), "l_returnflag").withColumn(
         "ndv_within_5pct",
         F.abs(F.col("__approx") - F.col("exact_parts"))
         <= F.col("exact_parts") * 0.05,
@@ -671,12 +679,15 @@ GROUP BY l_returnflag"""
 
 
 # ---------------------------------------------------------------------------
-# rel_skew_salted_join — the replicate-and-salt join hatch run END-TO-END and
-# oracle-checked against the plain equi-join (the salt must be invisible in
-# the result). Scenario: a fact-to-dimension join where the dimension is too
-# big to broadcast and the fact's key histogram is spiked — each orders row is
-# replicated once per salt bucket and lineitem rows scatter over the buckets,
-# so one hot orderkey occupies salt_buckets tasks instead of one.
+# rel_skew_salted_join — the hot-key-split salted join hatch run END-TO-END
+# and oracle-checked against the plain equi-join (the split must be invisible
+# in the result). Scenario: a fact-to-dimension join where the dimension is
+# too big to broadcast and the fact's key histogram is spiked — keys holding
+# >= hot_threshold fact rows are salted (their dimension rows replicated once
+# per salt bucket, fact rows scattered over the buckets) while every other
+# key takes the plain shuffle join with zero replication. hot_threshold=5
+# here so TPC-H orderkeys with 5-7 lineitems genuinely exercise the hot
+# branch at driver scale alongside the cold branch.
 # ---------------------------------------------------------------------------
 
 
@@ -689,7 +700,7 @@ def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, "orders", sf_dir).select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    joined = salted_join(li, od, "okey")
+    joined = salted_join(li, od, "okey", hot_threshold=5)
     return joined.groupBy("o_orderpriority").agg(
         F.sum("qty").alias("total_qty"),
         F.count(F.lit(1)).alias("n_items"),

@@ -71,8 +71,9 @@ def test_salted_groupby_plan_shape(spark):
 
 
 def test_salted_join_plan_shape(spark):
-    """The join must key on (key, __salt) — one hot key spreads over
-    salt_buckets tasks — and must not silently broadcast the salted side."""
+    """The hot branch must key on (key, __salt) — one hot key spreads over
+    salt_buckets tasks — and neither data side may be silently broadcast
+    (only the tiny hot-key set is; its broadcast is semi/anti membership)."""
     from ad_hoc_olap_query_processing_engine_spark.plans import physical_plan
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -82,11 +83,75 @@ def test_salted_join_plan_shape(spark):
         small = catalog.load_table(spark, "part", SF_SMALL).select(
             F.col("p_partkey").alias("l_partkey"), "p_brand"
         )
-        joined = skew.salted_join(big, small, key="l_partkey")
+        joined = skew.salted_join(big, small, key="l_partkey", hot_threshold=2)
         plan = physical_plan(joined)
-        assert "__salt" in plan and "BroadcastHashJoin" not in plan
+        # hot branch: shuffle join keyed on the salt, replication via explode
+        assert "__salt" in plan and "explode" in plan
+        salted_exchanges = [
+            seg
+            for seg in plan.split("Arguments: ")
+            if seg.startswith("hashpartitioning") and "__salt" in seg.splitlines()[0]
+        ]
+        assert salted_exchanges, "hot-branch join must shuffle on (key, __salt)"
+        # the only broadcasts are the hot-key membership probes (semi/anti),
+        # never a data-carrying inner join of small. Tree lines carry the
+        # join type inline ("BroadcastHashJoin LeftSemi BuildRight (6)");
+        # detail headers ("(6) BroadcastHashJoin") don't and are skipped.
+        tree_joins = [
+            line
+            for line in plan.splitlines()
+            if "BroadcastHashJoin" in line and not line.strip().startswith("(")
+        ]
+        assert tree_joins, "membership probes should broadcast the hot-key set"
+        for line in tree_joins:
+            assert "LeftSemi" in line or "LeftAnti" in line, line
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_hot_key_split_routing(spark):
+    """Rows must route by key temperature: with a 90%-hot key, the hot-key
+    set contains exactly that key, the cold branch join never sees it, and
+    only the hot key's small-side rows are replicated."""
+    import pandas as pd
+
+    rows = [(0, i % 7) for i in range(9000)] + [(k, k) for k in range(1, 1000)]
+    big = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 1000), "tag": [f"t{i}" for i in range(1000)]})
+    )
+
+    hot = skew.hot_keys(big, "k", hot_threshold=1000)
+    assert [r.k for r in hot.collect()] == [0]
+
+    # replication volume: salt_buckets × |hot rows of small| = 8 × 1, not 8 × 1000
+    small_hot = small.join(F.broadcast(hot), "k", "left_semi")
+    replicated = small_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    )
+    assert replicated.count() == 8
+
+    # cold branch excludes the hot key entirely
+    big_cold = big.join(F.broadcast(hot), "k", "left_anti")
+    assert big_cold.where(F.col("k") == 0).count() == 0
+    assert big_cold.count() == 999
+
+
+def test_salted_join_no_hot_keys_degenerates_to_plain(spark):
+    """With nothing above threshold the hot branch carries zero rows and the
+    result is exactly the plain join (uniform keys must not pay replication)."""
+    import pandas as pd
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 50 for i in range(2000)], "v": range(2000)})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": range(50), "tag": [f"t{i}" for i in range(50)]})
+    )
+    assert skew.hot_keys(big, "k", hot_threshold=1000).count() == 0
+    plain = big.join(small, "k").groupBy("tag").count()
+    salted = skew.salted_join(big, small, "k", hot_threshold=1000).groupBy("tag").count()
+    assert_frames_match(salted.toPandas(), plain.toPandas())
 
 
 def test_salted_ops_match_plain_on_adversarial_skew(spark):
@@ -108,5 +173,7 @@ def test_salted_ops_match_plain_on_adversarial_skew(spark):
         pd.DataFrame({"k": range(0, 1000), "tag": [f"t{i}" for i in range(1000)]})
     )
     plain_join = big.join(small, "k").groupBy("tag").count()
-    salted_join = skew.salted_join(big, small, "k").groupBy("tag").count()
+    salted_join = (
+        skew.salted_join(big, small, "k", hot_threshold=1000).groupBy("tag").count()
+    )
     assert_frames_match(salted_join.toPandas(), plain_join.toPandas())
