@@ -326,16 +326,21 @@ register("text_repetition", text_repetition, TEXT_REPETITION_SQL)
 
 # ---------------------------------------------------------------------------
 # text_vocab — min-frequency vocabulary build: global token counts, drop
-# tokens below VOCAB_MIN_COUNT, assign contiguous ids by (count DESC, token)
-# — the id table a tokenizer-training step consumes. The count shuffle keys
-# on the token (high-cardinality; partial aggregation absorbs hot stopwords
-# map-side), and the id assignment is a single-partition window over the
-# POST-FILTER vocabulary, which is bounded by vocabulary size (~100k-1M
-# terms), not corpus size — safe at 100 TB where a global sort of the
-# postings would not be.
+# tokens below VOCAB_MIN_COUNT, assign dense contiguous ids — the id table a
+# tokenizer-training step consumes. The count shuffle keys on the token
+# (high-cardinality; partial aggregation absorbs hot stopwords map-side).
+# Id assignment is PARTITION-SAFE: rank within an md5 hash bucket (parallel
+# windows over VOCAB_BUCKETS partitions) plus a broadcast per-bucket offset
+# from a tiny bucket-size aggregate, so no data-sized single-partition
+# WindowExec exists anywhere in the plan — the only global window runs on the
+# VOCAB_BUCKETS-row offset table (constant-bounded, like the K-survivor
+# ranking in sampling.py). Ids are dense [1..|vocab|] and deterministic in
+# (bucket, count DESC, token) order; the DuckDB oracle reproduces the exact
+# same order via the same 48-bit md5 bucket hash.
 # ---------------------------------------------------------------------------
 
 VOCAB_MIN_COUNT = 5
+VOCAB_BUCKETS = 32
 
 
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,9 +353,37 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= VOCAB_MIN_COUNT)
     )
-    w = W.orderBy(F.desc("n"), F.asc("token"))
-    return counts.select(
-        "token", "n", F.row_number().over(w).cast("int").alias("token_id")
+    # 48-bit md5 uniform, bit-identical in DuckDB (same trick as
+    # sampling._doc_hash / dedup._hash_fields)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 12), 16, 10)
+        .cast("bigint")
+        % VOCAB_BUCKETS
+    )
+    c = counts.withColumn("__bkt", bkt)
+    rk = F.row_number().over(
+        W.partitionBy("__bkt").orderBy(F.desc("n"), F.asc("token"))
+    )
+    # bucket offsets via a triangular self-join on the VOCAB_BUCKETS-row size
+    # table (offset(b) = Σ sizes of lower buckets) — no unpartitioned window
+    # anywhere in the plan, so the WindowExec single-partition path is gone
+    sizes = c.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__sz"))
+    lower = sizes.select(
+        F.col("__bkt").alias("__lb"), F.col("__sz").alias("__lsz")
+    )
+    offsets = (
+        sizes.join(F.broadcast(lower), F.col("__lb") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__lsz"), F.lit(0)).alias("__off"))
+    )
+    return (
+        c.withColumn("__rk", rk)
+        .join(F.broadcast(offsets), "__bkt")
+        .select(
+            "token",
+            "n",
+            (F.col("__off") + F.col("__rk")).cast("int").alias("token_id"),
+        )
     )
 
 
@@ -359,10 +392,14 @@ WITH c AS (
   SELECT t.token, COUNT(*) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
   GROUP BY t.token
-  HAVING COUNT(*) >= {VOCAB_MIN_COUNT})
+  HAVING COUNT(*) >= {VOCAB_MIN_COUNT}),
+b AS (
+  SELECT token, n,
+         ('0x' || substr(md5(token), 1, 12))::BIGINT % {VOCAB_BUCKETS} AS bkt
+  FROM c)
 SELECT token, n,
-       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id
-FROM c"""
+       CAST(ROW_NUMBER() OVER (ORDER BY bkt, n DESC, token ASC) AS INT) AS token_id
+FROM b"""
 
 
 register("text_vocab", text_vocab, TEXT_VOCAB_SQL)
@@ -445,10 +482,22 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
     total = model.agg(F.sum("__cnt").alias("__total"))
+    # floor(total·10⁶ / cnt) decomposed as (total DIV cnt)·10⁶ +
+    # ((total MOD cnt)·10⁶) DIV cnt — algebraically identical, but the
+    # intermediate products stay < max(total, cnt·10⁶) instead of total·10⁶,
+    # so int64 is safe while max(single-token count) < 9.2e12 and total
+    # < 9.2e18 (vs overflowing at total ≈ 9.2e12 tokens with the naive
+    # multiply — the 100 TB-corpus bound this header promises).
     scored = (
         toks.join(model, "token")
         .crossJoin(F.broadcast(total))
-        .withColumn("__inv", F.expr("(__total * 1000000) DIV __cnt"))
+        .withColumn(
+            "__inv",
+            F.expr(
+                "(__total DIV __cnt) * 1000000"
+                " + ((__total % __cnt) * 1000000) DIV __cnt"
+            ),
+        )
     )
     return (
         scored.groupBy("doc_id")
@@ -468,8 +517,9 @@ model AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
 total AS (SELECT SUM(cnt) AS total FROM model)
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       CAST(SUM((total.total * 1000000) // m.cnt) AS DOUBLE) / COUNT(*) / 1000000
-         AS mean_inv_prob
+       CAST(SUM((total.total // m.cnt) * 1000000
+                + ((total.total % m.cnt) * 1000000) // m.cnt) AS DOUBLE)
+         / COUNT(*) / 1000000 AS mean_inv_prob
 FROM toks t JOIN model m USING (token) CROSS JOIN total
 GROUP BY t.doc_id"""
 

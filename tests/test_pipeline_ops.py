@@ -242,15 +242,30 @@ def test_repetition_invariants(spark):
             assert r.repetitive == (r.top_bigram_frac > text.TOP_BIGRAM_FRAC_FLAG)
 
 
-def test_vocab_ids_are_contiguous_by_frequency(spark):
-    from ad_hoc_olap_query_processing_engine_spark.operators import text
+def test_vocab_ids_are_dense_and_partition_safe(spark):
+    """Ids must be dense [1..|vocab|] in deterministic (bucket, n DESC, token)
+    order — frequency-descending within each hash bucket — and the plan must
+    contain NO single-partition exchange (the id assignment parallelizes over
+    VOCAB_BUCKETS windows; offsets come from a tiny broadcast join)."""
+    import hashlib
 
-    rows = text.text_vocab(spark, SF_SMALL).orderBy("token_id").collect()
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+    from ad_hoc_olap_query_processing_engine_spark.plans import physical_plan
+
+    df = text.text_vocab(spark, SF_SMALL)
+    rows = df.orderBy("token_id").collect()
     assert rows and rows[0].token_id == 1
     assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
-    ns = [r.n for r in rows]
-    assert ns == sorted(ns, reverse=True)
     assert all(r.n >= text.VOCAB_MIN_COUNT for r in rows)
+
+    def bucket(token: str) -> int:
+        h = hashlib.md5(token.encode()).hexdigest()
+        return int(h[:12], 16) % text.VOCAB_BUCKETS
+
+    keys = [(bucket(r.token), -r.n, r.token) for r in rows]
+    assert keys == sorted(keys), "id order must be (bucket, n DESC, token)"
+
+    assert "SinglePartition" not in physical_plan(df)
 
 
 def test_bucketed_join_layout_is_value_identical(spark):
