@@ -167,6 +167,28 @@ def _peek_dim(sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
+_ROWS_CACHE: dict[str, int] = {}
+
+
+def _peek_rows(sf_dir: str) -> int:
+    """Embedding-table row count from the parquet FOOTER (pyarrow metadata,
+    driver-side file read — no Spark action, no data pages touched). Used to
+    size sampling fractions without running a count() job in the query path.
+    Falls back to 0, which callers must treat as "unknown: use the
+    fraction's floor-free default"."""
+    if sf_dir not in _ROWS_CACHE:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+            _ROWS_CACHE[sf_dir] = int(pf.metadata.num_rows)
+        except Exception:
+            _ROWS_CACHE[sf_dir] = 0
+    return _ROWS_CACHE[sf_dir]
+
+
 def _plane_table(spark: SparkSession, prefix: str, n_bits: int, dim: int = MAX_DIM) -> DataFrame:
     """The (plane bit, dimension) → ±1 weight table, derived from the first
     md5 byte of 'prefix:bit:dim' — md5 and hex-parse are bit-identical in
@@ -576,15 +598,19 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     than data-oblivious SRP at the cost of a training pass. The fit uses a
     seeded sample capped at max(KMEANS_FIT_FRACTION, floor-rows/N) of the
     data — at 100 TB an iterative full-dataset fit is the scale-killer; a
-    quantizer only needs a representative sample."""
+    quantizer only needs a representative sample. N comes from the parquet
+    FOOTER (`_peek_rows`), never a Spark count() action in the query path."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, "embeddings", sf_dir).withColumn(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    n = e.count()
-    frac = min(1.0, max(KMEANS_FIT_FRACTION, KMEANS_FIT_MIN_ROWS / max(n, 1)))
+    n = _peek_rows(sf_dir)
+    if n > 0:
+        frac = min(1.0, max(KMEANS_FIT_FRACTION, KMEANS_FIT_MIN_ROWS / n))
+    else:
+        frac = KMEANS_FIT_FRACTION  # unknown size: constant fraction, no action
     fit_set = e.select("vec") if frac >= 1.0 else e.select("vec").sample(
         fraction=frac, seed=42
     )
