@@ -63,13 +63,16 @@ def _shingles(docs: DataFrame) -> DataFrame:
     text. Built by zipping k shifted views of the token array — linear per
     document (a transform over slice(toks, i, k) with a column start re-reads
     the array per position: measured 3× slower). Docs shorter than the
-    shingle width contribute nothing (zip length 0)."""
+    shingle width contribute nothing (zip length 0). Dedup happens MAP-SIDE
+    via array_distinct BEFORE the explode: (doc_id, s) duplicates can only
+    occur within one document's array, so the global DISTINCT shuffle the
+    naive form pays is pure waste — this version is shuffle-free."""
     toks = F.split(F.col("text"), " ")
     m = F.greatest(F.size(toks) - (SHINGLE_WORDS - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for i in range(2, SHINGLE_WORDS + 1):
         acc = F.zip_with(acc, F.slice(toks, i, m), lambda a, b: F.concat(a, F.lit(" "), b))
-    return docs.select("doc_id", F.explode(acc).alias("s")).distinct()
+    return docs.select("doc_id", F.explode(F.array_distinct(acc)).alias("s"))
 
 
 _SHINGLES_SQL = f"""\
@@ -87,11 +90,18 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
 
 
 def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted HASH-PARTITIONED ON doc_id: every family consumer that
+    # aggregates per document (MinHash signatures, SimHash signatures,
+    # set-size tables, shingle-set arrays) then satisfies its distribution
+    # requirement straight off the cached partitioning and plans NO exchange
+    # — one build-time shuffle bought four query-time shuffles.
     return session_cached(
         "shingle_postings",
         spark,
         sf_dir,
-        lambda: _shingles(load_table(spark, "documents", sf_dir)).persist(),
+        lambda: _shingles(load_table(spark, "documents", sf_dir))
+        .repartition("doc_id")
+        .persist(),
     )
 
 
@@ -138,21 +148,25 @@ SELECT doc_a, doc_b, jaccard FROM vpairs"""
 
 
 def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs only (never the full pair space)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("y.s") == F.col("x.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    """Exact Jaccard for candidate pairs only (never the full pair space).
+
+    Set-array formulation: each doc's (already-distinct) shingles collect
+    into ONE array row, candidates join the two array columns, and the
+    intersection is row-local ``array_intersect`` (hash-set, O(|a|+|b|) per
+    pair). Versus re-joining the exploded posting rows per candidate — which
+    shuffles |candidates| × |avg shingles| rows — this moves only |docs|
+    array rows (payload bounded by document length) and |candidates| pairs;
+    the groupBy is exchange-free when ``sh`` is doc_id-partitioned
+    (shingle_postings persists that way)."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("__ss"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__ss").alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__ss").alias("__sb"))
+    c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    jac = F.col("__c") / (F.size("__sa") + F.size("__sb") - F.col("__c"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("__c", c)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
