@@ -187,6 +187,90 @@ def test_random_phi_matches_oracle(spec, prop_ctx):
     assert_frames_match(got, exp)
 
 
+@st.composite
+def phi_g0_having_specs(draw) -> str:
+    """Specs whose HAVING tree ALWAYS references at least one GROUP-0
+    aggregate — the HAVING × group-0 interaction (the last undertested corner
+    of the mini-language: group-0 columns are fused into scan 0 by the
+    planner, so a HAVING over them filters the anchor aggregate, not a GV).
+    Leaves mix g0-vs-literal, gv-vs-literal AND field-vs-field comparisons
+    over the full operator set; trees nest to depth 3 with &&/|| and parens."""
+    v = draw(st.sampled_from(V_CHOICES))
+    g0 = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "min_day",
+                    "max_day",
+                    "sum_quant",
+                    "avg_quant",
+                    "count_quant",
+                    "min_quant",
+                    "max_quant",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    n = draw(st.integers(1, 2))
+    gv_names, slots = [], []
+    for i in range(1, n + 1):
+        fn = draw(st.sampled_from(FNS))
+        name = f"{fn}_quant_{i}"
+        conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+        if draw(st.booleans()) and "month" in v:
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds.append(f"{{MF.month.{name}}}[{op}]{{month}}")
+        gv_names.append(name)
+        slots.append(":".join(conds))
+    select = v + g0 + gv_names
+    lines = [",".join(select), str(n), ",".join(v), ",".join(gv_names), ",".join(slots)]
+
+    fields = g0 + gv_names
+    ops = [">", "<", ">=", "<=", "=", "!="]
+
+    def leaf(force_g0: bool) -> str:
+        left = draw(st.sampled_from(g0 if force_g0 else fields))
+        if draw(st.booleans()):
+            right = f"MF.{draw(st.sampled_from(fields))}"
+        else:
+            right = str(draw(st.integers(-20, 40)))
+        return f"{{MF.{left},{draw(st.sampled_from(ops))},{right}}}"
+
+    def tree(depth: int, force_g0: bool) -> str:
+        if depth == 0 or draw(st.integers(0, 2)) == 0:
+            return leaf(force_g0)
+        n_terms = draw(st.integers(2, 3))
+        # the g0 reference is guaranteed down exactly one branch
+        g0_branch = draw(st.integers(0, n_terms - 1)) if force_g0 else -1
+        parts = [tree(depth - 1, i == g0_branch) for i in range(n_terms)]
+        line = parts[0]
+        for p in parts[1:]:
+            line += f" {draw(st.sampled_from(['[&&]', '[||]']))} {p}"
+        return f"({line})" if draw(st.booleans()) else line
+
+    lines.append(tree(draw(st.integers(1, 3)), True))
+    return "\n".join(lines)
+
+
+@settings(
+    max_examples=200,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=phi_g0_having_specs())
+def test_having_over_group0_matches_oracle(spec, prop_ctx):
+    sdf, con = prop_ctx
+    q = parse_query(spec.splitlines(), known_cols=COLS)
+    assert q.having is not None and q.group0
+    got = compile_phi(q, sdf).toPandas()
+    exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
+    assert_frames_match(got, exp)
+
+
 def test_property_suite_exercised_every_strategy():
     """The generator must reach all four planner strategies (derandomized
     hypothesis → deterministic, so this is a stable coverage pin). Runs after
