@@ -489,14 +489,25 @@ register("udf_grouped_zscore", udf_grouped_zscore, UDF_GROUPED_ZSCORE_SQL)
 
 
 def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_type",
-        (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint").alias("micros"),
-        (F.col("user_id") % 5 + 1).cast("bigint").alias("w"),
+    # NULL policy pinned up front: SQL aggregates skip NULLs silently, but a
+    # pandas int64 cast of NaN raises — filter NULL value/user_id before the
+    # groupBy (mirrored in the oracle's WHERE) and defensively drop any
+    # remaining NaN pairs in the kernel so semantics stay SQL-identical even
+    # on nullable regenerations of the data.
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint").alias("micros"),
+            (F.col("user_id") % 5 + 1).cast("bigint").alias("w"),
+        )
     )
 
     @F.pandas_udf("double")
     def wavg(micros: pd.Series, w: pd.Series) -> float:
+        keep = micros.notna() & w.notna()
+        micros, w = micros[keep], w[keep]
         num = int((micros.astype("int64") * w.astype("int64")).sum())
         den = int(w.sum())
         return num / den / 1e6
@@ -516,6 +527,7 @@ SELECT event_type,
          / CAST(SUM(user_id % 5 + 1) AS DOUBLE) / 1000000.0 AS wavg_value,
        COUNT(*) AS n_events
 FROM events
+WHERE value IS NOT NULL AND user_id IS NOT NULL
 GROUP BY event_type"""
 
 

@@ -9,9 +9,11 @@ compact_small_files   the OPTIMIZE/compaction job: streaming and per-trigger
                       computed from the on-disk byte size (driver-side
                       listing, no data read); the rewrite is one coalesce-
                       free repartition so rows distribute evenly regardless
-                      of input skew. Two-phase: write to a temp dir, then
-                      atomically swap — readers never see a half-compacted
-                      table.
+                      of input skew. Two-phase: write to a temp dir, then a
+                      crash-RECOVERABLE two-rename swap (never partial data;
+                      a reader racing the swap window can still see the path
+                      briefly absent — true atomicity needs a metastore or
+                      symlink flip, as noted inline).
 
 zorder_key            multi-dimensional clustering: interleave the bits of
                       several int columns into one sort key so that sorting
@@ -20,9 +22,13 @@ zorder_key            multi-dimensional clustering: interleave the bits of
                       leading column). Scans filtering on ANY of the z
                       columns then skip most row groups via footer stats —
                       the same reason Delta/Iceberg expose OPTIMIZE ZORDER.
-                      Pure JVM bit arithmetic (shiftright/and/shiftleft),
-                      rank-normalized via ntile so skewed value domains
-                      still split evenly.
+                      Pure JVM bit arithmetic (shiftright/and/shiftleft)
+                      over LINEAR MIN-MAX scaled values (per-column min/max
+                      from a tiny aggregate; ntile was rejected — its global
+                      rank is a single-partition sort at scale). Heavily
+                      skewed domains get coarser buckets than a rank
+                      transform would give; the upgrade path is approx-
+                      quantile cut points fit on a sample (ROADMAP).
 
 write_zordered        repartitionByRange(z) + sortWithinPartitions(z) +
                       parquet write: range partitioning gives global

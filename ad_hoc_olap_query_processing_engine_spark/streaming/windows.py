@@ -261,8 +261,10 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            total += int(pdf["micros"].sum())
+            n += len(pdf)  # COUNT(*) semantics: nulls still count rows
+            # SUM skips NULLs in SQL; dropna + int64 keeps the arithmetic
+            # exact (a NaN-bearing float64 sum would round past 2^53)
+            total += int(pdf["micros"].dropna().astype("int64").sum())
         state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total / 1e6]}
@@ -330,17 +332,19 @@ def stream_tws_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             n, mn, mx = (self._st.get() or (0, None, None)) if self._st.exists() else (0, None, None)
             for pdf in rows:
-                n += len(pdf)
-                lo, hi = int(pdf["micros"].min()), int(pdf["micros"].max())
-                mn = lo if mn is None else min(mn, lo)
-                mx = hi if mx is None else max(mx, hi)
+                n += len(pdf)  # COUNT(*) semantics: nulls still count rows
+                vals = pdf["micros"].dropna()  # MIN/MAX skip NULLs in SQL
+                if len(vals):
+                    lo, hi = int(vals.min()), int(vals.max())
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
             self._st.update((n, mn, mx))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "min_value": [mn / 1e6],
-                    "max_value": [mx / 1e6],
+                    "min_value": [None if mn is None else mn / 1e6],
+                    "max_value": [None if mx is None else mx / 1e6],
                 }
             )
 
