@@ -55,8 +55,12 @@ _CHECK_FIRST = (
     "rel_moving_window",
     "rel_range_bucket_join",
     "rel_sessionize",
-    # (b) never driver-checked (rows-only by contract)
+    # (b) never driver-checked (sim_ivf_kmeans rows-only by contract; the
+    # other three are new this round)
     "sim_ivf_kmeans",
+    "dedup_containment",
+    "sim_range_search",
+    "embed_dim_stats",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

@@ -357,6 +357,71 @@ SELECT doc_a, doc_b, jaccard FROM vpairs"""
 
 register("dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup: shingle-overlap CONTAINMENT
+# c/min(|A|,|B|) instead of Jaccard. Catches the doc-in-doc case a training
+# pipeline cares about (a small document pasted inside a bigger one has high
+# containment but low Jaccard, so MinHash-LSH — which bounds Jaccard — and
+# the Jaccard threshold both miss it; Broder's original resemblance/
+# containment pair distinguishes exactly these two). Candidates come from
+# the same stop-shingle-capped inverted index as dedup_ngram_jaccard (a
+# shared subtree: one self-join on the posting table, bounded fan-out per
+# shingle by DF_CAP), and the score denominator is the SMALLER set — the
+# only change. Same 100 TB shape: never all-pairs, postings persisted
+# doc_id-partitioned, hot-shingle cap bounds the join fan-out.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh0 = shingle_postings(spark, sf_dir)
+    hot = (
+        sh0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    sh = sh0.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""\
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.doc_a, i.doc_b,
+       i.c * 1.0 / LEAST(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE i.c * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}"""
+
+
+register("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL)
 register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql())
 
 

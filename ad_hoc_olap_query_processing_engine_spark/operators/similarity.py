@@ -129,6 +129,105 @@ WITH cand AS (
 
 
 # ---------------------------------------------------------------------------
+# sim_range_search — threshold (radius) search: EVERY corpus vector with
+# cosine ≥ τ of each query, not a fixed top-k. The retrieval mode dedup-
+# adjacent pipelines use ("give me everything similar enough", result size
+# data-dependent). Same scale shape as the brute pipeline: the query batch
+# broadcasts, the corpus streams through one pass, scoring is JVM
+# higher-order functions — no shuffle of the corpus at all; the filter
+# replaces the per-query window of top-k (cheaper: no rank state). The
+# SRP-banded candidate generator is the scale path when τ is high; this
+# exact form is the recall-1.0 baseline the banded variant is judged
+# against (same relationship as sim_srp_ann to sim_brute_topk).
+# ---------------------------------------------------------------------------
+
+SIM_RANGE_TAU = 0.3
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.select("vec_id", "embedding").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    return (
+        cand.withColumn("score", F.round(cos, 4))
+        .filter(F.col("score") >= SIM_RANGE_TAU)
+        .select("query_id", "vec_id", "score")
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""\
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+WHERE q.vec_id < {N_QUERIES}
+  AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])), 4)
+      >= {SIM_RANGE_TAU}"""
+
+
+register("sim_range_search", sim_range_search, SIM_RANGE_SEARCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embed_dim_stats — per-dimension corpus statistics (n, mean, variance) of
+# the embedding column: the normalization table an embedding-whitening or
+# standardization step consumes (and the drift monitor a production vector
+# pipeline watches). posexplode → groupBy(dim) — the shuffle key is the
+# dimension index: exactly `dim` keys, each with a map-side-combined partial
+# sum, so the shuffle carries partitions×dims rows regardless of corpus
+# size. Determinism contract: sums run over the floor(x·1000) integer
+# quantization (same as embed_centroids/SRP), so Σq and Σq² are exact int64
+# in both engines and mean/variance are identical IEEE expressions over
+# exact integers. Σq² headroom: q²≤~10⁷ ⇒ safe past 10¹¹ vectors per dim.
+# ---------------------------------------------------------------------------
+
+
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    exploded = e.select(F.posexplode(q).alias("dim", "qv"))
+    n = F.count(F.lit(1))
+    s1 = F.sum("qv").cast("double")
+    s2 = F.sum(F.col("qv") * F.col("qv")).cast("double")
+    mean = s1 / (n * F.lit(QUANT_SCALE)).cast("double")
+    msq = s2 / (n * F.lit(QUANT_SCALE * QUANT_SCALE)).cast("double")
+    return exploded.groupBy("dim").agg(
+        n.cast("bigint").alias("n_vectors"),
+        mean.alias("mean"),
+        (msq - mean * mean).alias("variance"),
+    )
+
+
+EMBED_DIM_STATS_SQL = f"""\
+WITH q AS (
+  SELECT CAST(i AS INT) - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+SELECT dim,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) * {QUANT_SCALE} AS DOUBLE) AS mean,
+       CAST(SUM(qv * qv) AS DOUBLE) / CAST(COUNT(*) * {QUANT_SCALE * QUANT_SCALE} AS DOUBLE)
+         - (CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) * {QUANT_SCALE} AS DOUBLE))
+           * (CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) * {QUANT_SCALE} AS DOUBLE)) AS variance
+FROM q
+GROUP BY dim"""
+
+
+register("embed_dim_stats", embed_dim_stats, EMBED_DIM_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic ±1 hyperplanes + exact integer projections (shared SRP/IVF).
 # ---------------------------------------------------------------------------
 

@@ -3,6 +3,8 @@ equality already enforced in test_relational.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ad_hoc_olap_query_processing_engine_spark.operators import (
     dedup,
     multimodal,
@@ -143,6 +145,66 @@ def test_srp_ann_subset_of_brute(spark):
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
             checked += 1
     assert len(ann) > 0 and checked > 0
+
+
+def test_range_search_consistent_with_brute(spark):
+    """Threshold search must return exactly the brute pairs scoring ≥ τ:
+    every brute top-k hit at/above τ appears, every returned score is ≥ τ
+    and matches the brute score for that pair."""
+    brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
+    rng = similarity.sim_range_search(spark, SF_SMALL).toPandas()
+    assert len(rng) > 0
+    assert (rng.score >= similarity.SIM_RANGE_TAU).all()
+    rng_pairs = {(r.query_id, r.vec_id): r.score for r in rng.itertuples()}
+    for r in brute.itertuples():
+        if r.score >= similarity.SIM_RANGE_TAU:
+            assert abs(rng_pairs[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+
+def test_dim_stats_match_corpus(spark):
+    """One row per dimension, n = corpus size everywhere, variance ≥ 0 and
+    equal to the quantized population variance computed independently."""
+    import numpy as np
+
+    out = similarity.embed_dim_stats(spark, SF_SMALL).toPandas()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+    mat = np.floor(np.stack(emb.embedding.values).astype("float64") * 1000.0)
+    assert len(out) == mat.shape[1]
+    assert (out.n_vectors == mat.shape[0]).all()
+    assert (out.variance >= 0).all()
+    out = out.sort_values("dim").reset_index(drop=True)
+    np.testing.assert_allclose(out["mean"], mat.mean(axis=0) / 1e3, rtol=1e-9)
+    np.testing.assert_allclose(out.variance, mat.var(axis=0) / 1e6, rtol=1e-6)
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much longer one: containment = 1
+    while Jaccard is far below its threshold — the asymmetric score must
+    flag the pair and the symmetric one must not."""
+    import pandas as pd
+
+    small_words = [f"w{i}" for i in range(10)]
+    big_words = small_words + [f"x{i}" for i in range(90)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": [" ".join(small_words), " ".join(big_words)]}
+        )
+    )
+    sh = dedup._shingles(docs)
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .count()
+    )
+    containment = inter / min(sizes[1], sizes[2])
+    jaccard = inter / (sizes[1] + sizes[2] - inter)
+    assert containment == 1.0
+    assert jaccard < dedup.JACCARD_THRESHOLD
+    assert containment >= dedup.CONTAINMENT_THRESHOLD
 
 
 def test_mm_feature_extract_shape_and_determinism(spark):

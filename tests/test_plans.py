@@ -94,6 +94,19 @@ def test_brute_similarity_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in physical_plan(df)
 
 
+def test_range_search_broadcasts_queries_no_corpus_shuffle(spark):
+    """Threshold search shares the brute pipeline's contract: query batch
+    broadcasts, the corpus is scored in one streaming pass — no exchange of
+    the vector table and no window state (the filter replaces top-k)."""
+    df = similarity.sim_range_search(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert ") Window" not in plan
+    assert not [
+        seg for seg in plan.split("Arguments: ") if seg.startswith("hashpartitioning")
+    ], "corpus must not shuffle"
+
+
 def test_global_sort_is_top_n_not_full_sort(spark):
     """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition heaps,
     no global sort shuffle) — the only total-order plan that survives scale."""
