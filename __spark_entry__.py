@@ -61,6 +61,7 @@ _CHECK_FIRST = (
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",
+    "cdc_scd2_intervals",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

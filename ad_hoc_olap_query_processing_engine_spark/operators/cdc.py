@@ -184,3 +184,67 @@ GROUP BY o_orderstatus, o_orderpriority"""
 
 register("rel_snapshot_diff", rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL)
 register("rel_merge_upsert", rel_merge_upsert, REL_MERGE_UPSERT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2_intervals — slowly-changing-dimension type-2 history build: turn
+# an append-only change stream (events: each row = the entity's new state)
+# into versioned validity intervals [valid_from, valid_to) with run-length
+# collapse — a version row is written only when the state actually CHANGES,
+# the canonical SCD2 contract (Kimball dimension modeling; Delta/Iceberg
+# MERGE-based SCD2 pipelines build exactly this table). Two windows, both
+# partitioned on user_id (numerous uniform keys — no hot partitions at any
+# scale): lag() detects state changes, lead() closes each kept version's
+# interval. The open (current) version closes at the SCD2 high-date sentinel
+# (Kimball convention; 2200-01-01 here, inside pandas' datetime64[ns] range
+# so cross-engine comparison stays unit-exact — a NULL valid_to would also
+# hit the pandas ns-vs-µs NaT comparison quirk) with is_current carrying the
+# open-interval flag. Deterministic order inside a user via the
+# (ts, event_id) tiebreak.
+# ---------------------------------------------------------------------------
+
+SCD2_OPEN_END = "2200-01-01 00:00:00"
+
+
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn("__prev", F.lag("event_type").over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type"))
+    )
+    nxt = F.lead("ts").over(w)
+    return changed.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(SCD2_OPEN_END).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+CDC_SCD2_INTERVALS_SQL = f"""\
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+changed AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       event_type                       AS state,
+       ts                               AS valid_from,
+       COALESCE(LEAD(ts) OVER w,
+                TIMESTAMP '{SCD2_OPEN_END}') AS valid_to,
+       LEAD(ts) OVER w IS NULL          AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+register("cdc_scd2_intervals", cdc_scd2_intervals, CDC_SCD2_INTERVALS_SQL)

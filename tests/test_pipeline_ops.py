@@ -360,6 +360,28 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     assert got == {(i, min(ids)) for i in ids}
 
 
+def test_scd2_intervals_chain_and_collapse(spark):
+    """SCD2 invariants per user: versions are 1..k contiguous, consecutive
+    intervals chain exactly (valid_from of v+1 == valid_to of v), no two
+    consecutive versions share a state (run-length collapse), and exactly
+    one version is current — closed at the open-end sentinel."""
+    import pandas as pd
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import cdc
+
+    out = cdc.cdc_scd2_intervals(spark, SF_SMALL).toPandas()
+    sentinel = pd.Timestamp(cdc.SCD2_OPEN_END)
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("version").reset_index(drop=True)
+        assert list(g.version) == list(range(1, len(g) + 1))
+        assert g.is_current.sum() == 1 and bool(g.iloc[-1].is_current)
+        assert g.iloc[-1].valid_to == sentinel
+        for i in range(len(g) - 1):
+            assert g.valid_to[i] == g.valid_from[i + 1]
+            assert g.state[i] != g.state[i + 1]
+        assert (g.valid_from < g.valid_to).all()
+
+
 def test_snapshot_diff_statuses_partition_the_key_space(spark):
     from ad_hoc_olap_query_processing_engine_spark.operators import cdc
     from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table

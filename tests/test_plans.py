@@ -234,3 +234,28 @@ def test_bm25_is_top_k_not_global_sort(spark):
     plan = physical_plan(text.text_bm25_topk(spark, SF_SMALL))
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_posting_partitioning_elides_signature_exchange(spark):
+    """The persisted posting table is hash-partitioned on doc_id, so the
+    per-document aggregations downstream (MinHash signatures, shingle-set
+    arrays) must plan ZERO new exchanges — the build-time shuffle is the
+    only one the family pays for doc_id-keyed work."""
+    import pyspark.sql.functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import dedup
+
+    sh = dedup.shingle_postings(spark, SF_SMALL)
+    sh.count()  # materialize the cache so the scan reads InMemoryRelation
+    sig = dedup._hash_fields(sh).groupBy("doc_id").agg(*dedup._minhash_cols())
+    sets = sh.groupBy("doc_id").agg(F.collect_list("s"))
+    for df in (sig, sets):
+        plan = physical_plan(df)
+        assert "InMemoryTableScan" in plan
+        # everything ABOVE the cached relation (the query's own operators)
+        # must be exchange-free; the only Exchange allowed is the build-time
+        # one inside the InMemoryRelation's cached plan below it
+        above = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in above, (
+            "doc_id aggregation over cached postings must not re-shuffle"
+        )
