@@ -201,28 +201,27 @@ GROUP BY 1"""
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    d: DataFrame, df_cap: int = DF_CAP, postings: DataFrame | None = None
-) -> DataFrame:
-    """Near-dup pairs of ``d`` (doc_id, text) by exact word-3-gram Jaccard
-    over the stop-shingle-capped universe."""
-    # postings feed the self-join (both sides) AND the size table — persist
-    # the one shuffle instead of recomputing the explode+distinct three times
-    sh0 = _shingles(d) if postings is None else postings
-    # stop-shingle cap: the hot set (df > cap) is tiny by definition —
-    # broadcast anti-join, no extra shuffle of the postings
+def _capped(sh0: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Stop-shingle-capped postings: the hot set (df > cap) is tiny by
+    definition — broadcast anti-join, no extra shuffle of the postings (and
+    the anti-join preserves sh0's doc_id partitioning)."""
     hot = (
         sh0.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("s")
     )
-    sh = sh0.join(F.broadcast(hot), "s", "left_anti").persist()
+    return sh0.join(F.broadcast(hot), "s", "left_anti")
+
+
+def _overlap_from_capped(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, c, na, nb) for every doc pair sharing ≥1 capped
+    shingle: intersection counts straight out of the inverted-index
+    self-join (no separate candidate materialization), sizes joined in. The
+    score-agnostic core both exact near-dup scores (Jaccard, containment)
+    derive from with one arithmetic column each."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
-    # intersection counts straight out of the inverted-index self-join — no
-    # separate candidate-set materialization + re-join (LSH needs that split;
-    # the exact op doesn't)
     inter = (
         x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
@@ -230,22 +229,53 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     # no broadcast hint on the size tables: one row PER DOCUMENT, i.e.
     # corpus-sized — AQE broadcasts when the corpus is actually small
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def pair_overlap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached overlap table — the third maintained index of the
+    family (postings → verified pairs → overlap counts). One row per
+    overlapping candidate pair (tiny: bounded by the banded/capped candidate
+    space, not the corpus), shared by dedup_ngram_jaccard and
+    dedup_containment so the inverted-index self-join runs once per
+    (session, sf_dir) instead of once per score."""
+
+    def build() -> DataFrame:
+        sh = _capped(shingle_postings(spark, sf_dir)).persist()
+        out = _overlap_from_capped(sh).localCheckpoint()  # eager materialize
+        # the capped-posting persist only served this build; free it
+        sh.unpersist()
+        return out
+
+    return session_cached("ngram_pair_overlap", spark, sf_dir, build)
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, df_cap: int = DF_CAP, postings: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup pairs of ``d`` (doc_id, text) by exact word-3-gram Jaccard
+    over the stop-shingle-capped universe."""
+    sh0 = _shingles(d) if postings is None else postings
+    # the capped postings feed the self-join (both sides) AND the size table
+    # — persist the one table instead of recomputing the cap three times
+    overlap = _overlap_from_capped(_capped(sh0, df_cap).persist())
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        overlap.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir),
-        postings=shingle_postings(spark, sf_dir),
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pair_overlap_table(spark, sf_dir)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -365,39 +395,21 @@ register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 # pipeline cares about (a small document pasted inside a bigger one has high
 # containment but low Jaccard, so MinHash-LSH — which bounds Jaccard — and
 # the Jaccard threshold both miss it; Broder's original resemblance/
-# containment pair distinguishes exactly these two). Candidates come from
-# the same stop-shingle-capped inverted index as dedup_ngram_jaccard (a
-# shared subtree: one self-join on the posting table, bounded fan-out per
-# shingle by DF_CAP), and the score denominator is the SMALLER set — the
-# only change. Same 100 TB shape: never all-pairs, postings persisted
-# doc_id-partitioned, hot-shingle cap bounds the join fan-out.
+# containment pair distinguishes exactly these two). Both exact scores read
+# the SAME session-cached overlap table (pair_overlap_table: one inverted-
+# index self-join per session, bounded fan-out per shingle by DF_CAP); the
+# score denominator — the SMALLER set — is the only difference. Same 100 TB
+# shape: never all-pairs, postings persisted doc_id-partitioned, hot-shingle
+# cap bounds the join fan-out.
 # ---------------------------------------------------------------------------
 
 CONTAINMENT_THRESHOLD = 0.6
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh0 = shingle_postings(spark, sf_dir)
-    hot = (
-        sh0.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > DF_CAP)
-        .select("s")
-    )
-    sh = sh0.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pair_overlap_table(spark, sf_dir)
         .withColumn("containment", cont)
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", "containment")
