@@ -62,6 +62,7 @@ _CHECK_FIRST = (
     "sim_range_search",
     "embed_dim_stats",
     "cdc_scd2_intervals",
+    "pipe_doc_mixture",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

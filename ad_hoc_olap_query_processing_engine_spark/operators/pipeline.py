@@ -285,3 +285,51 @@ FROM s"""
 
 
 register("pipe_pack_bins", pipe_pack_bins, PIPE_PACK_BINS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_doc_mixture — domain-mixture reweighting table: per (lang, source)
+# stratum counts, corpus shares, and the resampling weight that moves the
+# observed mixture to a uniform target over observed strata (the DoReMi /
+# data-mixture-rebalancing step a training pipeline multiplies into its
+# sampling probabilities; weight = target_share / observed_share =
+# total / (k·n) for k observed strata). Two tiny aggregates — the stratum
+# table is one row per domain, the totals one row — so the whole op is a
+# map-side-combined groupBy plus a broadcast: nothing here grows with corpus
+# size except the first aggregation's input. Exact-integer arithmetic into
+# one double division per column keeps every value bit-identical in DuckDB;
+# invariants Σ share = 1 and Σ share·weight = 1 are pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+def pipe_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    strata = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = strata.agg(
+        F.sum("n_docs").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share", F.col("n_docs").cast("double") / F.col("__total").cast("double")
+        )
+        .withColumn(
+            "weight",
+            F.col("__total").cast("double")
+            / (F.col("__k") * F.col("n_docs")).cast("double"),
+        )
+        .select("lang", "source", "n_docs", "share", "weight")
+    )
+
+
+PIPE_DOC_MIXTURE_SQL = """\
+WITH strata AS (
+  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM strata)
+SELECT s.lang, s.source, s.n_docs,
+       CAST(s.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)       AS share,
+       CAST(t.total AS DOUBLE) / CAST(t.k * s.n_docs AS DOUBLE) AS weight
+FROM strata s CROSS JOIN tot t"""
+
+
+register("pipe_doc_mixture", pipe_doc_mixture, PIPE_DOC_MIXTURE_SQL)

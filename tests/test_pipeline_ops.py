@@ -360,6 +360,20 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     assert got == {(i, min(ids)) for i in ids}
 
 
+def test_doc_mixture_weights_rebalance_to_uniform(spark):
+    """Mixture invariants: shares sum to 1, share·weight sums to 1 (the
+    reweighted mixture is exactly uniform over observed strata), every
+    stratum present, counts sum to the corpus size."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+    out = pipeline.pipe_doc_mixture(spark, SF_SMALL).toPandas()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert out.n_docs.sum() == n_docs
+    assert abs(out.share.sum() - 1.0) < 1e-12
+    assert abs((out.share * out.weight).sum() - 1.0) < 1e-12
+    assert (out.weight > 0).all()
+
+
 def test_scd2_intervals_chain_and_collapse(spark):
     """SCD2 invariants per user: versions are 1..k contiguous, consecutive
     intervals chain exactly (valid_from of v+1 == valid_to of v), no two
