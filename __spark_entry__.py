@@ -63,6 +63,14 @@ _CHECK_FIRST = (
     "embed_dim_stats",
     "cdc_scd2_intervals",
     "pipe_doc_mixture",
+    "rel_market_share",
+    "rel_volume_shipping",
+    "rel_returned_items",
+    "rel_large_volume_orders",
+    "rel_promo_revenue",
+    "rel_mode_median",
+    "rel_gaps_islands",
+    "rel_decile_spend",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

@@ -1,0 +1,446 @@
+"""Deep multi-join OLAP report shapes (TPC-H-inspired; SURVEY.md §2.3 row 1).
+
+The reference engine answers only single-table Phi scans over `sales`
+(/root/reference/src/QueryProcessor1.java:76-315 — one JDBC relation, no
+joins); a user replacing it with this repo also gets the classic warehouse
+report shapes those same tables support. Each query here is a well-known
+TPC-H pattern adapted to the driver schema (no partsupp table; supplier
+attribution rides lineitem.l_suppkey):
+
+- rel_market_share       — Q8: share-of-total via conditional aggregation
+- rel_volume_shipping    — Q7: nation-pair trade flows, symmetric filter
+- rel_returned_items     — Q10: lost-revenue ranking, top-k after 4-way join
+- rel_large_volume_orders— Q18: HAVING-derived key set joined back to facts
+- rel_promo_revenue      — Q14: ratio metric per month with broadcast dim
+- rel_mode_median        — exact per-group mode (deterministic tie-break)
+  and interpolated median
+- rel_gaps_islands       — consecutive-day streak detection (row_number
+  difference trick), longest island per user
+- rel_decile_spend       — ntile decile assignment re-aggregated into a
+  per-decile profile
+
+Scale notes (100 TB framing): every query joins facts on their natural keys
+(lineitem⋈orders on orderkey never needs a re-partition beyond the join
+shuffle, and AQE handles skew); all dimension tables (nation, region, part
+at 0.2% of lineitem, customer aggregates post-reduction) are broadcast
+explicitly where small, left to AQE where borderline. Ratio metrics divide
+DOUBLE by DOUBLE after exact DECIMAL sums so results are order-independent
+and bit-identical to the DuckDB oracle. Mode uses count + row_number with a
+value tie-break instead of Spark's `mode()` (non-deterministic on ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .relational import _dec, _dsum
+
+_REV = "__rev"
+
+
+def _with_revenue(l: DataFrame) -> DataFrame:
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return l.withColumn(_REV, rev)
+
+
+# ---------------------------------------------------------------------------
+# rel_market_share — TPC-H Q8 shape: one nation's supplier share of a
+# region's market per year.  Share-of-total inside one aggregate (conditional
+# sum / total sum), so the whole report is a single shuffle over the joined
+# facts; nation and region are broadcast.
+# ---------------------------------------------------------------------------
+
+
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n_cust = load_table(spark, "nation", sf_dir).alias("cn")
+    n_supp = load_table(spark, "nation", sf_dir).alias("sn")
+    r = load_table(spark, "region", sf_dir)
+
+    asia_nations = F.broadcast(
+        n_cust.join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .filter(r.r_name == "ASIA")
+        .select(F.col("cn.n_nationkey").alias("cust_nationkey"))
+    )
+    nation_rev = F.when(F.col("sn.n_name") == "NATION_7", F.col(_REV)).otherwise(
+        F.lit(0).cast("decimal(23,4)")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(asia_nations, c.c_nationkey == F.col("cust_nationkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn.n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(nation_rev).cast("double").alias("nation_rev"),
+            F.sum(_REV).cast("double").alias("total_rev"),
+        )
+        .select(
+            "order_year",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+            "total_rev",
+        )
+    )
+
+
+REL_MARKET_SHARE_SQL = """\
+WITH joined AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         sn.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                     ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE)          AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE)              AS total_rev
+FROM joined
+GROUP BY order_year"""
+
+
+# ---------------------------------------------------------------------------
+# rel_volume_shipping — TPC-H Q7 shape: trade volume between two nations in
+# both directions.  The symmetric pair filter is pushed into the joined frame
+# once; supp/cust nation are two broadcast copies of the same dim.
+# ---------------------------------------------------------------------------
+
+
+def rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n_cust = load_table(spark, "nation", sf_dir).alias("cn")
+    n_supp = load_table(spark, "nation", sf_dir).alias("sn")
+    pair = (
+        (F.col("sn.n_name") == "NATION_3") & (F.col("cn.n_name") == "NATION_9")
+    ) | ((F.col("sn.n_name") == "NATION_9") & (F.col("cn.n_name") == "NATION_3"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn.n_nationkey"))
+        .filter(pair)
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(_REV).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+REL_VOLUME_SHIPPING_SQL = """\
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)               AS revenue,
+       COUNT(*)                      AS n_lines
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_9')
+   OR (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_3')
+GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS INT)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_returned_items — TPC-H Q10 shape: revenue lost to returns per customer,
+# top 20.  Filter (l_returnflag = 'R') sits on the scan (pushdown); the final
+# top-20 is TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_REV).cast("double").alias("lost_revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+REL_RETURNED_ITEMS_SQL = """\
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)               AS lost_revenue,
+       COUNT(*)                      AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# rel_large_volume_orders — TPC-H Q18 shape: qualify order keys with a
+# HAVING aggregate, then join the (small) qualified key set back to
+# orders⋈customer.  The qualified set is broadcast — at 100 TB the HAVING
+# threshold keeps it tiny regardless of fact size.
+# ---------------------------------------------------------------------------
+
+
+def rel_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_total"),
+            "total_qty",
+        )
+    )
+
+
+REL_LARGE_VOLUME_ORDERS_SQL = """\
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS INT)) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_total, total_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+# ---------------------------------------------------------------------------
+# rel_promo_revenue — TPC-H Q14 shape: promo share of revenue per month.
+# part is broadcast (0.2% of lineitem rows); the ratio divides two DOUBLEs
+# produced from exact DECIMAL sums.
+# ---------------------------------------------------------------------------
+
+
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    p = load_table(spark, "part", sf_dir)
+    promo = F.when(p.p_type == "PROMO", F.col(_REV)).otherwise(F.lit(0).cast("decimal(23,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(_REV).cast("double").alias("total_rev"),
+        )
+        .select(
+            "ship_month",
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+            "total_rev",
+        )
+    )
+
+
+REL_PROMO_REVENUE_SQL = """\
+WITH joined AS (
+  SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS ship_month,
+         p_type,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE)   AS promo_pct,
+       CAST(SUM(rev) AS DOUBLE)           AS total_rev
+FROM joined
+GROUP BY ship_month"""
+
+
+# ---------------------------------------------------------------------------
+# rel_mode_median — exact per-group mode and median.  Spark's mode() is
+# non-deterministic on ties, so mode is computed as count + row_number with a
+# lowest-value tie-break (same rule spelled out in the oracle); median uses
+# the built-in exact interpolated percentile.
+# ---------------------------------------------------------------------------
+
+
+def rel_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    counts = l.groupBy("l_returnflag", "qty").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty"))
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"))
+    )
+    med = l.groupBy("l_returnflag").agg(
+        F.percentile("price", 0.5).alias("median_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return med.join(F.broadcast(mode), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_price", "n_lines"
+    )
+
+
+REL_MODE_MEDIAN_SQL = """\
+WITH typed AS (
+  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+         CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem
+),
+mode AS (
+  SELECT l_returnflag, qty AS mode_qty
+  FROM (SELECT l_returnflag, qty, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, qty ASC) AS rn
+        FROM typed GROUP BY l_returnflag, qty)
+  WHERE rn = 1
+)
+SELECT t.l_returnflag, mode_qty,
+       quantile_cont(price, 0.5) AS median_price,
+       COUNT(*)                  AS n_lines
+FROM typed t JOIN mode USING (l_returnflag)
+GROUP BY t.l_returnflag, mode_qty"""
+
+
+# ---------------------------------------------------------------------------
+# rel_gaps_islands — longest consecutive-day activity streak per user (the
+# classic islands query: date - row_number() is constant within an island).
+# Everything stays partitioned by user; no global window.
+# ---------------------------------------------------------------------------
+
+
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    best = W.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
+
+
+REL_GAPS_ISLANDS_SQL = """\
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS streak_days,
+         CAST(MIN(day) AS VARCHAR) AS streak_start
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id, streak_days, streak_start
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, streak_start ASC) AS rn
+      FROM streaks)
+WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# rel_decile_spend — ntile(10) decile assignment over per-customer spend,
+# re-aggregated into a decile profile.  The ntile window is global by
+# construction (deciles are a total ranking) but runs over the *reduced*
+# per-customer aggregate — |customers|, not |orders| — which is the scale-safe
+# place to pay a single-partition sort; the profile then aggregates 10 rows.
+# ---------------------------------------------------------------------------
+
+
+def rel_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    spend = o.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("spend"))
+    w = W.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("spend")).cast("double").alias("decile_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
+REL_DECILE_SPEND_SQL = """\
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *, NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS decile_spend,
+       MIN(spend) AS min_spend, MAX(spend) AS max_spend
+FROM ranked GROUP BY decile"""
+
+
+register("rel_market_share", rel_market_share, REL_MARKET_SHARE_SQL)
+register("rel_volume_shipping", rel_volume_shipping, REL_VOLUME_SHIPPING_SQL)
+register("rel_returned_items", rel_returned_items, REL_RETURNED_ITEMS_SQL)
+register("rel_large_volume_orders", rel_large_volume_orders, REL_LARGE_VOLUME_ORDERS_SQL)
+register("rel_promo_revenue", rel_promo_revenue, REL_PROMO_REVENUE_SQL)
+register("rel_mode_median", rel_mode_median, REL_MODE_MEDIAN_SQL)
+register("rel_gaps_islands", rel_gaps_islands, REL_GAPS_ISLANDS_SQL)
+register("rel_decile_spend", rel_decile_spend, REL_DECILE_SPEND_SQL)
