@@ -71,6 +71,8 @@ _CHECK_FIRST = (
     "rel_mode_median",
     "rel_gaps_islands",
     "rel_decile_spend",
+    "pipe_pii_scrub",
+    "embed_pca_project",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

@@ -333,3 +333,80 @@ FROM strata s CROSS JOIN tot t"""
 
 
 register("pipe_doc_mixture", pipe_doc_mixture, PIPE_DOC_MIXTURE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_pii_scrub — PII redaction pass (emails, phone numbers, IPv4 hosts),
+# the scrub step every training-data pipeline runs before tokenization. The
+# driver corpus contains no literal PII, so the "raw" text is derived
+# deterministically from the customer table (name-based contact line) —
+# the regex kernels are the operator; the derivation just gives them
+# non-trivial, reproducible input. Everything is JVM regexp (regexp_count /
+# regexp_replace inside whole-stage codegen — no Python in the loop); the
+# patterns avoid lookaround/backrefs so Java-regex (Spark) and RE2 (DuckDB
+# oracle) agree byte-for-byte. Per-row md5 digests of the scrubbed text make
+# the oracle comparison verify the exact redacted output, not just counts.
+# At 100 TB this is embarrassingly parallel map work: zero shuffles, zero
+# aggregations — scan → project — so it scales linearly with input splits.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    handle = F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("")))
+    raw = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        handle,
+        F.lit("@example.com> or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" last seen from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(raw, F.lit(_PII_IP)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_digest"),
+    )
+
+
+PIPE_PII_SCRUB_SQL = rf"""
+WITH raw AS (
+  SELECT c_custkey,
+         'Contact ' || c_name || ' <' || lower(replace(c_name, '#', ''))
+           || '@example.com> or +1-555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' last seen from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+           || '.0.' || CAST(c_custkey % 100 AS VARCHAR) AS t
+  FROM customer
+)
+SELECT c_custkey,
+       len(regexp_extract_all(t, '{_PII_EMAIL}'))  AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}'))  AS n_phones,
+       len(regexp_extract_all(t, '{_PII_IP}'))     AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'))            AS scrub_digest
+FROM raw"""
+
+
+register("pipe_pii_scrub", pipe_pii_scrub, PIPE_PII_SCRUB_SQL)

@@ -827,3 +827,133 @@ WHERE b.rk = 1"""
 
 
 register("embed_knn_classify", embed_knn_classify, EMBED_KNN_CLASSIFY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embed_pca_project — distributed PCA: fit principal components from a
+# Gram-matrix reduction, project every embedding onto the top two.
+#
+# The scale shape is the textbook two-phase fit/transform split:
+#   1. FIT: mapInPandas emits, per Arrow batch, the batch's Gram matrix
+#      (Xᵀ X flattened to dim² rows), count and column sums — so 100 TB of
+#      vectors reduces map-side to (#batches × dim²) tiny rows; a groupBy(i,j)
+#      sums them into ONE dim×dim matrix. The eigendecomposition runs on the
+#      driver over that 64×64 = 32 KB result — the same fit-on-reduced-state
+#      contract as sim_ivf_kmeans' sampled coarse quantizer (the distributed
+#      plan reduces the data, the driver fits the tiny model).
+#   2. TRANSFORM: the two component vectors broadcast back as a (dim, pc,
+#      weight) table; projection is posexplode → broadcast join → groupBy
+#      (vec_id) conditional sums — all JVM-side, one shuffle keyed on vec_id.
+#
+# Eigenvector sign is pinned (largest-|w| coordinate made positive) so the
+# output is deterministic up to float reduction order. No SQL oracle: the
+# eigendecomposition is not expressible in DuckDB SQL — registered rows-only,
+# like sim_ivf_kmeans (driver contract allows this for iterative/linear-
+# algebra fits).
+# ---------------------------------------------------------------------------
+
+
+def _gram_reduce(e: DataFrame, dim: int) -> DataFrame:
+    """(i, j, g, n, s) partial sums per Arrow batch: g = Σ x_i·x_j over the
+    batch's rows, plus row count n and per-dim sums s (sparse across batches,
+    dense after the groupBy)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            g = x.T @ x
+            i, j = np.nonzero(np.ones((dim, dim)))
+            out = pd.DataFrame(
+                {"i": i.astype("int32"), "j": j.astype("int32"), "g": g.ravel()}
+            )
+            out["n"] = 0
+            out["s"] = 0.0
+            head = pd.DataFrame(
+                {
+                    "i": np.arange(dim, dtype="int32"),
+                    "j": np.full(dim, -1, dtype="int32"),
+                    "g": 0.0,
+                    "n": len(x),
+                    "s": x.sum(axis=0),
+                }
+            )
+            # row (0, -1) carries the batch count; rows (d, -1) the col sums
+            yield pd.concat([head, out], ignore_index=True)
+
+    parts = e.select("embedding").mapInPandas(
+        kernel, schema="i int, j int, g double, n long, s double"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("g").alias("g"), F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+
+
+def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
+    """Driver-side eigh over the reduced Gram. Returns (mean, components) as
+    plain Python lists; cached per sf_dir via the shared session cache so the
+    fit job runs once per session, not once per query."""
+    import numpy as np
+
+    from .session_cache import session_cached
+
+    def build():
+        e = load_table(spark, "embeddings", sf_dir)
+        dim = _peek_dim(sf_dir)
+        red = _gram_reduce(e, dim).collect()
+        g = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for row in red:
+            if row["j"] == -1:
+                s[row["i"]] = row["s"]
+                if row["i"] == 0:
+                    n = row["n"]
+            else:
+                g[row["i"], row["j"]] = row["g"]
+        mu = s / n
+        cov = (g - n * np.outer(mu, mu)) / (n - 1)
+        vals, vecs = np.linalg.eigh(cov)
+        comps = vecs[:, np.argsort(vals)[::-1][:n_pc]].T  # (n_pc, dim)
+        # pin sign: the largest-|w| coordinate of each component is positive
+        for k in range(n_pc):
+            if comps[k, np.argmax(np.abs(comps[k]))] < 0:
+                comps[k] = -comps[k]
+        return mu.tolist(), comps.tolist()
+
+    # cached value is a (mean, components) tuple, not a DataFrame — _drop's
+    # tolerant unpersist makes that safe on eviction
+    return session_cached("pca_fit", spark, sf_dir, build)
+
+
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = _peek_dim(sf_dir)
+    mu, comps = _fit_components(spark, sf_dir)
+    n_pc = len(comps)
+    rows = [
+        (d, k, comps[k][d] if d < len(comps[k]) else 0.0, mu[d] if d < len(mu) else 0.0)
+        for d in range(dim)
+        for k in range(n_pc)
+    ]
+    w = spark.createDataFrame(rows, "d int, pc int, w double, mu double")
+    elems = e.select("vec_id", "label", F.posexplode("embedding").alias("d", "v"))
+    proj = (
+        elems.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "label")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("pc") == k, (F.col("v") - F.col("mu")) * F.col("w")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias(f"pc{k + 1}")
+                for k in range(n_pc)
+            ]
+        )
+    )
+    return proj.select("vec_id", "label", "pc1", "pc2")
+
+
+register("embed_pca_project", embed_pca_project, None)

@@ -477,3 +477,41 @@ def test_shard_shuffle_is_a_permutation_with_dense_positions(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_pca_projection_invariants(spark):
+    """Fit/transform split: projections are centered, components orthonormal,
+    and pc1 captures at least as much variance as pc2."""
+    import numpy as np
+
+    from ad_hoc_olap_query_processing_engine_spark.operators.similarity import (
+        _fit_components,
+        embed_pca_project,
+    )
+
+    mu, comps = _fit_components(spark, SF_SMALL)
+    c = np.array(comps)
+    # orthonormal rows
+    assert np.allclose(c @ c.T, np.eye(len(c)), atol=1e-9)
+    # pinned sign: largest-|w| coordinate positive
+    for k in range(len(c)):
+        assert c[k, np.argmax(np.abs(c[k]))] > 0
+    df = embed_pca_project(spark, SF_SMALL).toPandas()
+    assert abs(df.pc1.mean()) < 1e-9 and abs(df.pc2.mean()) < 1e-9
+    assert df.pc1.var() >= df.pc2.var()
+    # projection count covers every embedding exactly once
+    assert df.vec_id.is_unique
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """After the scrub pass no email/phone/IP pattern survives, and the
+    per-row counts see exactly the planted PII (1 email, 1 phone, 1 IP)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        pipe_pii_scrub,
+    )
+
+    df = pipe_pii_scrub(spark, SF_SMALL).toPandas()
+    assert (df.n_emails == 1).all()
+    assert (df.n_phones == 1).all()
+    assert (df.n_ips == 1).all()
+    assert df.scrub_digest.str.len().eq(32).all()
