@@ -397,19 +397,61 @@ WHERE rn = 1"""
 
 # ---------------------------------------------------------------------------
 # rel_decile_spend — ntile(10) decile assignment over per-customer spend,
-# re-aggregated into a decile profile.  The ntile window is global by
-# construction (deciles are a total ranking) but runs over the *reduced*
-# per-customer aggregate — |customers|, not |orders| — which is the scale-safe
-# place to pay a single-partition sort; the profile then aggregates 10 rows.
+# re-aggregated into a decile profile.  Deciles are a total ranking, but the
+# plan contains NO unpartitioned window: customers bucket by spend VALUE
+# RANGE (width_bucket over a broadcast min/max, so bucket order == spend
+# order), rank locally within each bucket, and a broadcast per-bucket offset
+# (sum of higher-bucket sizes, a SPEND_BUCKETS-row triangular join) turns
+# local ranks into the exact global rank — the same rank-within-bucket +
+# offset pattern as text_vocab, aligned by value range instead of hash
+# because rank order matters here.  The ntile bucket then falls out of
+# (rank, total) arithmetically.  At 100 TB the only data-sized shuffles are
+# the per-customer aggregate and the bucketed window; everything global is
+# constant-bounded.
 # ---------------------------------------------------------------------------
+
+SPEND_BUCKETS = 32
 
 
 def rel_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     spend = o.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("spend"))
-    w = W.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    bounds = spend.agg(
+        F.min("spend").alias("__lo"),
+        F.max("spend").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    b = spend.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.width_bucket(
+            F.col("spend"), F.col("__lo"), F.col("__hi") + F.lit(1.0), SPEND_BUCKETS
+        ),
+    )
+    rk_local = F.row_number().over(
+        W.partitionBy("__bkt").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    )
+    sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__sz"))
+    higher = sizes.select(F.col("__bkt").alias("__hb"), F.col("__sz").alias("__hsz"))
+    offsets = (
+        sizes.join(F.broadcast(higher), F.col("__hb") > F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__hsz"), F.lit(0)).alias("__off"))
+    )
+    ranked = (
+        b.withColumn("__rk", rk_local)
+        .join(F.broadcast(offsets), "__bkt")
+        .withColumn("__grk", F.col("__off") + F.col("__rk"))
+    )
+    # NTILE(10) from the global rank: the first (n % 10) tiles hold
+    # floor(n/10)+1 rows, the rest floor(n/10)
+    q = (F.col("__n") / 10).cast("bigint")
+    r = F.col("__n") % 10
+    big_span = r * (q + 1)
+    decile = F.when(
+        F.col("__grk") <= big_span, ((F.col("__grk") - 1) / (q + 1)).cast("bigint") + 1
+    ).otherwise(r + ((F.col("__grk") - big_span - 1) / F.greatest(q, F.lit(1))).cast("bigint") + 1)
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -841,9 +841,12 @@ register("embed_knn_classify", embed_knn_classify, EMBED_KNN_CLASSIFY_SQL)
 #      driver over that 64×64 = 32 KB result — the same fit-on-reduced-state
 #      contract as sim_ivf_kmeans' sampled coarse quantizer (the distributed
 #      plan reduces the data, the driver fits the tiny model).
-#   2. TRANSFORM: the two component vectors broadcast back as a (dim, pc,
-#      weight) table; projection is posexplode → broadcast join → groupBy
-#      (vec_id) conditional sums — all JVM-side, one shuffle keyed on vec_id.
+#   2. TRANSFORM: mean and components travel as LITERAL arrays baked into
+#      the plan (they are dim-sized constants, smaller than any broadcast);
+#      pc_k = Σ_d (x_d − μ_d)·w_kd evaluates with zip_with + aggregate —
+#      JVM higher-order functions, shuffle-FREE map work, and the in-index-
+#      order fold makes each row's projection bit-deterministic (the earlier
+#      groupBy formulation summed in partition order).
 #
 # Eigenvector sign is pinned (largest-|w| coordinate made positive) so the
 # output is deterministic up to float reduction order. No SQL oracle: the
@@ -861,12 +864,12 @@ def _gram_reduce(e: DataFrame, dim: int) -> DataFrame:
     import pandas as pd
 
     def kernel(batches):
+        iu, ju = np.triu_indices(dim)  # symmetric: ship the upper triangle only
         for pdf in batches:
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             g = x.T @ x
-            i, j = np.nonzero(np.ones((dim, dim)))
             out = pd.DataFrame(
-                {"i": i.astype("int32"), "j": j.astype("int32"), "g": g.ravel()}
+                {"i": iu.astype("int32"), "j": ju.astype("int32"), "g": g[iu, ju]}
             )
             out["n"] = 0
             out["s"] = 0.0
@@ -912,6 +915,7 @@ def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
                     n = row["n"]
             else:
                 g[row["i"], row["j"]] = row["g"]
+                g[row["j"], row["i"]] = row["g"]  # mirror the upper triangle
         mu = s / n
         cov = (g - n * np.outer(mu, mu)) / (n - 1)
         vals, vecs = np.linalg.eigh(cov)
@@ -929,31 +933,14 @@ def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
 
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    dim = _peek_dim(sf_dir)
     mu, comps = _fit_components(spark, sf_dir)
-    n_pc = len(comps)
-    rows = [
-        (d, k, comps[k][d] if d < len(comps[k]) else 0.0, mu[d] if d < len(mu) else 0.0)
-        for d in range(dim)
-        for k in range(n_pc)
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with("embedding", mu_arr, lambda x, m: x.cast("double") - m)
+    projections = [
+        _dot(centered, F.array(*[F.lit(float(w)) for w in comps[k]])).alias(f"pc{k + 1}")
+        for k in range(len(comps))
     ]
-    w = spark.createDataFrame(rows, "d int, pc int, w double, mu double")
-    elems = e.select("vec_id", "label", F.posexplode("embedding").alias("d", "v"))
-    proj = (
-        elems.join(F.broadcast(w), "d")
-        .groupBy("vec_id", "label")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("pc") == k, (F.col("v") - F.col("mu")) * F.col("w")).otherwise(
-                        F.lit(0.0)
-                    )
-                ).alias(f"pc{k + 1}")
-                for k in range(n_pc)
-            ]
-        )
-    )
-    return proj.select("vec_id", "label", "pc1", "pc2")
+    return e.select("vec_id", "label", *projections)
 
 
 register("embed_pca_project", embed_pca_project, None)
