@@ -259,3 +259,73 @@ def test_posting_partitioning_elides_signature_exchange(spark):
         assert "Exchange" not in above, (
             "doc_id aggregation over cached postings must not re-shuffle"
         )
+
+
+def test_returned_items_is_top_k_with_broadcast_dims(spark):
+    """Q10-shape: returnflag filter reaches the scan, nation broadcasts, and
+    the top-20 plans as TakeOrdered — no global sort of the aggregate."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    df = olap.rel_returned_items(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_market_share_single_fact_pass(spark):
+    """Q8-shape: share-of-total computes inside ONE aggregate over the joined
+    facts — lineitem is scanned exactly once (a naive plan would scan it per
+    numerator/denominator)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    df = olap.rel_market_share(spark, SF_SMALL)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+
+
+def test_large_volume_orders_broadcasts_qualified_keys(spark):
+    """Q18-shape: the HAVING-qualified key set joins back via broadcast —
+    the threshold bounds it regardless of fact size."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    assert has_broadcast_join(olap.rel_large_volume_orders(spark, SF_SMALL))
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    assert has_broadcast_join(olap.rel_promo_revenue(spark, SF_SMALL))
+
+
+def test_decile_spend_no_unpartitioned_window(spark):
+    """Deciles come from rank-within-value-bucket + broadcast offsets: every
+    Window in the plan partitions by __bkt, and the only SinglePartition
+    exchange feeds the scalar min/max/count bounds aggregate — never a
+    data-sized global sort."""
+    import re
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    plan = physical_plan(olap.rel_decile_spend(spark, SF_SMALL))
+    # formatted explain prints each Window node's spec lines; a global window
+    # would show an empty partition spec and an Exchange SinglePartition
+    # directly beneath a Sort of the full spend table
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        assert "__bkt" in m.group(1)
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """Redaction is scan → project: zero exchanges of any kind."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+    from ad_hoc_olap_query_processing_engine_spark.plans import count_exchanges
+
+    assert count_exchanges(pipeline.pipe_pii_scrub(spark, SF_SMALL)) == 0
+
+
+def test_pca_transform_is_pure_map(spark):
+    """After the fit (its own reduced job), the projection is zip_with +
+    aggregate over literal component arrays — shuffle-free map work."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import similarity
+    from ad_hoc_olap_query_processing_engine_spark.plans import count_exchanges
+
+    assert count_exchanges(similarity.embed_pca_project(spark, SF_SMALL)) == 0
