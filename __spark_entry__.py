@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     "rel_decile_spend",
     "pipe_pii_scrub",
     "embed_pca_project",
+    "text_bigram_lm",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

@@ -614,3 +614,60 @@ ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}"""
 
 
 register("text_bm25_topk", text_bm25_topk, _bm25_sql())
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm — corpus-LM fluency scoring: fit an unsmoothed bigram model
+# on the corpus, score each document by its mean log conditional probability
+# (plus perplexity), the KenLM-style quality-filter signal a training
+# pipeline thresholds on. Bigram construction is the shuffle-free
+# zip_with/slice map (shared shape with text_ngram_topk); the model is two
+# count aggregates (context, bigram) joined back on token keys — vocab²-
+# bounded tables, shuffle joins that AQE downgrades to broadcast when the
+# vocab is small (as here), the scale-correct default when it is not. Scores
+# round to 4 dp so both engines' float-sum orders agree (same policy as the
+# cosine scores in similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    logp = F.log(F.col("c_bi") / F.col("c_ctx"))
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = """\
+WITH big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, len(toks))) AS u(i)),
+ctx AS (SELECT w1, COUNT(*) AS c_ctx FROM big GROUP BY w1),
+bi  AS (SELECT w1, w2, COUNT(*) AS c_bi FROM big GROUP BY w1, w2)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(c_bi / c_ctx)), 4)    AS avg_logp,
+       ROUND(exp(-AVG(ln(c_bi / c_ctx))), 4) AS ppl
+FROM big b JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY b.doc_id"""
+
+
+register("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL)
