@@ -515,3 +515,39 @@ def test_pii_scrub_redacts_everything(spark):
     assert (df.n_phones == 1).all()
     assert (df.n_ips == 1).all()
     assert df.scrub_digest.str.len().eq(32).all()
+
+
+def test_decile_arithmetic_matches_builtin_ntile(spark):
+    """The bucketed-rank NTILE reconstruction must agree with Spark's own
+    ntile() for awkward sizes (n < 10, n % 10 != 0, ties in spend)."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    for n in (1, 3, 10, 17, 95, 100):
+        rows = [(i, float((i * 37) % 13)) for i in range(n)]  # ties included
+        df = spark.createDataFrame(rows, "o_custkey long, spend double")
+        want = (
+            df.withColumn(
+                "decile", F.ntile(10).over(W.orderBy(F.desc("spend"), F.asc("o_custkey")))
+            )
+            .groupBy("decile")
+            .count()
+            .toPandas()
+            .sort_values("decile")
+            .reset_index(drop=True)
+        )
+        # the operator's arithmetic, applied to the same global rank
+        total = n
+        q, r = divmod(total, 10)
+        got = []
+        for rk in range(1, total + 1):
+            if rk <= r * (q + 1):
+                got.append((rk - 1) // (q + 1) + 1)
+            else:
+                got.append(r + (rk - r * (q + 1) - 1) // max(q, 1) + 1)
+        got_counts = (
+            pd.Series(got).value_counts().sort_index().rename_axis("decile").reset_index(name="count")
+        )
+        assert want["count"].tolist() == got_counts["count"].tolist(), n
+        assert want["decile"].tolist() == got_counts["decile"].tolist(), n
