@@ -23,12 +23,12 @@ zorder_key            multi-dimensional clustering: interleave the bits of
                       columns then skip most row groups via footer stats —
                       the same reason Delta/Iceberg expose OPTIMIZE ZORDER.
                       Pure JVM bit arithmetic (shiftright/and/shiftleft)
-                      over LINEAR MIN-MAX scaled values (per-column min/max
-                      from a tiny aggregate; ntile was rejected — its global
-                      rank is a single-partition sort at scale). Heavily
-                      skewed domains get coarser buckets than a rank
-                      transform would give; the upgrade path is approx-
-                      quantile cut points fit on a sample (ROADMAP).
+                      over scaled values. Two scalings: LINEAR MIN-MAX
+                      (per-column min/max from a tiny aggregate; ntile was
+                      rejected — its global rank is a single-partition sort
+                      at scale) and APPROX-QUANTILE rank (Greenwald-Khanna
+                      cut points, near-uniform bucket occupancy under
+                      domain skew).
 
 write_zordered        repartitionByRange(z) + sortWithinPartitions(z) +
                       parquet write: range partitioning gives global
@@ -99,21 +99,36 @@ def _zorder_interleave(ranks: list[Column], bits: int) -> Column:
 
 
 def with_zorder_key(
-    df: DataFrame, cols: list[str], bits: int = Z_BITS, key_col: str = "__z"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = Z_BITS,
+    key_col: str = "__z",
+    scaling: str = "minmax",
 ) -> DataFrame:
-    """Attach an interleaved-bit (Morton) key over min-max-normalized
-    dimensions. Normalization bounds come from ONE tiny aggregate broadcast
-    onto the scan — no global window/sort anywhere (an ntile-based rank
-    normalization would funnel the whole table through one window
+    """Attach an interleaved-bit (Morton) key over normalized dimensions.
+
+    ``scaling="minmax"`` (default): bounds come from ONE tiny aggregate
+    broadcast onto the scan — no global window/sort anywhere (an ntile-based
+    rank normalization would funnel the whole table through one window
     partition). Linear scaling wastes bit space under heavy value-domain
-    skew; a warehouse deployment upgrades the scaling to approx-quantile
-    cut points fit on a sample — the interleave stays identical. Bits
-    interleave round-robin so every dimension contributes equally at every
-    prefix length of the key."""
+    skew.
+
+    ``scaling="quantile"``: per-dimension approx-quantile cut points
+    (Greenwald-Khanna sketch — one distributed pass, driver gets the tiny
+    cut-point list; acceptable here because layout maintenance is a JOB, not
+    a query path). Each value's rank is its bucket among the cut points, so
+    bucket occupancy is near-uniform regardless of domain skew and every
+    z-prefix splits the data evenly. Per-dimension resolution caps at 2^10
+    buckets in this mode (the sketch, not the interleave, is the limit).
+
+    Either way the interleave is identical: bits round-robin so every
+    dimension contributes equally at every prefix length of the key."""
     # keep every interleaved shift index inside a signed 64-bit key: with n
     # dimensions the top bit lands at bits*n - 1, so cap per-dimension bits
     # at 62//n instead of silently wrapping into the sign bit
     bits = min(bits, 62 // max(len(cols), 1))
+    if scaling == "quantile":
+        return _with_zorder_key_quantile(df, cols, min(bits, 10), key_col)
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
@@ -134,10 +149,35 @@ def with_zorder_key(
     )
 
 
+def _with_zorder_key_quantile(
+    df: DataFrame, cols: list[str], bits: int, key_col: str
+) -> DataFrame:
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    all_cuts = casted.stat.approxQuantile(cols, probs, 1.0 / (4 * n_buckets))
+    ranks = []
+    for c, cuts in zip(cols, all_cuts):
+        # dedupe (heavy ties collapse cut points) and keep order; rank =
+        # number of cut points <= value, evaluated by a JVM higher-order
+        # fold over the literal cut array — O(buckets) per row, no join
+        uniq = sorted(set(cuts))
+        cut_arr = F.array(*[F.lit(float(x)) for x in uniq])
+        ranks.append(
+            F.aggregate(
+                cut_arr,
+                F.lit(0).cast("bigint"),
+                lambda acc, cut: acc
+                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+            )
+        )
+    return df.withColumn(key_col, _zorder_interleave(ranks, bits))
+
+
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, scaling: str = "minmax"
 ) -> None:
-    keyed = with_zorder_key(df, cols)
+    keyed = with_zorder_key(df, cols, scaling=scaling)
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

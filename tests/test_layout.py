@@ -94,3 +94,33 @@ def test_zorder_narrows_rowgroup_stats_on_both_dimensions(spark):
         full_ok = _avg_rg_span(os.path.join(SF_SMALL, "lineitem.parquet"), "l_orderkey")
         assert z_pk < base_pk * 0.6, (z_pk, base_pk)
         assert z_ok < full_ok * 0.6, (z_ok, full_ok)
+
+
+def test_zorder_quantile_scaling_balances_skewed_domains(spark):
+    """On a power-law column, min-max scaling crams most rows into a few
+    rank buckets (the outlier stretches the domain); quantile scaling keeps
+    bucket occupancy near-uniform, so every z-prefix splits the data evenly."""
+    rows = spark.range(4000).select(
+        F.col("id").alias("k"),
+        # heavy skew: 99% of values in [0, 100), a few huge outliers
+        F.when(F.col("id") % 100 == 0, F.col("id") * 1000)
+        .otherwise(F.col("id") % 100)
+        .alias("v"),
+    )
+    mm = layout.with_zorder_key(rows, ["v", "k"], bits=4, scaling="minmax")
+    qt = layout.with_zorder_key(rows, ["v", "k"], bits=4, scaling="quantile")
+
+    def max_bucket_frac(df):
+        # recover the v-dimension rank: v's bits sit at even positions of the
+        # 2-way interleave (0, 2, 4, 6 for bits=4)
+        v_rank = sum(
+            (F.shiftright("__z", 2 * b).bitwiseAND(1) * (1 << b) for b in range(4)),
+            F.lit(0),
+        )
+        counts = df.groupBy(v_rank.alias("b")).count().collect()
+        total = sum(r["count"] for r in counts)
+        return max(r["count"] for r in counts) / total
+
+    # both keys cover all rows
+    assert mm.count() == qt.count() == 4000
+    assert max_bucket_frac(qt) < 0.5 < max_bucket_frac(mm)
