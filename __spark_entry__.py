@@ -74,6 +74,8 @@ _CHECK_FIRST = (
     "pipe_pii_scrub",
     "embed_pca_project",
     "text_bigram_lm",
+    "rel_retention_cohorts",
+    "embed_outlier_score",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

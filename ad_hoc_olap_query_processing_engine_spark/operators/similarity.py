@@ -944,3 +944,76 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embed_pca_project", embed_pca_project, None)
+
+
+# ---------------------------------------------------------------------------
+# embed_outlier_score — label-quality screening: the vectors farthest from
+# their own label's centroid (the mislabeled-example signal an embedding-
+# curation pipeline reviews). EXACT in integer space: with quantized values
+# q = floor(x·1000) and per-(label,dim) sums S over n vectors, the squared
+# distance to the centroid scales to Σ_d (n·q_d − S_d)² — pure int64
+# arithmetic (bounded by n²·(1000·|x|_max)²·dims; at corpus scales beyond
+# ~10⁹ rows per label widen to decimal), so the per-label top-3 ranking is
+# bit-deterministic in both engines with no float-order concerns; only the
+# display distance takes a sqrt (of identical integers) at the end. The
+# centroid table is (labels × dims) — broadcast onto the posexplode stream —
+# and the per-vector reduce shuffles on vec_id once.
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 3
+
+
+def embed_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    exploded = e.select("vec_id", "label", F.posexplode(q).alias("dim", "qv"))
+    cent = exploded.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("n") * F.col("qv") - F.col("s")
+    per_vec = (
+        exploded.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("num"), F.max("n").alias("n"))
+    )
+    w = W.partitionBy("label").orderBy(F.desc("num"), F.asc("vec_id"))
+    return (
+        per_vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_TOP_K)
+        .select(
+            "label",
+            "vec_id",
+            "rank",
+            F.round(F.sqrt(F.col("num").cast("double")) / (F.col("n") * QUANT_SCALE), 4).alias(
+                "dist"
+            ),
+        )
+    )
+
+
+EMBED_OUTLIER_SCORE_SQL = f"""\
+WITH exploded AS (
+  SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+cent AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s, COUNT(*) AS n
+  FROM exploded GROUP BY label, dim),
+per_vec AS (
+  SELECT vec_id, e.label,
+         CAST(SUM((n * qv - s) * (n * qv - s)) AS BIGINT) AS num,
+         MAX(n) AS n
+  FROM exploded e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY vec_id, e.label)
+SELECT label, vec_id, rank,
+       ROUND(sqrt(CAST(num AS DOUBLE)) / (n * {QUANT_SCALE}), 4) AS dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY num DESC, vec_id ASC) AS rank
+      FROM per_vec)
+WHERE rank <= {OUTLIER_TOP_K}"""
+
+
+register("embed_outlier_score", embed_outlier_score, EMBED_OUTLIER_SCORE_SQL)

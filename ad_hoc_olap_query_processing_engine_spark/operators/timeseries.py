@@ -272,3 +272,67 @@ GROUP BY 1, 2, 3"""
 
 
 register("func_multires_rollup", func_multires_rollup, FUNC_MULTIRES_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_retention_cohorts — the classic cohort-retention matrix: users cohorted
+# by first-activity week, each later week's active share of the cohort. Three
+# aggregates — per-user first week, distinct (user, week) activity, and the
+# (cohort, week_no) rollup — all keyed on user_id or the tiny cohort key, so
+# the only data-sized shuffles are the two user_id groupBys (AQE handles
+# skew). The exact distinct-user count per cell is the one expensive step; at
+# 100 TB swap in approx_count_distinct per cell or pre-dedup (user, week)
+# into the activity table the way this query's `distinct()` already does.
+# Ratios divide exact integers, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    d = e.select("user_id", wk.alias("wk"))
+    firsts = d.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = d.distinct()
+    cells = (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("week_no"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_no",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+REL_RETENTION_COHORTS_SQL = """\
+WITH d AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+firsts AS (
+  SELECT user_id, MIN(wk) AS cohort FROM d GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, wk FROM d),
+cells AS (
+  SELECT cohort,
+         CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_no,
+         COUNT(DISTINCT a.user_id) AS active_users
+  FROM act a JOIN firsts USING (user_id)
+  GROUP BY cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT)),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week, week_no,
+       active_users, cohort_size,
+       CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+FROM cells JOIN sizes USING (cohort)"""
+
+
+register("rel_retention_cohorts", rel_retention_cohorts, REL_RETENTION_COHORTS_SQL)
