@@ -76,6 +76,7 @@ _CHECK_FIRST = (
     "text_bigram_lm",
     "rel_retention_cohorts",
     "embed_outlier_score",
+    "graph_pagerank",
     # (c) last confirmed in round 2
     "phi_q6",
     "phi_q7",

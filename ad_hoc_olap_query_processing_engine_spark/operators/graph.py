@@ -1,0 +1,115 @@
+"""Graph analytics over the relational tables (SURVEY.md §2.3 extension
+tier; the reference has no joins at all, let alone graphs — its one relation
+is `sales`, /root/reference/src/QueryProcessor1.java:76-96).
+
+graph_pagerank    PageRank over the customer↔supplier purchase graph
+                  (distinct (c_custkey, l_suppkey) pairs from
+                  lineitem⋈orders, symmetrized so every node has out-degree
+                  ≥ 1 and no sink handling is needed). The iteration runs in
+                  FIXED-POINT INTEGER arithmetic — ranks carry 10^12 units of
+                  mass per node, contributions are integer DIV by out-degree,
+                  damping is (15·10^12 + 85·Σcontrib) DIV 100 — so every
+                  round is bit-exact and order-independent in both engines,
+                  and the whole iterative algorithm is ORACLE-CHECKED (the
+                  DuckDB mirror unrolls the same K rounds as chained CTEs;
+                  float PageRank could never hash-match). K is a fixed small
+                  constant, so the Spark plan is K chained aggregates — the
+                  same bounded-iteration contract as dedup_cluster_cc's
+                  label propagation. int64 headroom: ranks are bounded by
+                  total mass N·10^12 and the update multiplies by 85, so the
+                  scheme is safe to N ≈ 10^5 nodes per 10^12-unit scale; at
+                  larger N drop INIT_MASS a decade per 10× nodes (or widen
+                  to decimal).
+
+At 100 TB: the edge build is one distinct over the join (shuffle on the
+pair), each round is one groupBy(dst) shuffle over the edge list — the
+textbook Pregel-style message pass expressed relationally. The degree table
+joins broadcast (|nodes| ≪ |edges|); nothing iterates on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+PR_ROUNDS = 3
+PR_INIT = 10**12  # fixed-point mass units per node
+PR_TOP_K = 20
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct customer↔supplier edges ('c:<id>' / 's:<id>')."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _purchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_INIT).cast("bigint").alias("r"))
+    for _ in range(PR_ROUNDS):
+        # integer DIV throughout — a double division would silently round
+        # past 2^53 and diverge from the oracle's exact `//`
+        shares = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(F.col("src"), F.expr("r DIV deg").cast("bigint").alias("share"))
+        )
+        contrib = (
+            edges.join(shares, "src").groupBy("dst").agg(F.sum("share").alias("inflow"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.expr(f"({15 * PR_INIT} + 85 * inflow) DIV 100").cast("bigint").alias("r"),
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(PR_TOP_K)
+        .select("node", F.col("r").alias("rank_fp"))
+    )
+
+
+def _pagerank_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""\
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST((15000000000000 + 85 * SUM(CAST(p.r AS BIGINT) // d.deg)) // 100 AS BIGINT) AS r
+  FROM edges e
+  JOIN {prev} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst)""")
+        prev = f"r{i}"
+    joined_rounds = ",\n".join(rounds)
+    return f"""\
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_INIT} AS BIGINT) AS r FROM deg),
+{joined_rounds}
+SELECT node, r AS rank_fp FROM {prev}
+ORDER BY r DESC, node ASC
+LIMIT {PR_TOP_K}"""
+
+
+register("graph_pagerank", graph_pagerank, _pagerank_sql())

@@ -39,6 +39,7 @@ def _load_all() -> None:
     from . import advanced  # noqa: F401
     from . import cdc  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import graph  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import olap  # noqa: F401
     from . import pipeline  # noqa: F401
