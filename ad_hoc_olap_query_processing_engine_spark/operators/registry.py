@@ -44,6 +44,7 @@ def _load_all() -> None:
     from . import olap  # noqa: F401
     from . import olap_subqueries  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import prefilter  # noqa: F401
     from . import sampling  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401

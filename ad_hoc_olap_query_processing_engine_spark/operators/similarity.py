@@ -1017,3 +1017,130 @@ WHERE rank <= {OUTLIER_TOP_K}"""
 
 
 register("embed_outlier_score", embed_outlier_score, EMBED_OUTLIER_SCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_sq_ann — int8 scalar-quantized ANN with exact re-rank (the SQ8 path
+# every production vector store ships alongside IVF: FAISS's SQ8, Milvus'
+# IVF_SQ8, Lucene's int8 HNSW).  Compression pipeline:
+#
+#   1. per-dimension corpus bounds (lo_d, hi_d) over the exact integer
+#      quantization floor(x·1000) — a dim-sized aggregate, map-side combined;
+#   2. codes: c_d = floor((q_d - lo_d)·255 / (hi_d - lo_d + 1)) ∈ [0,255],
+#      computed per ROW from a broadcast one-row bounds-array frame via
+#      F.transform — the corpus is touched once and carries 1 byte/dim of
+#      information instead of 4 (float32): at 100 TB the candidate scan
+#      reads a 4×-smaller table and the distance kernel is pure int64
+#      arithmetic (JVM codegen, no Python);
+#   3. approximate ranking: squared L2 distance in code space, top
+#      SQ_CANDIDATES per query (window with vec_id tiebreak);
+#   4. exact cosine re-rank of candidates only (shared _exact_rerank tail).
+#
+# Bounds + code arithmetic are exact integers, so Spark and DuckDB build
+# bit-identical codes; constant dimensions degrade to code 0 on both sides
+# (hi - lo + 1 ≥ 1 guards the divide).  Like sim_srp_ann vs sim_brute_topk,
+# recall is checked by construction: the oracle mirrors the same SQ ranking,
+# and the exact baselines live in sim_brute_topk / sim_range_search.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+SQ_CANDIDATES = 4 * TOP_K
+
+
+def _sq_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, codes array<bigint>) — int8-range scalar quantization of each
+    vector against broadcast per-dimension corpus bounds."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    elems = e.select("vec_id", F.posexplode(q).alias("d", "v"))
+    bounds = elems.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    brow = bounds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("d", "lo", "hi"))).alias("__b")
+    )
+    code = lambda x, i: F.floor(  # noqa: E731
+        (x - F.element_at(F.col("__b"), i + 1)["lo"]).cast("double")
+        * SQ_LEVELS
+        / (
+            F.element_at(F.col("__b"), i + 1)["hi"]
+            - F.element_at(F.col("__b"), i + 1)["lo"]
+            + 1
+        ).cast("double")
+    ).cast("bigint")
+    return (
+        e.crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id",
+            F.transform(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+                ),
+                code,
+            ).alias("codes"),
+        )
+    )
+
+
+def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    codes = _sq_codes(e)
+    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("codes"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .withColumn("__qdist", qdist)
+        .select("query_id", "vec_id", "__qdist")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("__qdist"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= SQ_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        cand.join(F.broadcast(queries), F.col("query_id") == F.col("__qid"))
+        .join(e, "vec_id")
+        .select("query_id", "q_emb", "vec_id", "embedding")
+    )
+    return _exact_rerank(pairs)
+
+
+SIM_SQ_ANN_SQL = f"""\
+WITH q AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+bounds AS (SELECT d, MIN(v) AS lo, MAX(v) AS hi FROM q GROUP BY d),
+codes AS (
+  SELECT vec_id, q.d,
+         CAST(FLOOR(CAST((v - lo) * {SQ_LEVELS} AS DOUBLE)
+                    / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS code
+  FROM q JOIN bounds ON q.d = bounds.d),
+dist AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id AS vec_id,
+         SUM((qc.code - cc.code) * (qc.code - cc.code)) AS qdist
+  FROM codes qc JOIN codes cc ON qc.d = cc.d AND cc.vec_id <> qc.vec_id
+  WHERE qc.vec_id < {N_QUERIES}
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qdist ASC, vec_id ASC) AS rn
+        FROM dist)
+  WHERE rn <= {SQ_CANDIDATES}),
+{_RERANK_SQL_TAIL}"""
+
+
+register("sim_sq_ann", sim_sq_ann, SIM_SQ_ANN_SQL)

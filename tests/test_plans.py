@@ -329,3 +329,30 @@ def test_pca_transform_is_pure_map(spark):
     from ad_hoc_olap_query_processing_engine_spark.plans import count_exchanges
 
     assert count_exchanges(similarity.embed_pca_project(spark, SF_SMALL)) == 0
+
+
+def test_important_parts_single_fact_pass(spark):
+    """Q11-shape: the numerator and the global-total denominator both read
+    the session-cached per-part revenue rollup — once that artifact is
+    materialized, the query itself touches NO parquet fact scan (Catalyst
+    would otherwise prune the two branches to different column sets and
+    re-scan lineitem for the scalar total)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_subqueries
+
+    olap_subqueries._part_revenue(spark, SF_SMALL).count()  # materialize
+    df = olap_subqueries.rel_important_parts(spark, SF_SMALL)
+    # both branches read the cache; the only lineitem scan in the plan text
+    # is the cached relation's own build description (printed once), not a
+    # second live pass (uncached, this counted 2)
+    assert table_scan_count(df, "lineitem.parquet") <= 1
+    assert physical_plan(df).count("InMemoryTableScan") >= 2
+
+
+def test_waiting_suppliers_two_fact_passes(spark):
+    """Q21-shape: the textbook EXISTS + NOT-EXISTS pair would probe lineitem
+    three times; the decorrelated per-order profile caps it at two scans
+    (late lines + profile aggregate)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_subqueries
+
+    df = olap_subqueries.rel_waiting_suppliers(spark, SF_SMALL)
+    assert table_scan_count(df, "lineitem.parquet") == 2

@@ -1,0 +1,31 @@
+"""bitmap_semi_join unit coverage: bit/block edge cases and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ad_hoc_olap_query_processing_engine_spark.operators.prefilter import (
+    bitmap_semi_join,
+    rel_bitmap_semi_join,
+)
+from ad_hoc_olap_query_processing_engine_spark.plans import has_broadcast_join
+
+from .conftest import SF_SMALL
+
+
+def test_bitmap_membership_exact_at_block_boundaries(spark):
+    """Keys at word edges (0, 63, 64, 127, 128) must round-trip exactly —
+    bit 63 exercises the sign bit of the BIGINT word, 64/128 the block
+    split. Neighbours of members must NOT leak through (exactness: a bloom
+    filter would admit false positives; the bitmap may not)."""
+    keys = spark.createDataFrame([(k,) for k in [0, 63, 64, 127, 128, 1000]], "k bigint")
+    fact = spark.range(0, 1200).select(F.col("id").alias("fk"))
+    got = sorted(
+        r.fk for r in bitmap_semi_join(fact, keys, "fk", "k").select("fk").collect()
+    )
+    assert got == [0, 63, 64, 127, 128, 1000]
+
+
+def test_bitmap_semi_join_broadcasts_the_bitmap(spark):
+    df = rel_bitmap_semi_join(spark, SF_SMALL)
+    assert has_broadcast_join(df)
