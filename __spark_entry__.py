@@ -65,6 +65,8 @@ _CHECK_FIRST = (
     "rel_sales_opportunity",
     "rel_bitmap_semi_join",
     "sim_sq_ann",
+    "ts_interpolate",
+    "ts_anomaly_mad",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -336,3 +336,171 @@ FROM cells JOIN sizes USING (cohort)"""
 
 
 register("rel_retention_cohorts", rel_retention_cohorts, REL_RETENTION_COHORTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_interpolate — linear interpolation across silent buckets (the value
+# counterpart of func_timebucket's count gap-fill: TimescaleDB's
+# `interpolate()` / pandas' `interpolate(method='time')`).  Pipeline: exact
+# per-(event_type, day) means over the dense gap-filled grid, then one
+# window pass per series direction: previous/next observed (bucket, value)
+# via last/first IGNORE NULLS, and the straight-line value between them.
+# Grid rows are buckets×types (bounded by the time span, not the fact
+# table); the two windows partition by event_type and share one exchange —
+# at 100 TB the only data-sized work is the first aggregate, and the window
+# state is the tiny dense grid.  Series edges clamp to the nearest observed
+# value.  The interpolation expression is written identically in both
+# engines over identical doubles (exact decimal sums / exact counts), then
+# rounded to 4 dp.
+# ---------------------------------------------------------------------------
+
+
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_type").isin("view", "click"))
+    grid = timebucket_gapfill(
+        e,
+        "ts",
+        ["event_type"],
+        BUCKET_SECS,
+        [
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("obs")
+        ],
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("__bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("obs").isNotNull(), F.col("__bucket"))
+    prev_v = F.last("obs", ignorenulls=True).over(back)
+    prev_b = F.last(obs_b, ignorenulls=True).over(back)
+    next_v = F.first("obs", ignorenulls=True).over(fwd)
+    next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * ((F.col("__bucket") - prev_b).cast("double") / (next_b - prev_b).cast("double"))
+        )
+    )
+    return grid.select(
+        F.col("__bucket").alias("bucket_start"),
+        "event_type",
+        F.col("obs").isNull().alias("is_filled"),
+        F.round(interp, 4).alias("value"),
+    )
+
+
+TS_INTERPOLATE_SQL = f"""\
+WITH agged AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / {BUCKET_SECS * 1_000_000}) * {BUCKET_SECS} AS BIGINT) AS b,
+         event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agged),
+buckets AS (SELECT unnest(generate_series(lo, hi, {BUCKET_SECS})) AS b FROM bounds),
+grid AS (
+  SELECT g.b, t.event_type, a.obs
+  FROM buckets g
+  CROSS JOIN (SELECT DISTINCT event_type FROM agged) t
+  LEFT JOIN agged a ON a.b = g.b AND a.event_type = t.event_type),
+filled AS (
+  SELECT b, event_type, obs,
+         LAST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         FIRST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM grid)
+SELECT b AS bucket_start, event_type,
+       obs IS NULL AS is_filled,
+       ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(b - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+             END, 4) AS value
+FROM filled"""
+
+
+register("ts_interpolate", ts_interpolate, TS_INTERPOLATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_mad — robust outlier screening: per event_type, median and
+# median-absolute-deviation (MAD), then count readings beyond 3·MAD (the
+# robust z-score rule — insensitive to the outliers it hunts, unlike
+# mean/stddev).  Two exact interpolated percentiles force two passes over
+# events (median, then median of |v − median|); the per-type median table
+# between them is broadcast.  At 100 TB the same plan swaps the exact
+# percentile for approx_percentile (one pass per level, mergeable sketches)
+# without changing shape — exact is kept here because the DuckDB oracle
+# must hash-match.  All arithmetic chains identical IEEE expressions over
+# exact inputs; outputs round to 4 dp.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = e.groupBy("event_type").agg(F.percentile("v", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"), F.first("med").alias("med")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("med"), 4).alias("median_value"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_anomalies"),
+    )
+
+
+TS_ANOMALY_MAD_SQL = f"""\
+WITH typed AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med
+  FROM typed GROUP BY event_type),
+dev AS (
+  SELECT t.event_type, v, ABS(v - med) AS adev, med
+  FROM typed t JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad, ANY_VALUE(med) AS med
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(m.med), 4) AS median_value,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type"""
+
+
+register("ts_anomaly_mad", ts_anomaly_mad, TS_ANOMALY_MAD_SQL)
