@@ -67,6 +67,9 @@ _CHECK_FIRST = (
     "sim_sq_ann",
     "ts_interpolate",
     "ts_anomaly_mad",
+    "text_collocations",
+    "pipe_ccnet_buckets",
+    "graph_triangles",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

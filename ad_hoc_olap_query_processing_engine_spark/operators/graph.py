@@ -113,3 +113,95 @@ LIMIT {PR_TOP_K}"""
 
 
 register("graph_pagerank", graph_pagerank, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# graph_triangles — triangle counting over the top-K co-purchase neighbor
+# graph of parts, reported as each part's triangle participation (top-20).
+# Two standard scale techniques compose here:
+#
+#   1. DEGREE CAP: the raw co-purchase projection of a fact table densifies
+#      as facts grow (fixed catalog, growing orders ⇒ quadratic pair
+#      growth), so production co-occurrence/similarity pipelines keep only
+#      each node's top-K strongest neighbors (a kNN graph).  Edges rank by
+#      (co-purchase count DESC, neighbor id) per endpoint — deterministic —
+#      and survive if EITHER endpoint keeps them (standard kNN-graph
+#      union).  Degree is then ≤ 2K regardless of fact volume, so the
+#      wedge join below is linear in the node count forever.
+#   2. EDGE ORIENTATION: orient surviving edges low-id → high-id, build
+#      wedges (a<b)⋈(b<c), close against the oriented set (a,c) — each
+#      triangle found exactly once, no double counting.
+#
+# The customer↔supplier pagerank graph is bipartite (triangle-free), so
+# this op builds the part-part projection.  All counts are exact integers;
+# top-20 is TakeOrdered with id tiebreak.
+# ---------------------------------------------------------------------------
+
+TRI_KNN = 8
+TRI_TOP_K = 20
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, "lineitem", sf_dir)
+    items = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    i2 = items.select(F.col("ok"), F.col("pk").alias("pk2"))
+    pairs = (
+        items.join(i2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nbrs = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"), "cnt").unionByName(
+        pairs.select(F.col("b").alias("x"), F.col("a").alias("y"), "cnt")
+    )
+    rn = F.row_number().over(W.partitionBy("x").orderBy(F.desc("cnt"), F.asc("y")))
+    edges = (
+        nbrs.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= TRI_KNN)
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = edges.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("p_partkey"))
+        .limit(TRI_TOP_K)
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""\
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT i1.pk AS a, i2.pk AS b, COUNT(*) AS cnt
+  FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+  GROUP BY 1, 2),
+nbrs AS (
+  SELECT a AS x, b AS y, cnt FROM pairs
+  UNION ALL SELECT b, a, cnt FROM pairs),
+edges AS (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, y ASC) AS rn
+        FROM nbrs)
+  WHERE rn <= {TRI_KNN}),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT pk AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS pk FROM tris)
+GROUP BY pk
+ORDER BY n_triangles DESC, p_partkey ASC
+LIMIT {TRI_TOP_K}"""
+
+
+register("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL)

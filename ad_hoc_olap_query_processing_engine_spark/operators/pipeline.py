@@ -410,3 +410,72 @@ FROM raw"""
 
 
 register("pipe_pii_scrub", pipe_pii_scrub, PIPE_PII_SCRUB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_ccnet_buckets — CCNet-style quality partitioning: score every document
+# with the corpus bigram-LM perplexity (text_bigram_lm), cut the score
+# distribution into terciles, and report the head/middle/tail composition per
+# language — the bucketing CCNet/CC-MultiLingual pipelines use to keep the
+# most fluent third of a crawl and audit what each slice holds.  The tercile
+# cut points are two exact percentiles over the per-doc scores (a one-row
+# broadcast); bucket assignment is two comparisons against that row; the
+# report is one aggregate.  At 100 TB the cuts swap to approx_percentile
+# (mergeable sketch, same one-row broadcast shape) — exact here so the
+# DuckDB oracle hash-matches.  Per-bucket means sum the 4-dp-rounded scores
+# as DECIMAL so both engines agree bit-for-bit.  Documents with no bigrams
+# (empty/one-token text) are unscorable and excluded, as in CCNet.
+# ---------------------------------------------------------------------------
+
+
+def pipe_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import TEXT_BIGRAM_LM_SQL, text_bigram_lm  # noqa: F401
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    scored = text_bigram_lm(spark, sf_dir).select("doc_id", "ppl")
+    cuts = scored.agg(
+        F.percentile("ppl", 1.0 / 3.0).alias("__q1"),
+        F.percentile("ppl", 2.0 / 3.0).alias("__q2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("__q1"), "head")
+        .when(F.col("ppl") <= F.col("__q2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .join(d, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("ppl").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_ppl"),
+        )
+    )
+
+
+def _ccnet_sql() -> str:
+    from .text import TEXT_BIGRAM_LM_SQL
+
+    return f"""\
+WITH scored AS (
+  SELECT doc_id, ppl FROM ({TEXT_BIGRAM_LM_SQL})),
+cuts AS (
+  SELECT quantile_cont(ppl, 1.0/3.0) AS q1, quantile_cont(ppl, 2.0/3.0) AS q2
+  FROM scored),
+bucketed AS (
+  SELECT doc_id, ppl,
+         CASE WHEN ppl <= q1 THEN 'head'
+              WHEN ppl <= q2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored CROSS JOIN cuts)
+SELECT d.lang, b.bucket, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(b.ppl AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ppl
+FROM bucketed b JOIN documents d USING (doc_id)
+GROUP BY d.lang, b.bucket"""
+
+
+register("pipe_ccnet_buckets", pipe_ccnet_buckets, _ccnet_sql())

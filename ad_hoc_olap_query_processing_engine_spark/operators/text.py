@@ -671,3 +671,94 @@ GROUP BY b.doc_id"""
 
 
 register("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_collocations — PMI-ranked collocations: bigrams whose observed count
+# beats the independence expectation, pmi = ln(c_bi·N_uni² / (N_bi·c_w1·c_w2))
+# — the phrase-mining signal (word2vec's phrase pass, NLTK collocations) a
+# corpus pipeline uses to merge multi-word units before tokenizer training.
+# Three count aggregates (unigram, bigram, two scalar totals) share the
+# token/bigram explode shapes with text_vocab / text_bigram_lm; the scalar
+# totals ride a one-row broadcast, the unigram table joins twice on token
+# keys (w1, w2).  A min-count floor keeps rare-pair noise out (PMI's known
+# bias).  Top-K lands via orderBy+limit → TakeOrdered, never a global sort.
+# The PMI expression is spelled identically in both engines over exact
+# integer counts cast to DOUBLE (all counts < 2^53 — exact), rounded 4 dp.
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 30
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+        .filter(F.col("c_bi") >= COLLOC_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c_w").alias("__n_uni")).crossJoin(
+        big.agg(F.sum("c_bi").alias("__n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    pmi = F.log(
+        (
+            F.col("c_bi").cast("double")
+            * F.col("__n_uni").cast("double")
+            * F.col("__n_uni").cast("double")
+        )
+        / (
+            F.col("__n_bi").cast("double")
+            * F.col("c_w1").cast("double")
+            * F.col("c_w2").cast("double")
+        )
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c_bi", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(COLLOC_TOP_K)
+    )
+
+
+TEXT_COLLOCATIONS_SQL = f"""\
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c_bi
+  FROM (SELECT t[i] AS w1, t[i+1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i))
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+totals AS (
+  SELECT (SELECT SUM(c_w) FROM uni) AS n_uni, (SELECT SUM(c_bi) FROM big) AS n_bi)
+SELECT w1, w2, c_bi,
+       ROUND(LN((CAST(c_bi AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+                / (CAST(n_bi AS DOUBLE) * CAST(c_w1 AS DOUBLE) * CAST(c_w2 AS DOUBLE))), 4) AS pmi
+FROM big
+JOIN (SELECT w AS w1, c_w AS c_w1 FROM uni) USING (w1)
+JOIN (SELECT w AS w2, c_w AS c_w2 FROM uni) USING (w2)
+CROSS JOIN totals
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {COLLOC_TOP_K}"""
+
+
+register("text_collocations", text_collocations, TEXT_COLLOCATIONS_SQL)
