@@ -546,17 +546,22 @@ register("udf_weighted_avg", udf_weighted_avg, UDF_WEIGHTED_AVG_SQL)
 
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
+    # the two sides derive from the same scan — rename the click-side key so
+    # the equi condition resolves unambiguously (no trivially-true-predicate
+    # fallback warning from the self-join disambiguator)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("p_ts"),
     )
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
     )
     joined = purchases.join(
         clicks,
-        (purchases["user_id"] == clicks["user_id"])
+        (purchases["user_id"] == clicks["c_user_id"])
         & (clicks["c_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 10 MINUTES"))
         & (clicks["c_ts"] < purchases["p_ts"]),
         "left",
