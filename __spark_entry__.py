@@ -70,6 +70,7 @@ _CHECK_FIRST = (
     "text_collocations",
     "pipe_ccnet_buckets",
     "graph_triangles",
+    "func_sketch_rollup",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",
