@@ -551,3 +551,23 @@ def test_decile_arithmetic_matches_builtin_ntile(spark):
         )
         assert want["count"].tolist() == got_counts["count"].tolist(), n
         assert want["decile"].tolist() == got_counts["decile"].tolist(), n
+
+
+def test_sq_ann_candidates_recall_vs_brute(spark):
+    """The SQ8 candidate set (before re-rank) must recover the TRUE nearest
+    neighbour for most queries on the fixed driver data — pins the quantizer
+    keeps enough signal (deterministic data, deterministic codes, so the
+    recall is a constant; regression = quantizer broke)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators.similarity import (
+        sim_brute_topk,
+        sim_sq_ann,
+    )
+
+    from .conftest import SF_SMALL
+
+    brute = sim_brute_topk(spark, SF_SMALL).toPandas()
+    sq = sim_sq_ann(spark, SF_SMALL).toPandas()
+    top1_brute = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+    top1_sq = sq[sq["rank"] == 1].set_index("query_id")["vec_id"]
+    hits = sum(int(top1_sq.get(q, -1) == v) for q, v in top1_brute.items())
+    assert hits >= 8, f"SQ8 top-1 recall degraded: {hits}/10"

@@ -29,3 +29,29 @@ def test_bitmap_membership_exact_at_block_boundaries(spark):
 def test_bitmap_semi_join_broadcasts_the_bitmap(spark):
     df = rel_bitmap_semi_join(spark, SF_SMALL)
     assert has_broadcast_join(df)
+
+
+def test_bitmap_semi_join_equals_plain_semi_join_on_random_keys(spark):
+    """Property: for arbitrary key sets (clustered, sparse, adjacent,
+    boundary-straddling), the bitmap transport must select EXACTLY the rows
+    a plain left-semi join selects."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        keys = sorted(
+            rng.sample(range(0, 5000), rng.randint(1, 400))
+            + [0, 63, 64, 4999]  # force boundary coverage every trial
+        )
+        key_df = spark.createDataFrame([(k,) for k in set(keys)], "k bigint")
+        fact = spark.range(0, 5000).select(F.col("id").alias("fk"))
+        got = sorted(
+            r.fk for r in bitmap_semi_join(fact, key_df, "fk", "k").select("fk").collect()
+        )
+        exp = sorted(
+            r.fk
+            for r in fact.join(
+                key_df, fact["fk"] == key_df["k"], "left_semi"
+            ).collect()
+        )
+        assert got == exp, f"trial {trial}: {len(got)} vs {len(exp)}"
