@@ -71,6 +71,7 @@ _CHECK_FIRST = (
     "pipe_ccnet_buckets",
     "graph_triangles",
     "func_sketch_rollup",
+    "func_json_schema",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -106,3 +106,53 @@ FROM documents"""
 
 
 register("func_collection_surface", func_collection_surface, FUNC_COLLECTION_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_json_schema — schema-on-read certification: serialize typed event
+# rows to JSON documents (to_json over a nested struct with an array
+# field), parse them back with an EXPLICIT schema (from_json — the
+# schema-on-read contract: no inference job, malformed rows become NULL
+# instead of failing the query), explode the nested array, aggregate.
+# Complements func_json_extract (path extraction on stored JSON): this op
+# pins that a nested-document round-trip is lossless and type-faithful.
+# The DuckDB oracle never touches JSON — it states the same aggregate
+# directly over the source columns, so agreement proves the round-trip
+# dropped nothing.  At 100 TB both json expressions are JVM codegen
+# (Jackson under whole-stage codegen), and the explicit schema avoids the
+# schema-inference scan a samplingRatio read would cost.
+# ---------------------------------------------------------------------------
+
+
+def func_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.col("value").alias("v"),
+            F.array("user_id", "event_id").alias("ids"),
+        )
+    )
+    parsed = F.from_json(doc, "et string, v double, ids array<bigint>")
+    return (
+        e.select(parsed.alias("p"))
+        .select("p.et", "p.v", F.explode("p.ids").alias("id_val"))
+        .groupBy(F.col("et"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id_val").cast("bigint").alias("sum_ids"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        )
+    )
+
+
+FUNC_JSON_SCHEMA_SQL = """\
+SELECT event_type AS et,
+       2 * COUNT(*) AS n_rows,
+       CAST(SUM(user_id) + SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(2 * SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY event_type"""
+
+
+register("func_json_schema", func_json_schema, FUNC_JSON_SCHEMA_SQL)

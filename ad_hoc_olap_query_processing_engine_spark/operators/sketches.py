@@ -77,3 +77,4 @@ GROUP BY h.day, e.exact_users"""
 
 
 register("func_sketch_rollup", func_sketch_rollup, FUNC_SKETCH_ROLLUP_SQL)
+
