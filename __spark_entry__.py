@@ -72,6 +72,7 @@ _CHECK_FIRST = (
     "graph_triangles",
     "func_sketch_rollup",
     "func_json_schema",
+    "udf_udtf_chunks",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

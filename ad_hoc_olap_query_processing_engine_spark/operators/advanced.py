@@ -673,3 +673,68 @@ FROM sess GROUP BY user_id"""
 register("rel_range_join", rel_range_join, REL_RANGE_JOIN_SQL)
 register("rel_window_suite", rel_window_suite, REL_WINDOW_SUITE_SQL)
 register("rel_sessionize", rel_sessionize, REL_SESSIONIZE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udf_udtf_chunks — Python user-defined TABLE function surface (the one
+# Python-extension API not otherwise exercised: scalar pandas_udf,
+# applyInPandas, GROUPED_AGG UDAF, mapInPandas, mapInArrow, and the Python
+# DataSource all have registered queries; this adds SQL-invocable UDTFs).
+# A generator UDTF expands each document into fixed-size token chunks via
+# LATERAL join — the set-returning-function shape (flatten/expand/parse
+# steps) that otherwise needs explode over a pre-built array.  The UDTF is
+# Arrow-optimized (useArrow=True: batched transfer, not row pickling);
+# chunk DIGESTS are computed JVM-side with md5 over the returned strings
+# so the Python boundary carries each chunk exactly once.  Chunk size 48
+# deliberately differs from pipe_token_chunks' 32 (that op certifies the
+# pure-JVM sequence/slice formulation of the same semantics — together
+# they pin that the UDTF path and the native path agree with the oracle).
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK = 48
+
+
+def _chunk_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk string",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        def eval(self, doc_id, text, size):  # noqa: D102 — UDTF contract
+            toks = text.split(" ")
+            for i in range(0, len(toks), size):
+                part = toks[i : i + size]
+                yield doc_id, i // size, len(part), " ".join(part)
+
+    return ChunkTokens
+
+
+def udf_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    spark.udtf.register("chunk_tokens", _chunk_udtf())
+    return spark.sql(f"""
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, md5(c.chunk) AS chunk_md5
+        FROM documents d,
+             LATERAL chunk_tokens(d.doc_id, d.text, {UDTF_CHUNK}) c
+    """)
+
+
+UDF_UDTF_CHUNKS_SQL = f"""\
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CAST(CEIL(len(toks) / {UDTF_CHUNK}.0) AS INT) AS nc
+  FROM t)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(toks[i * {UDTF_CHUNK} + 1 : (i + 1) * {UDTF_CHUNK}]) AS INT)
+         AS n_tokens,
+       md5(array_to_string(toks[i * {UDTF_CHUNK} + 1 : (i + 1) * {UDTF_CHUNK}], ' '))
+         AS chunk_md5
+FROM c, unnest(range(0, nc)) AS u(i)"""
+
+
+register("udf_udtf_chunks", udf_udtf_chunks, UDF_UDTF_CHUNKS_SQL)
