@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     "func_sketch_rollup",
     "func_json_schema",
     "udf_udtf_chunks",
+    "rel_hierarchy_rollup",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -299,3 +299,63 @@ register("rel_top_supplier", rel_top_supplier, REL_TOP_SUPPLIER_SQL)
 register("rel_supplier_parts_cnt", rel_supplier_parts_cnt, REL_SUPPLIER_PARTS_CNT_SQL)
 register("rel_waiting_suppliers", rel_waiting_suppliers, REL_WAITING_SUPPLIERS_SQL)
 register("rel_sales_opportunity", rel_sales_opportunity, REL_SALES_OPPORTUNITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_hierarchy_rollup — recursive-CTE hierarchy aggregation (the BOM /
+# org-chart walk SQL warehouses answer with WITH RECURSIVE, supported by
+# Spark since 4.0).  The part catalog is given a synthetic binary-tree
+# hierarchy (parent = key DIV 2, root = 1 — deterministic, no extra table
+# needed); the recursion emits every (part, ancestor) pair by climbing the
+# tree, and the rollup charges each part's exact revenue to ALL its
+# ancestors — the subtree-total question a flat GROUP BY cannot express.
+# Cost model at 100 TB: the recursion runs over the per-part AGGREGATE
+# (catalog-sized), never the fact table; depth is log2(catalog) iterations
+# and the expanded relation is nodes×depth rows.  Output is restricted to
+# the top 6 tree levels (node < 64).  Both engines run the same recursion
+# (DuckDB spells integer division //, Spark DIV).
+# ---------------------------------------------------------------------------
+
+HIER_TOP_NODES = 64
+
+
+def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        WITH RECURSIVE per_part AS (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
+          FROM lineitem GROUP BY l_partkey),
+        anc(pk, node) AS (
+          SELECT pk, pk FROM per_part
+          UNION ALL
+          SELECT pk, node DIV 2 FROM anc WHERE node > 1)
+        SELECT node,
+               COUNT(*) AS n_parts,
+               CAST(SUM(val) AS DOUBLE) AS subtree_rev
+        FROM anc JOIN per_part USING (pk)
+        WHERE node < {HIER_TOP_NODES}
+        GROUP BY node
+    """)
+
+
+REL_HIERARCHY_ROLLUP_SQL = f"""\
+WITH RECURSIVE per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem GROUP BY l_partkey),
+anc(pk, node) AS (
+  SELECT pk, pk FROM per_part
+  UNION ALL
+  SELECT pk, node // 2 FROM anc WHERE node > 1)
+SELECT node,
+       COUNT(*) AS n_parts,
+       CAST(SUM(val) AS DOUBLE) AS subtree_rev
+FROM anc JOIN per_part USING (pk)
+WHERE node < {HIER_TOP_NODES}
+GROUP BY node"""
+
+
+register("rel_hierarchy_rollup", rel_hierarchy_rollup, REL_HIERARCHY_ROLLUP_SQL)
