@@ -74,6 +74,7 @@ _CHECK_FIRST = (
     "func_json_schema",
     "udf_udtf_chunks",
     "rel_hierarchy_rollup",
+    "stream_stream_outer",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

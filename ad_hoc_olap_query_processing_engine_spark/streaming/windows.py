@@ -458,6 +458,75 @@ register("stream_stream_join", stream_stream_join, STREAM_STREAM_JOIN_SQL)
 
 
 # ---------------------------------------------------------------------------
+# stream_stream_outer — LEFT OUTER stream-stream join: the hard streaming
+# case, because a null-match can only be emitted once the engine PROVES no
+# match will ever arrive — i.e. when the join watermark passes the purchase's
+# match window.  Spark buffers left rows in state and flushes unmatched ones
+# via the no-data micro-batch after the watermark advances; rows whose window
+# the final watermark never passes are still open and are NOT emitted.  The
+# oracle makes that eviction rule explicit instead of pretending the stream
+# equals a batch LEFT JOIN: null-matches appear iff
+#     p_ts + 1h < min(max(p_ts), max(c_ts)) - 1h
+# (global watermark = min of both sides' max-event-time minus the 1h delay —
+# verified row-for-row against the engine at sf0.001 and sf0.01).  At scale
+# the state store holds ≤ (watermark horizon + window) of the purchase
+# stream per key — bounded regardless of stream length.
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    return _drain(
+        joined.select(
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+        ),
+        spark,
+        "append",
+    )
+
+
+STREAM_STREAM_OUTER_SQL = """\
+WITH wm AS (
+  SELECT LEAST(
+      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+      (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+    - INTERVAL 1 HOUR AS w)
+SELECT x.user_id, epoch_us(x.p_ts) AS purchase_us, epoch_us(x.c_ts) AS click_us
+FROM (
+  SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts
+   AND c.ts <= p.ts + INTERVAL 1 HOUR
+) x, wm
+WHERE x.c_ts IS NOT NULL OR x.p_ts + INTERVAL 1 HOUR < wm.w"""
+
+
+register("stream_stream_outer", stream_stream_outer, STREAM_STREAM_OUTER_SQL)
+
+
+# ---------------------------------------------------------------------------
 # stream_static_join — stream enriched against a STATIC dimension table.
 # ---------------------------------------------------------------------------
 
