@@ -341,8 +341,11 @@ register("rel_retention_cohorts", rel_retention_cohorts, REL_RETENTION_COHORTS_S
 # ---------------------------------------------------------------------------
 # ts_interpolate — linear interpolation across silent buckets (the value
 # counterpart of func_timebucket's count gap-fill: TimescaleDB's
-# `interpolate()` / pandas' `interpolate(method='time')`).  Pipeline: exact
-# per-(event_type, day) means over the dense gap-filled grid, then one
+# `interpolate()` / pandas' `interpolate(method='time')`), over an hourly
+# per-user panel — per-user hourly series have real gaps at every scale
+# factor, so the straight-line arithmetic is genuinely exercised (per-type
+# daily series are dense and would make the fill path vacuous).  Pipeline:
+# exact per-(user, hour) means over the dense gap-filled grid, then one
 # window pass per series direction: previous/next observed (bucket, value)
 # via last/first IGNORE NULLS, and the straight-line value between them.
 # Grid rows are buckets×types (bounded by the time span, not the fact
@@ -351,19 +354,27 @@ register("rel_retention_cohorts", rel_retention_cohorts, REL_RETENTION_COHORTS_S
 # state is the tiny dense grid.  Series edges clamp to the nearest observed
 # value.  The interpolation expression is written identically in both
 # engines over identical doubles (exact decimal sums / exact counts), then
-# rounded to 4 dp.
+# floor-quantized to 1e-4 fixed point (integer output column).
 # ---------------------------------------------------------------------------
+
+
+INTERP_BUCKET_SECS = 3600  # hourly: per-user hourly series are sparse at
+# EVERY scale factor (per-user event counts are constant as users scale),
+# so the interpolation path is genuinely exercised, unlike per-type daily
+# series which are dense
+
+INTERP_USERS = (1, 2, 3)
 
 
 def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = load_table(spark, "events", sf_dir).filter(F.col("event_type").isin("view", "click"))
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id").isin(*INTERP_USERS))
     grid = timebucket_gapfill(
         e,
         "ts",
-        ["event_type"],
-        BUCKET_SECS,
+        ["user_id"],
+        INTERP_BUCKET_SECS,
         [
             (
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
@@ -372,12 +383,12 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     back = (
-        W.partitionBy("event_type")
+        W.partitionBy("user_id")
         .orderBy("__bucket")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     fwd = (
-        W.partitionBy("event_type")
+        W.partitionBy("user_id")
         .orderBy("__bucket")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
@@ -396,48 +407,52 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.col("__bucket") - prev_b).cast("double") / (next_b - prev_b).cast("double"))
         )
     )
+    # fixed-point 1e-4 quantization via FLOOR, not ROUND: round's half-up
+    # rule sits exactly on the fp boundary for interpolated halves and
+    # Spark (BigDecimal semantics) vs DuckDB (fp round) can disagree by one
+    # ulp there; floor over the identical IEEE expression is bit-stable
     return grid.select(
         F.col("__bucket").alias("bucket_start"),
-        "event_type",
+        "user_id",
         F.col("obs").isNull().alias("is_filled"),
-        F.round(interp, 4).alias("value"),
+        F.floor(interp * 10000).cast("bigint").alias("value_e4"),
     )
 
 
 TS_INTERPOLATE_SQL = f"""\
 WITH agged AS (
-  SELECT CAST(FLOOR(epoch_us(ts) / {BUCKET_SECS * 1_000_000}) * {BUCKET_SECS} AS BIGINT) AS b,
-         event_type,
+  SELECT CAST(FLOOR(epoch_us(ts) / {INTERP_BUCKET_SECS * 1_000_000}) * {INTERP_BUCKET_SECS} AS BIGINT) AS b,
+         user_id,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs
-  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+  FROM events WHERE user_id IN {INTERP_USERS} GROUP BY 1, 2),
 bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM agged),
-buckets AS (SELECT unnest(generate_series(lo, hi, {BUCKET_SECS})) AS b FROM bounds),
+buckets AS (SELECT unnest(generate_series(lo, hi, {INTERP_BUCKET_SECS})) AS b FROM bounds),
 grid AS (
-  SELECT g.b, t.event_type, a.obs
+  SELECT g.b, t.user_id, a.obs
   FROM buckets g
-  CROSS JOIN (SELECT DISTINCT event_type FROM agged) t
-  LEFT JOIN agged a ON a.b = g.b AND a.event_type = t.event_type),
+  CROSS JOIN (SELECT DISTINCT user_id FROM agged) t
+  LEFT JOIN agged a ON a.b = g.b AND a.user_id = t.user_id),
 filled AS (
-  SELECT b, event_type, obs,
-         LAST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+  SELECT b, user_id, obs,
+         LAST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
          LAST_VALUE(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
-             OVER (PARTITION BY event_type ORDER BY b
+             OVER (PARTITION BY user_id ORDER BY b
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
-         FIRST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+         FIRST_VALUE(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
          FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
-             OVER (PARTITION BY event_type ORDER BY b
+             OVER (PARTITION BY user_id ORDER BY b
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
   FROM grid)
-SELECT b AS bucket_start, event_type,
+SELECT b AS bucket_start, user_id,
        obs IS NULL AS is_filled,
-       ROUND(CASE WHEN obs IS NOT NULL THEN obs
+       CAST(FLOOR((CASE WHEN obs IS NOT NULL THEN obs
                   WHEN prev_v IS NULL THEN next_v
                   WHEN next_v IS NULL THEN prev_v
                   ELSE prev_v + (next_v - prev_v)
                        * (CAST(b - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
-             END, 4) AS value
+             END) * 10000) AS BIGINT) AS value_e4
 FROM filled"""
 
 
