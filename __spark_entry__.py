@@ -75,6 +75,8 @@ _CHECK_FIRST = (
     "udf_udtf_chunks",
     "rel_hierarchy_rollup",
     "stream_stream_outer",
+    "rel_nullsafe_join",
+    "func_map_surface",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

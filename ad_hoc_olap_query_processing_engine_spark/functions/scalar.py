@@ -156,3 +156,107 @@ GROUP BY event_type"""
 
 
 register("func_json_schema", func_json_schema, FUNC_JSON_SCHEMA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_nullsafe_join — null-safe equality join (<=> / IS NOT DISTINCT FROM):
+# the join-surface variant where NULL keys MATCH each other instead of
+# dropping out, required whenever the join key is an optional attribute.
+# The driver tables carry no NULLs, so a nullable key is derived
+# (NULLIF(c_mktsegment, 'BUILDING') — BUILDING customers become the NULL
+# group); the dimension side aggregates per nullable key, and the join
+# brings each customer its group's profile INCLUDING the NULL group (a
+# plain equi-join would silently lose those rows).  Catalyst plans <=> as
+# an ordinary hash join (null-safe keys hash like values), broadcast here.
+# The Phi planner uses eqNullSafe defensively (phi/planner.py:286); this
+# query pins the semantics against DuckDB's IS NOT DISTINCT FROM on keys
+# that are REALLY null.
+# ---------------------------------------------------------------------------
+
+
+def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    key = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = c.select("c_custkey", F.col("c_acctbal"), key.alias("seg_key"))
+    prof = (
+        c.select(key.alias("p_key"), "c_acctbal")
+        .groupBy("p_key")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("grp_bal"),
+        )
+    )
+    joined = left.join(F.broadcast(prof), left["seg_key"].eqNullSafe(prof["p_key"]))
+    return joined.groupBy("seg_key").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.first("grp_n").alias("grp_n"),
+        F.first("grp_bal").alias("grp_bal"),
+    )
+
+
+REL_NULLSAFE_JOIN_SQL = """\
+WITH l AS (
+  SELECT c_custkey, c_acctbal, NULLIF(c_mktsegment, 'BUILDING') AS seg_key
+  FROM customer),
+prof AS (
+  SELECT NULLIF(c_mktsegment, 'BUILDING') AS p_key,
+         COUNT(*) AS grp_n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS grp_bal
+  FROM customer GROUP BY 1)
+SELECT seg_key, COUNT(*) AS n_customers,
+       ANY_VALUE(grp_n) AS grp_n, ANY_VALUE(grp_bal) AS grp_bal
+FROM l JOIN prof ON l.seg_key IS NOT DISTINCT FROM prof.p_key
+GROUP BY seg_key"""
+
+
+register("rel_nullsafe_join", rel_nullsafe_join, REL_NULLSAFE_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_map_surface — MapType pipeline: build a per-user event-type→count
+# map (map_from_entries over a SORTED entry list — map column equality and
+# iteration order are unspecified, so deterministic construction matters),
+# then drive the higher-order map functions: map_filter (heavy types),
+# transform_values (rescaled counts), element_at (point lookup),
+# map_keys/cardinality (profile width).  Like func_json_schema, the DuckDB
+# oracle never builds a map — it states the same facts with conditional
+# aggregation, so a hash match proves the map pipeline is lossless.  All
+# map work is JVM expression codegen over the already-aggregated per-user
+# rows.
+# ---------------------------------------------------------------------------
+
+
+def func_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    )
+    per_user = counts.groupBy("user_id").agg(m.alias("m"))
+    heavy = F.map_filter(F.col("m"), lambda k, v: v > 10)
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    return per_user.select(
+        "user_id",
+        F.cardinality("m").alias("n_types"),
+        F.cardinality(heavy).alias("n_heavy_types"),
+        F.coalesce(F.element_at(doubled, "click"), F.lit(0)).alias("clicks_x2"),
+        F.array_join(F.sort_array(F.map_keys(heavy)), ",").alias("heavy_keys"),
+    )
+
+
+FUNC_MAP_SURFACE_SQL = """\
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN cnt > 10 THEN 1 ELSE 0 END) AS INT) AS n_heavy_types,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN cnt * 2 END), 0) AS BIGINT)
+         AS clicks_x2,
+       COALESCE(string_agg(CASE WHEN cnt > 10 THEN event_type END, ','
+                           ORDER BY event_type), '') AS heavy_keys
+FROM counts
+GROUP BY user_id"""
+
+
+register("func_map_surface", func_map_surface, FUNC_MAP_SURFACE_SQL)
