@@ -77,6 +77,7 @@ _CHECK_FIRST = (
     "stream_stream_outer",
     "rel_nullsafe_join",
     "func_map_surface",
+    "phi_q10",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -129,10 +129,31 @@ cust,month
 count_quant_below,sum_quant_above
 {MF.cust.count_quant_below}[=]{cust}:{MF.month.count_quant_below}[=]{month}:{MF.avg_quant.count_quant_below}[<]{quant},{MF.cust.sum_quant_above}[=]{cust}:{MF.month.sum_quant_above}[=]{month}:{MF.avg_quant.sum_quant_above}[>=]{quant}"""
 
+# phi_q10: per (prod, year) — the strategy-COMPOSITION stress: three GVs
+# that each take a DIFFERENT planner strategy inside one query, plus HAVING:
+#   GV1 avg_quant_NY: own group, tuple-σ state='NY' → COND_AGG (fused into
+#       scan 0 as avg(CASE WHEN ...)).
+#   GV2 sum_quant_allyears: same prod across ALL years (superset of the
+#       group) → WINDOW (partition-by-prod total over the group table).
+#   GV3 count_quant_hot: tuples of the group with quant above the group's
+#       GV1 average — a DEPENDENT aggregate (references avg_quant_NY), so
+#       it stages after GV1 via JOIN_AGG, exactly the Q6 mechanism but
+#       depending on a CONDITIONAL aggregate rather than a plain one.
+#   HAVING keeps groups where the dependent count is positive (groups with
+#       no NY sales have NULL avg → NULL-condition semantics filter them).
+EXTENSION_Q10 = """\
+prod,year,avg_quant_NY,sum_quant_allyears,count_quant_hot
+3
+prod,year
+avg_quant_NY,sum_quant_allyears,count_quant_hot
+{MF.prod.avg_quant_NY}[=]{prod}:{MF.year.avg_quant_NY}[=]{year}:{state}[=]{NY},{MF.prod.sum_quant_allyears}[=]{prod},{MF.prod.count_quant_hot}[=]{prod}:{MF.year.count_quant_hot}[=]{year}:{MF.avg_quant_NY.count_quant_hot}[<]{quant}
+{MF.count_quant_hot,>,0}"""
+
 EXTENSION_SPECS: dict[str, str] = {
     "phi_q7": EXTENSION_Q7,
     "phi_q8": EXTENSION_Q8,
     "phi_q9": EXTENSION_Q9,
+    "phi_q10": EXTENSION_Q10,
 }
 
 SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}

@@ -356,3 +356,25 @@ def test_waiting_suppliers_two_fact_passes(spark):
 
     df = olap_subqueries.rel_waiting_suppliers(spark, SF_SMALL)
     assert table_scan_count(df, "lineitem.parquet") == 2
+
+
+def test_phi_q10_strategy_composition(spark, sales):
+    """phi_q10 mixes all three GV strategy families in one query (COND_AGG +
+    WINDOW superset + dependent JOIN_AGG): the dependent stage forces a
+    second fact pass (same contract as golden q6), never a third."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import all_phi_queries
+    from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
+
+    q = all_phi_queries()["phi_q10"]
+    g0 = frozenset(a.name for a in q.group0)
+    strategies = {
+        gv.agg.name: classify_gv(gv, q.group_attrs, dict(sales.dtypes), g0).strategy
+        for gv in q.gvs
+    }
+    assert strategies == {
+        "avg_quant_NY": "cond_agg",
+        "sum_quant_allyears": "window",
+        "count_quant_hot": "join",
+    }
+    df = compile_phi(q, sales)
+    assert table_scan_count(df, "lineitem.parquet") == 2
