@@ -172,9 +172,16 @@ def knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window as W
 
         l = load_table(spark, "lineitem", sf_dir)
-        items = l.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        ).distinct()
+        # one shuffle on ok serves BOTH the dedup and the self-join:
+        # hashpartitioning(ok) satisfies the (ok, pk) clustered distribution
+        # (subset rule), so dropDuplicates adds no exchange, and the join
+        # reuses the same layout on both sides — measured 5.0 s → 3.9 s
+        # cold at sf0.1
+        items = (
+            l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .repartition("ok")
+            .dropDuplicates(["ok", "pk"])
+        )
         i2 = items.select(F.col("ok"), F.col("pk").alias("pk2"))
         pairs = (
             items.join(i2, "ok")
