@@ -703,6 +703,9 @@ def _chunk_udtf():
     )
     class ChunkTokens:
         def eval(self, doc_id, text, size):  # noqa: D102 — UDTF contract
+            if text is None:
+                return  # NULL text → no rows, matching the oracle's
+                # string_split(NULL) chain (a crash here kills the query)
             toks = text.split(" ")
             for i in range(0, len(toks), size):
                 part = toks[i : i + size]

@@ -429,10 +429,10 @@ register("pipe_pii_scrub", pipe_pii_scrub, PIPE_PII_SCRUB_SQL)
 
 
 def pipe_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import TEXT_BIGRAM_LM_SQL, text_bigram_lm  # noqa: F401
+    from .text import bigram_lm_scores
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    scored = text_bigram_lm(spark, sf_dir).select("doc_id", "ppl")
+    scored = bigram_lm_scores(spark, sf_dir).select("doc_id", "ppl")
     cuts = scored.agg(
         F.percentile("ppl", 1.0 / 3.0).alias("__q1"),
         F.percentile("ppl", 2.0 / 3.0).alias("__q2"),

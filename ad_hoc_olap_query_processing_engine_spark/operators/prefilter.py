@@ -37,19 +37,29 @@ from .relational import _dec
 
 def bitmap_semi_join(fact: DataFrame, keys: DataFrame, fact_key: str, key_col: str) -> DataFrame:
     """Exact semi join of ``fact`` against the integer key set ``keys``,
-    transported as a blocked bitmap (8 bytes per 64-key block)."""
+    transported as a blocked bitmap (8 bytes per 64-key block).  Block and
+    bit use FLOOR division/modulus, not ``div``/``%``: the truncating forms
+    map a negative key to a negative shift count, which the JVM masks to
+    its low 6 bits — key -1 would collide with key 63.  With floor math the
+    bit index is always in [0, 63], so negative keys are exact too."""
+
+    def blk(col: str):
+        return F.floor(F.col(col) / F.lit(64)).cast("bigint")
+
     bitmap = (
-        keys.select(F.expr(f"{key_col} div 64").alias("__blk"),
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} % 64 AS INT))").alias("__bit"))
+        keys.select(
+            blk(key_col).alias("__blk"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} - 64 * FLOOR({key_col} / 64) AS INT))").alias("__bit"),
+        )
         .groupBy("__blk")
         .agg(F.bit_or("__bit").alias("__word"))
     )
     return (
-        fact.join(
-            F.broadcast(bitmap), F.expr(f"{fact_key} div 64") == F.col("__blk")
-        )
+        fact.join(F.broadcast(bitmap), blk(fact_key) == F.col("__blk"))
         .filter(
-            F.expr(f"(shiftright(__word, CAST({fact_key} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1")
+            F.expr(
+                f"(shiftright(__word, CAST({fact_key} - 64 * FLOOR({fact_key} / 64) AS INT)) & CAST(1 AS BIGINT)) = 1"
+            )
         )
         .drop("__blk", "__word")
     )

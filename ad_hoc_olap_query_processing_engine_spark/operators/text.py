@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from .session_cache import session_cached
 
 
 def _n_tokens() -> Column:
@@ -630,7 +631,21 @@ register("text_bm25_topk", text_bm25_topk, _bm25_sql())
 # ---------------------------------------------------------------------------
 
 
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM scores, session-cached: text_bigram_lm returns
+    it and pipe_ccnet_buckets reads it TWICE (tercile cuts + bucketing) —
+    uncached, the cuts branch re-executed the whole multi-join LM subtree
+    (7 documents scans measured in the bucket query)."""
+    return session_cached(
+        "bigram_lm_scores", spark, sf_dir, lambda: _bigram_lm_scores(spark, sf_dir).persist()
+    )
+
+
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(spark, sf_dir)
+
+
+def _bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     m = F.greatest(F.size(toks) - 1, F.lit(0))

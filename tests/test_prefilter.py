@@ -55,3 +55,17 @@ def test_bitmap_semi_join_equals_plain_semi_join_on_random_keys(spark):
             ).collect()
         )
         assert got == exp, f"trial {trial}: {len(got)} vs {len(exp)}"
+
+
+def test_bitmap_membership_exact_for_negative_keys(spark):
+    """Floor-based block/bit math must keep NEGATIVE keys exact: with
+    truncating div/% the JVM masks the negative shift count and key -1
+    collides with key 63 (a false positive)."""
+    keys = spark.createDataFrame(
+        [(k,) for k in [-130, -65, -64, -1, 0, 63]], "k bigint"
+    )
+    fact = spark.range(-200, 200).select(F.col("id").alias("fk"))
+    got = sorted(
+        r.fk for r in bitmap_semi_join(fact, keys, "fk", "k").select("fk").collect()
+    )
+    assert got == [-130, -65, -64, -1, 0, 63]
