@@ -177,3 +177,42 @@ def test_salted_ops_match_plain_on_adversarial_skew(spark):
         skew.salted_join(big, small, "k", hot_threshold=1000).groupBy("tag").count()
     )
     assert_frames_match(salted_join.toPandas(), plain_join.toPandas())
+
+
+def test_aqe_native_skew_join_splits_hot_partition(spark):
+    """The manual salting hatches above are for when the engine can't help;
+    this pins that the SESSION'S OWN config (adaptive.skewJoin.enabled in
+    session.py) actually fires: with the size thresholds scaled down to
+    local data volumes, AQE must mark the hot partition skew=true in the
+    executed SortMergeJoin and split it — the Spark-native path that handles
+    moderate skew before anyone reaches for a salting hatch."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()
+        assert row.n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
