@@ -78,6 +78,7 @@ _CHECK_FIRST = (
     "rel_nullsafe_join",
     "func_map_surface",
     "phi_q10",
+    "rel_rolling_distinct",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -539,3 +539,48 @@ GROUP BY d.event_type"""
 
 
 register("ts_anomaly_mad", ts_anomaly_mad, TS_ANOMALY_MAD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_rolling_distinct — trailing-7-day active users per day (rolling WAU):
+# the rolling-window COUNT(DISTINCT) no window frame can express (distinct
+# does not decompose over frames).  The scale formulation is the explode
+# trick: each (day, user) contribution fans out to the ≤7 window-end days it
+# participates in, turning the range-distinct into a plain equi-group
+# COUNT(DISTINCT) — constant 7× row amplification, map-side dedup of the
+# (day, user) pairs first, shuffle keyed by window-end day.  The DuckDB
+# oracle deliberately uses the OTHER standard formulation (day-grid range
+# join, d.day BETWEEN b-6 AND b) so agreement checks the fan-out logic.
+# Output buckets are restricted to observed days (semi join), so sparse
+# calendars do not invent trailing windows.
+# ---------------------------------------------------------------------------
+
+ROLL_DAYS = 7
+
+
+def rel_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    du = e.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    fanned = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), ROLL_DAYS - 1))).alias("b"),
+        "user_id",
+    )
+    return (
+        fanned.join(days.select(F.col("d").alias("b")), "b", "left_semi")
+        .groupBy(F.date_format("b", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+REL_ROLLING_DISTINCT_SQL = f"""\
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d AS b FROM du)
+SELECT strftime(b, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS active_users_7d
+FROM days JOIN du ON du.d BETWEEN b - {ROLL_DAYS - 1} AND b
+GROUP BY b"""
+
+
+register("rel_rolling_distinct", rel_rolling_distinct, REL_ROLLING_DISTINCT_SQL)
