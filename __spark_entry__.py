@@ -79,6 +79,7 @@ _CHECK_FIRST = (
     "func_map_surface",
     "phi_q10",
     "rel_rolling_distinct",
+    "rel_asof_nearest",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -198,6 +198,108 @@ FROM back b JOIN fwd f ON b.event_id = f.event_id"""
 
 
 # ---------------------------------------------------------------------------
+# rel_asof_nearest — the third merge_asof direction: attach whichever
+# purchase is CLOSER in time, backward (at-or-before) or strictly-forward,
+# tie → backward (pandas' nearest rule).  Same single-shuffle union-window
+# machinery as rel_asof_tolerance — both direction candidates come from ONE
+# sorted partition pass, the pick is a pure row-local comparison of the two
+# candidate structs.  Registered output carries the chosen value, the
+# signed distance in micros (negative = matched backward), and the
+# direction flag, all integer/exact so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.unix_micros("ts").alias("p_us")
+    )
+    l_tagged = clicks.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("struct<us:bigint,value:double>").alias("__r"),
+    )
+    r_tagged = purchases.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(F.col("p_us").alias("us"), F.col("value").alias("value")).alias("__r"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("__ts", "__is_left", F.asc_nulls_first("__r"))
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    out = (
+        u.withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__r", ignorenulls=True).over(wf))
+        .filter(F.col("__is_left") == 1)
+    )
+    us = F.unix_micros("__ts")
+    d_back = us - F.col("__b.us")   # >= 0 when backward candidate exists
+    d_fwd = F.col("__f.us") - us    # > 0 when forward candidate exists
+    pick_back = F.col("__f").isNull() | (F.col("__b").isNotNull() & (d_back <= d_fwd))
+    return out.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.when(pick_back, F.col("__b.value")).otherwise(F.col("__f.value")).alias(
+            "nearest_purchase_value"
+        ),
+        F.when(pick_back, -d_back).otherwise(d_fwd).cast("bigint").alias("signed_gap_us"),
+        F.when(
+            F.col("__b").isNull() & F.col("__f").isNull(), F.lit(None).cast("string")
+        )
+        .when(pick_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+REL_ASOF_NEAREST_SQL = """\
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+back AS (
+  SELECT c.event_id, c.user_id, c.ts, p.value AS b_value, epoch_us(p.ts) AS b_us
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts >= p.ts),
+fwd AS (
+  SELECT c.event_id, p.value AS f_value, epoch_us(p.ts) AS f_us
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts < p.ts)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+       CASE WHEN f.f_us IS NULL THEN b.b_value
+            WHEN b.b_us IS NULL THEN f.f_value
+            WHEN epoch_us(b.ts) - b.b_us <= f.f_us - epoch_us(b.ts) THEN b.b_value
+            ELSE f.f_value END AS nearest_purchase_value,
+       CAST(CASE WHEN f.f_us IS NULL AND b.b_us IS NULL THEN NULL
+            WHEN f.f_us IS NULL THEN -(epoch_us(b.ts) - b.b_us)
+            WHEN b.b_us IS NULL THEN f.f_us - epoch_us(b.ts)
+            WHEN epoch_us(b.ts) - b.b_us <= f.f_us - epoch_us(b.ts)
+                 THEN -(epoch_us(b.ts) - b.b_us)
+            ELSE f.f_us - epoch_us(b.ts) END AS BIGINT) AS signed_gap_us,
+       CASE WHEN f.f_us IS NULL AND b.b_us IS NULL THEN NULL
+            WHEN f.f_us IS NULL THEN 'backward'
+            WHEN b.b_us IS NULL THEN 'forward'
+            WHEN epoch_us(b.ts) - b.b_us <= f.f_us - epoch_us(b.ts) THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM back b JOIN fwd f ON b.event_id = f.event_id"""
+
+
+register("rel_asof_nearest", rel_asof_nearest, REL_ASOF_NEAREST_SQL)
+
+
+# ---------------------------------------------------------------------------
 # pivot / unpivot
 # ---------------------------------------------------------------------------
 
