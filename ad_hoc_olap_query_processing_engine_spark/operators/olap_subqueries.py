@@ -344,7 +344,7 @@ def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
           FROM lineitem GROUP BY l_partkey),
         anc(pk, node) AS (
-          SELECT pk, pk FROM per_part
+          SELECT pk, pk AS node FROM per_part
           UNION ALL
           SELECT pk, node DIV 2 FROM anc WHERE node > 1)
         SELECT node,
