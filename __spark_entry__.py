@@ -80,6 +80,7 @@ _CHECK_FIRST = (
     "phi_q10",
     "rel_rolling_distinct",
     "rel_asof_nearest",
+    "stream_approx_ndv",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

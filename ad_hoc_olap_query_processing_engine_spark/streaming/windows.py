@@ -527,6 +527,55 @@ register("stream_stream_outer", stream_stream_outer, STREAM_STREAM_OUTER_SQL)
 
 
 # ---------------------------------------------------------------------------
+# stream_approx_ndv — approximate COUNT(DISTINCT) under streaming state:
+# exact distinct aggregation is unsupported in streaming (state would be the
+# full value set per window), so the streaming path is the HLL++ sketch
+# (approx_count_distinct, rsd 2%) — constant state per (window) key, the
+# same reason batch tiers roll sketches up (func_sketch_rollup).  Contract
+# mirrors rel_approx_distinct: after the stream drains, the estimate joins
+# the batch-exact count and the HASHED columns are the exact NDV plus an
+# error-envelope boolean (±5%) the oracle states as TRUE — the estimate
+# itself is engine-specific and never hashed.
+# ---------------------------------------------------------------------------
+
+
+def stream_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("__w")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__est")
+    )
+    # complete mode (like stream_tumbling): append would hold back the final
+    # day, whose window end the watermark never passes on a finite source
+    est = _drain(
+        agg.select(
+            F.date_format(F.col("__w.start"), "yyyy-MM-dd").alias("day"), "__est"
+        ),
+        spark,
+        "complete",
+    )
+    exact = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    rel_err = F.abs(F.col("__est") - F.col("exact_users")) / F.col("exact_users")
+    return est.join(exact, "day").select(
+        "day", "exact_users", (rel_err <= 0.05).alias("est_within_5pct")
+    )
+
+
+STREAM_APPROX_NDV_SQL = """\
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events
+GROUP BY 1"""
+
+
+register("stream_approx_ndv", stream_approx_ndv, STREAM_APPROX_NDV_SQL)
+
+
+# ---------------------------------------------------------------------------
 # stream_static_join — stream enriched against a STATIC dimension table.
 # ---------------------------------------------------------------------------
 
