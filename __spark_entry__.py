@@ -81,6 +81,7 @@ _CHECK_FIRST = (
     "rel_rolling_distinct",
     "rel_asof_nearest",
     "stream_approx_ndv",
+    "rel_set_ops_all",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

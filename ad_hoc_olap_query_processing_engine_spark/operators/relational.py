@@ -221,6 +221,41 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""
 
 
 # ---------------------------------------------------------------------------
+# rel_set_ops_all — the MULTISET set operations (INTERSECT ALL / EXCEPT ALL):
+# unlike rel_set_ops' distinct forms, multiplicities carry through — a
+# customer ordering 3× in 1996 and 2× in 1997 appears min(3,2)=2 times in
+# the intersection, and EXCEPT ALL subtracts occurrence counts instead of
+# deleting the key.  Spark plans these as count-tagged aggregates +
+# replication (no distinct collapse); the result is re-aggregated to
+# (key, n_copies) so the driver hash is order-insensitive.
+# ---------------------------------------------------------------------------
+
+
+def rel_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+
+    def year_keys(year: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    res = year_keys(1996).intersectAll(year_keys(1997)).exceptAll(year_keys(1998))
+    return res.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_copies"))
+
+
+REL_SET_OPS_ALL_SQL = """\
+WITH res AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT o_custkey, COUNT(*) AS n_copies FROM res GROUP BY o_custkey"""
+
+
+register("rel_set_ops_all", rel_set_ops_all, REL_SET_OPS_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # rel_rollup / rel_cube — grouping sets with GROUPING markers.
 # ---------------------------------------------------------------------------
 
