@@ -82,6 +82,7 @@ _CHECK_FIRST = (
     "rel_asof_nearest",
     "stream_approx_ndv",
     "rel_set_ops_all",
+    "func_csv_schema",
     "dedup_containment",
     "sim_range_search",
     "embed_dim_stats",

@@ -260,3 +260,51 @@ GROUP BY user_id"""
 
 
 register("func_map_surface", func_map_surface, FUNC_MAP_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_csv_schema — the CSV twin of func_json_schema: serialize typed order
+# rows to delimited text (to_csv over a struct), parse back with an explicit
+# from_csv schema, aggregate the recovered fields.  The schema-on-read
+# contract matters doubly for CSV (no self-describing types at all — every
+# recovered column is the parser's cast).  The DuckDB oracle states the same
+# aggregate directly over the source columns with no CSV anywhere, so a hash
+# match proves the text round-trip is lossless for the declared types.
+# Timestamps ride as epoch micros (BIGINT) — locale-proof, no format string.
+# ---------------------------------------------------------------------------
+
+
+def func_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_totalprice").alias("t"),
+            F.unix_micros("o_orderdate").alias("d_us"),
+        )
+    )
+    parsed = F.from_csv(line, "k bigint, p string, t double, d_us bigint")
+    return (
+        o.select(parsed.alias("r"))
+        .groupBy(F.col("r.p").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("r.t").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.min("r.d_us").alias("first_order_us"),
+            F.max("r.k").alias("max_orderkey"),
+        )
+    )
+
+
+FUNC_CSV_SCHEMA_SQL = """\
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(epoch_us(o_orderdate)) AS first_order_us,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderpriority"""
+
+
+register("func_csv_schema", func_csv_schema, FUNC_CSV_SCHEMA_SQL)
