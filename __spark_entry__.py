@@ -40,15 +40,24 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver checks only the first ~50 of queries() per round, so ordering IS
-# the evidence strategy. Round-4 priority: (a) the five queries whose latest
-# driver row is a round-2 NTZ fail (fixed in round 3 at catalog.load_table,
-# verified by the local DuckDB crosscheck, but never re-driver-checked),
-# (b) sim_ivf_kmeans, registered round 3 and never driver-checked at all,
-# (c) phi_q6-q9 and every other query whose latest green row is round 2 —
-# so after this round no registered query's freshest driver status is a fail
-# or older than round 3. The round-3-confirmed set (CORRECTNESS_r03.json,
-# 50/50 pass) rotates to the tail.
+# the evidence strategy. Round-5 priority: (0) the round-5 additions (never
+# driver-checked), then the round-4 head unchanged — no CORRECTNESS_r04.json
+# was recorded, so the round-4 additions still need their first hard signal:
+# (a) the five round-2 NTZ fails (fixed round 3, verified locally),
+# (b) everything registered in round 4, (c) queries whose latest green row
+# is round 2. The round-3-confirmed set (CORRECTNESS_r03.json, 50/50 pass)
+# stays at the tail.
 _CHECK_FIRST = (
+    # (0) round-5 additions
+    "rel_min_cost_supply",
+    "rel_shipping_priority",
+    "rel_forecast_revenue",
+    "rel_product_profit",
+    "rel_priority_lateness",
+    "rel_customer_distribution",
+    "rel_small_qty_revenue",
+    "rel_disjunctive_pred",
+    "rel_part_dominant_supplier",
     # (a) stale round-2 fails — fix is live, needs a fresh hard signal
     "rel_asof_join",
     "rel_latest_event",

@@ -248,3 +248,80 @@ LIMIT {TRI_TOP_K}"""
 
 
 register("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_layers — multi-source BFS over the purchase graph: how far is
+# every node from the seed suppliers, summarized per hop layer.
+#
+# The frontier iteration is the textbook Pregel BFS expressed relationally:
+# each round expands the CURRENT frontier only (edges ⋈ frontier — never the
+# full visited set), dedups the candidates, and anti-joins the accumulated
+# label table so a node keeps the hop count of its FIRST discovery.  K is a
+# fixed small constant (3), so the plan is K chained join+distinct stages —
+# bounded, no driver-side looping over data, same contract as
+# graph_pagerank's rounds and dedup_cluster_cc's label propagation.  At
+# 100 TB the per-round shuffle is proportional to the frontier's edge
+# neighborhood, and the label table only ever grows by reached nodes.
+# Everything is exact integer/string work, so the DuckDB oracle unrolls the
+# identical K rounds as chained CTEs and hash-matches.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 3
+BFS_SEEDS = ("s:1", "s:2", "s:3")
+
+
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = purchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node").isin(*BFS_SEEDS))
+    dist = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for k in range(1, BFS_ROUNDS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").withColumn("dist", F.lit(k))
+        dist = dist.unionByName(fresh)
+        frontier = fresh.select("node")
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("first_node"),
+    )
+
+
+def _bfs_sql() -> str:
+    seeds = ", ".join(f"'{s}'" for s in BFS_SEEDS)
+    rounds = []
+    acc = "d0"
+    for k in range(1, BFS_ROUNDS + 1):
+        prev_front = "d0" if k == 1 else f"f{k - 1}"
+        rounds.append(f"""\
+f{k} AS (
+  SELECT node, {k} AS dist FROM (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN {prev_front} p ON e.src = p.node)
+  WHERE node NOT IN (SELECT node FROM {acc})),
+a{k} AS (SELECT * FROM {acc} UNION ALL SELECT * FROM f{k})""")
+        acc = f"a{k}"
+    body = ",\n".join(rounds)
+    return f"""\
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+d0 AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM edges
+  WHERE src IN ({seeds})),
+{body}
+SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS first_node
+FROM {acc}
+GROUP BY dist"""
+
+
+register("graph_bfs_layers", graph_bfs_layers, _bfs_sql())

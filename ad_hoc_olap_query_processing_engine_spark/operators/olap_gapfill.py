@@ -1,0 +1,489 @@
+"""Remaining TPC-H report shapes (SURVEY.md §2.3 row 1, round-5 gap fill).
+
+olap.py and olap_subqueries.py cover Q1/4/5/7/8/10/11/14/15/16/18/21/22
+shapes; this module closes the rest of the classic TPC-H pattern catalogue,
+each adapted to the driver schema (no partsupp table, so "supply catalog"
+facts ride lineitem; no l_shipmode/commitdate, so lateness is shipdate vs
+orderdate + interval).  The reference engine itself has none of these — its
+single plan is the Phi scan over one `sales` relation
+(/root/reference/src/QueryProcessor1.java:76-315) — but a warehouse user
+replacing it expects the full report catalogue over the same star schema:
+
+- rel_min_cost_supply       — Q2: per-part argmin supplier (correlated MIN)
+- rel_shipping_priority     — Q3: top-10 unshipped-order revenue
+- rel_forecast_revenue      — Q6: tight-range filter + single aggregate
+- rel_product_profit        — Q9: profit by supplier nation × year
+- rel_priority_lateness     — Q12: CASE-bucketed priority counts on a
+                              lateness (interval-arithmetic) join
+- rel_customer_distribution — Q13: histogram-of-counts over a LEFT join
+- rel_small_qty_revenue     — Q17: per-part AVG scalar threshold, decorrelated
+- rel_disjunctive_pred      — Q19: OR-of-ANDs pushdown across a join
+- rel_part_dominant_supplier— Q20: nested aggregate share threshold
+
+Scale notes (100 TB framing): Q2/Q17/Q20 are the correlated-subquery
+family — every one is written decorrelated (per-group aggregate joined
+back, or a window over the already-aggregated table), never a per-row
+subquery.  Q2's supply catalog is a (partkey, suppkey) rollup of the fact
+table — the shuffled width is the distinct pair count, not the fact rows —
+and the filtered part dim is broadcast.  Q3 is a TakeOrdered top-k with a
+full deterministic tie-break, so no global sort materializes.  Q6/Q19 are
+pure scan-side predicates (pushed to parquet; Q19's OR-of-ANDs keeps the
+partial brand/size pushdown).  Q13's LEFT join aggregates orders per
+customer BEFORE joining (aggregate-then-outer-join), so the outer join
+carries one row per customer, not one per order.  Q20 windows over the
+(part, supplier) rollup — two map-side-combining aggregates over the same
+shuffle key prefix.
+
+Determinism: money math is exact DECIMAL summed then cast DOUBLE once
+(accumulation-order-proof); quantity sums/averages are exact because
+l_quantity is integer-valued (sums of integers < 2^53 are exact in binary
+doubles in any order); share thresholds are written multiplied out
+(``2 * supp_qty > total_qty``) so no engine ever divides; argmin picks are
+ROW_NUMBER with a full (value, key) tie-break.  DuckDB oracles keep the
+textbook *correlated* forms where the classic query has one (Q2, Q17, Q20)
+— agreement checks the decorrelation, not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .relational import _dec
+
+_REV = "__rev"
+
+
+def _with_revenue(l: DataFrame) -> DataFrame:
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return l.withColumn(_REV, rev)
+
+
+# ---------------------------------------------------------------------------
+# rel_min_cost_supply — TPC-H Q2 shape: for each LARGE mid-size part, the
+# EUROPE supplier observed offering the minimum unit price.  The supply
+# catalog (min unit price per part×supplier) is a rollup of lineitem, so the
+# correlated-MIN runs over the *aggregated* pair table; the qualifying part
+# dim is broadcast.  Ties on unit cost break to the lowest suppkey
+# (ROW_NUMBER, fully deterministic).
+# ---------------------------------------------------------------------------
+
+
+def rel_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    euro = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(r.r_name == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("supp_nation"))
+    )
+    parts = p.filter((p.p_type == "LARGE") & p.p_size.between(10, 20)).select(
+        "p_partkey", "p_name"
+    )
+    cand = supply.join(euro, supply.l_suppkey == euro.s_suppkey).join(
+        F.broadcast(parts), supply.l_partkey == parts.p_partkey
+    )
+    w = W.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "supp_nation", "s_acctbal", "unit_cost")
+    )
+
+
+REL_MIN_COST_SUPPLY_SQL = """\
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name AS supp_nation
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, supp_nation, s_acctbal, unit_cost
+FROM supply su
+JOIN euro e ON su.l_suppkey = e.s_suppkey
+JOIN part p ON su.l_partkey = p.p_partkey
+WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+  AND su.unit_cost = (
+    SELECT MIN(s2.unit_cost)
+    FROM supply s2 JOIN euro e2 ON s2.l_suppkey = e2.s_suppkey
+    WHERE s2.l_partkey = su.l_partkey)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY e.s_suppkey) = 1"""
+
+
+# ---------------------------------------------------------------------------
+# rel_shipping_priority — TPC-H Q3 shape: revenue of orders placed before but
+# shipped after a cutoff, for one market segment; top 10.  The limit carries
+# a FULL deterministic ordering (revenue DESC, orderdate, orderkey) so the
+# boundary row can never flip — and Spark plans it as TakeOrderedAndProject
+# (heap per partition + driver merge), never a global sort.
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1997-06-15"
+
+
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        l.filter(F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(c.filter(c.c_mktsegment == "BUILDING"), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_REV).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+REL_SHIPPING_PRIORITY_SQL = f"""\
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# rel_forecast_revenue — TPC-H Q6 shape: what-if revenue from dropping small
+# discounts.  Pure scan-side predicate (every conjunct reaches the parquet
+# scan as a pushed filter — pinned in test_plans.py) + one global aggregate;
+# the discount domain is a 0.01 grid so the BETWEEN endpoints are exact
+# stored doubles compared to literal-parsed identical doubles.
+# ---------------------------------------------------------------------------
+
+
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REL_FORECAST_REVENUE_SQL = """\
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 25"""
+
+
+# ---------------------------------------------------------------------------
+# rel_product_profit — TPC-H Q9 shape: profit on widget-named parts by
+# supplier nation and order year.  Cost rides p_retailprice × quantity (no
+# partsupp in this schema).  All money math exact decimal until the final
+# cast; part (LIKE-filtered) and nation broadcast.
+# ---------------------------------------------------------------------------
+
+
+def rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")), l.l_partkey == p.p_partkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+REL_PRODUCT_PROFIT_SQL = """\
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# rel_priority_lateness — TPC-H Q12 shape: high/low-priority order counts
+# over late shipments, bucketed by return flag (the schema has no shipmode).
+# Late = shipped more than 60 days after order date, written as interval
+# arithmetic on both sides (date_add would truncate the timestamp and
+# diverge — same hazard documented at olap_subqueries.py rel_waiting_
+# suppliers).  CASE-sum conditional aggregation, single shuffle.
+# ---------------------------------------------------------------------------
+
+
+def rel_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+REL_PRIORITY_LATENESS_SQL = """\
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# rel_customer_distribution — TPC-H Q13 shape: how many customers placed
+# exactly N qualifying orders (histogram of counts, zero bucket included).
+# Orders are aggregated per customer BEFORE the outer join, so the LEFT join
+# carries one row per customer — at 100 TB the outer join's build side is
+# the post-reduction count table, never the raw orders.
+# ---------------------------------------------------------------------------
+
+
+def rel_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        o.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+REL_CUSTOMER_DISTRIBUTION_SQL = """\
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count"""
+
+
+# ---------------------------------------------------------------------------
+# rel_small_qty_revenue — TPC-H Q17 shape: revenue from orders of less than
+# a fifth of the part's average quantity, per brand.  The correlated AVG is
+# decorrelated into one per-part aggregate joined back to the fact table;
+# the average is exact (integer-valued quantities sum exactly in doubles,
+# one final division) so the 0.2× threshold is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "SMALL")
+    part_avg = (
+        l.groupBy(F.col("l_partkey").alias("__avg_partkey"))
+        .agg(F.avg("l_quantity").alias("__avg_qty"))
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("__avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+REL_SMALL_QTY_REVENUE_SQL = """\
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_type = 'SMALL'
+  AND l_quantity < 0.2 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# rel_disjunctive_pred — TPC-H Q19 shape: revenue under an OR of brand ×
+# size × quantity conjunctions.  The brand/size arms push to the part scan
+# and the quantity bounds to the lineitem scan as a partial disjunction
+# (qty BETWEEN 1 AND 40 covers all three arms); the exact OR evaluates after
+# the broadcast join.
+# ---------------------------------------------------------------------------
+
+
+def rel_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    p = load_table(spark, "part", sf_dir)
+    arm = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(10, 40))
+    )
+    parts = p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & F.col("p_size").between(1, 50)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        l.filter(F.col("l_quantity").between(1, 40))
+        .join(F.broadcast(parts), l.l_partkey == F.col("p_partkey"))
+        .filter(arm)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_REV).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+REL_DISJUNCTIVE_PRED_SQL = """\
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 10 AND 40)
+GROUP BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# rel_part_dominant_supplier — TPC-H Q20 shape: suppliers who shipped more
+# than half of a PROMO part's 1997 volume (the availqty > ½·sum correlation,
+# re-expressed over shipment facts).  Both aggregation levels reduce the
+# fact table before any correlation: the window total runs over the already
+# aggregated (part, supplier) rollup, and the share test is multiplied out
+# (2·supp > total) over exact integer-valued sums — no division, no fp
+# boundary.  Output is the per-supplier count of dominated parts.
+# ---------------------------------------------------------------------------
+
+
+def rel_part_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    pair = (
+        l.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__supp_qty"))
+    )
+    total = F.sum("__supp_qty").over(W.partitionBy("l_partkey"))
+    dominant = pair.withColumn("__total", total).filter(
+        2 * F.col("__supp_qty") > F.col("__total")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("n_name").alias("supp_nation"),
+            F.col("n_dominated_parts"),
+        )
+    )
+
+
+REL_PART_DOMINANT_SUPPLIER_SQL = """\
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name AS supp_nation,
+       COUNT(*) AS n_dominated_parts
+FROM pair pr
+JOIN supplier ON pr.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE 2 * pr.supp_qty > (
+  SELECT SUM(p2.supp_qty) FROM pair p2 WHERE p2.l_partkey = pr.l_partkey)
+GROUP BY 1, 2, 3"""
+
+
+register("rel_min_cost_supply", rel_min_cost_supply, REL_MIN_COST_SUPPLY_SQL)
+register("rel_shipping_priority", rel_shipping_priority, REL_SHIPPING_PRIORITY_SQL)
+register("rel_forecast_revenue", rel_forecast_revenue, REL_FORECAST_REVENUE_SQL)
+register("rel_product_profit", rel_product_profit, REL_PRODUCT_PROFIT_SQL)
+register("rel_priority_lateness", rel_priority_lateness, REL_PRIORITY_LATENESS_SQL)
+register("rel_customer_distribution", rel_customer_distribution, REL_CUSTOMER_DISTRIBUTION_SQL)
+register("rel_small_qty_revenue", rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL)
+register("rel_disjunctive_pred", rel_disjunctive_pred, REL_DISJUNCTIVE_PRED_SQL)
+register("rel_part_dominant_supplier", rel_part_dominant_supplier, REL_PART_DOMINANT_SUPPLIER_SQL)

@@ -42,6 +42,7 @@ def _load_all() -> None:
     from . import graph  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import olap  # noqa: F401
+    from . import olap_gapfill  # noqa: F401
     from . import olap_subqueries  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import prefilter  # noqa: F401

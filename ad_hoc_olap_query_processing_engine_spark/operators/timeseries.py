@@ -584,3 +584,63 @@ GROUP BY b"""
 
 
 register("rel_rolling_distinct", rel_rolling_distinct, REL_ROLLING_DISTINCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_resample_ohlc — downsample the per-user event series to daily
+# open/high/low/close/volume candles (the classic time-series resample).
+#
+# ONE aggregate, ONE shuffle: open/close come from MIN/MAX over a
+# (ts, event_id, value) struct — Spark orders structs lexicographically, so
+# the extremal struct IS the first/last observation, with event_id breaking
+# same-microsecond ties deterministically.  No window, no second pass; at
+# 100 TB this is a single map-side-combining groupBy keyed (user, day),
+# which is exactly how a metrics store materializes its daily tier.  The
+# DuckDB oracle formulates first/last via ROW_NUMBER windows instead —
+# agreement checks the struct-extremum trick, not a shared plan.  Volume
+# sums exact decimal before the final double cast.
+# ---------------------------------------------------------------------------
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy(
+            F.col("user_id"),
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint").alias("day_start"),
+        )
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+TS_RESAMPLE_OHLC_SQL = """\
+WITH ranked AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, FLOOR(epoch(ts) / 86400)
+                            ORDER BY ts, event_id)           AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, FLOOR(epoch(ts) / 86400)
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events)
+SELECT user_id, day_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END)              AS open,
+       MAX(value)                                          AS high,
+       MIN(value)                                          AS low,
+       MAX(CASE WHEN rn_z = 1 THEN value END)              AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)   AS volume,
+       COUNT(*)                                            AS n_obs
+FROM ranked
+GROUP BY user_id, day_start"""
+
+
+register("ts_resample_ohlc", ts_resample_ohlc, TS_RESAMPLE_OHLC_SQL)

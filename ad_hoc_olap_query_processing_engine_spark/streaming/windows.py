@@ -606,3 +606,58 @@ GROUP BY c.c_nationkey"""
 
 
 register("stream_static_join", stream_static_join, STREAM_STATIC_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_chained_windows — TWO stateful windowed aggregations chained in ONE
+# streaming query (Spark 3.4+ multiple-stateful-operator support): 6-hour
+# event-type counts roll up into daily totals with the 6-hour peak, entirely
+# inside the stream.  The outer window keys on window_time(w6) (the inner
+# window's event-time column), which is what lets the watermark propagate
+# through the first aggregation instead of stopping at it.
+#
+# Chained stateful operators require APPEND mode, so results surface only
+# when the final watermark (max event time − 1 h) passes a day window's end
+# — the trailing partial day stays in state, exactly as it would on an
+# unbounded production stream.  The DuckDB oracle states that eviction rule
+# explicitly (day_end ≤ watermark), same contract as stream_stream_outer:
+# the oracle checks the streaming semantics, not a batch idealization.
+# At scale this two-tier rollup is the streaming twin of
+# func_multires_rollup's hourly→daily tier — state is bounded per (window,
+# event_type) at both tiers by the watermark horizon.
+# ---------------------------------------------------------------------------
+
+
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    six = ev.groupBy(F.window("ts", "6 hours").alias("w6"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    day = six.groupBy(
+        F.window(F.window_time("w6"), "1 day").alias("wd"), "event_type"
+    ).agg(F.sum("n").alias("total_events"), F.max("n").alias("peak_6h"))
+    out = _drain(day, spark, "append")
+    return out.select(
+        F.col("wd.start").cast("long").alias("window_start"),
+        "event_type",
+        "total_events",
+        "peak_6h",
+    )
+
+
+STREAM_CHAINED_WINDOWS_SQL = """\
+WITH wm AS (SELECT epoch(MAX(ts) - INTERVAL 1 HOUR) AS w FROM events),
+six AS (
+  SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS w6,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT CAST(FLOOR(w6 / 86400) * 86400 AS BIGINT) AS window_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(MAX(n) AS BIGINT) AS peak_6h
+FROM six, wm
+WHERE FLOOR(w6 / 86400) * 86400 + 86400 <= wm.w
+GROUP BY 1, 2"""
+
+
+register("stream_chained_windows", stream_chained_windows, STREAM_CHAINED_WINDOWS_SQL)

@@ -378,3 +378,74 @@ def test_phi_q10_strategy_composition(spark, sales):
     }
     df = compile_phi(q, sales)
     assert table_scan_count(df, "lineitem.parquet") == 2
+
+
+def test_forecast_revenue_filters_reach_scan(spark):
+    """Q6-shape is the canonical pushdown check: every conjunct (shipdate
+    range, discount bounds, quantity cap) must reach the lineitem parquet
+    scan, and the whole report is ONE fact pass."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_forecast_revenue(spark, SF_SMALL)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+
+
+def test_shipping_priority_is_top_k(spark):
+    """Q3-shape: ORDER BY ... LIMIT 10 must plan TakeOrderedAndProject, and
+    the two dim-side filters must push to their scans."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_shipping_priority(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed
+    assert "o_orderdate" in pushed
+
+
+def test_min_cost_supply_single_fact_pass_broadcast_part(spark):
+    """Q2-shape: the supply catalog is ONE rollup of lineitem (the
+    correlated MIN runs over the aggregated pair table, not the facts), and
+    the filtered part dim is broadcast."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_min_cost_supply(spark, SF_SMALL)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+    assert has_broadcast_join(df)
+
+
+def test_customer_distribution_aggregates_before_outer_join(spark):
+    """Q13-shape: orders reduce to per-customer counts BEFORE the LEFT join
+    (one orders scan, two aggregate levels) — the outer join must never
+    carry raw order rows."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_customer_distribution(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert table_scan_count(df, "orders.parquet") == 1
+    # partial+final for the per-customer count AND for the histogram
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_part_dominant_supplier_single_fact_pass(spark):
+    """Q20-shape: the share threshold windows over the (part, supplier)
+    rollup — lineitem is scanned once, never re-probed for the correlated
+    total."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_part_dominant_supplier(spark, SF_SMALL)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+
+
+def test_disjunctive_pred_partial_pushdown(spark):
+    """Q19-shape: the OR-of-ANDs must still push its covering quantity range
+    to the lineitem scan and broadcast the 3-brand part slice."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    df = olap_gapfill.rel_disjunctive_pred(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert has_broadcast_join(df)
