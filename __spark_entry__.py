@@ -49,6 +49,13 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "func_variant_shred",
+    "rel_count_distinct_multi",
+    "rel_incremental_agg",
+    "rel_window_dist",
+    "ts_resample_ohlc",
+    "graph_bfs_layers",
+    "stream_chained_windows",
     "rel_min_cost_supply",
     "rel_shipping_priority",
     "rel_forecast_revenue",

@@ -308,3 +308,50 @@ GROUP BY o_orderpriority"""
 
 
 register("func_csv_schema", func_csv_schema, FUNC_CSV_SCHEMA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_variant_shred — the Spark 4 VARIANT path: build a nested JSON document
+# per order, parse it to VariantType (parse_json), and shred typed fields
+# back out with variant_get ('$.status' string, '$.amounts.total' double,
+# '$.flags[0]' boolean) before aggregating.  VARIANT is Spark's
+# semi-structured fast path (binary-encoded, no per-access string
+# re-parsing — the replacement for get_json_object hot loops at scale).
+# The DuckDB oracle is deliberately JSON-FREE: it recomputes the same
+# aggregates straight from the base columns, so the check certifies the
+# entire to_json → parse_json → variant_get round-trip against first
+# principles (same pattern as func_json_schema / func_csv_schema).
+# ---------------------------------------------------------------------------
+
+
+def func_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("total")).alias("amounts"),
+            F.array(F.col("o_totalprice") > 200000.0).alias("flags"),
+        )
+    )
+    v = o.select(F.col("o_orderkey"), F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.amounts.total", "double").alias("total"),
+        F.variant_get("v", "$.flags[0]", "boolean").alias("is_large"),
+    )
+    return shredded.groupBy("status", "is_large").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("total").cast("decimal(18,2)")).cast("double").alias("sum_total"),
+    )
+
+
+FUNC_VARIANT_SHRED_SQL = """\
+SELECT o_orderstatus              AS status,
+       o_totalprice > 200000.0    AS is_large,
+       COUNT(*)                   AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1, 2"""
+
+
+register("func_variant_shred", func_variant_shred, FUNC_VARIANT_SHRED_SQL)

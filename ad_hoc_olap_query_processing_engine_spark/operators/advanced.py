@@ -843,3 +843,43 @@ FROM c, unnest(range(0, nc)) AS u(i)"""
 
 
 register("udf_udtf_chunks", udf_udtf_chunks, UDF_UDTF_CHUNKS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_window_dist — the distribution-analytic window surface rel_window_suite
+# doesn't cover: PERCENT_RANK, CUME_DIST, and NTH_VALUE over the per-customer
+# order timeline.  percent_rank/cume_dist are integer-rank arithmetic with
+# ONE final division — deterministic across engines (and both define the
+# single-row partition as percent_rank 0); nth_value reads the 3rd order's
+# price over the full frame.  Total ordering via the o_orderkey tiebreak,
+# same contract as rel_window_suite.
+# ---------------------------------------------------------------------------
+
+
+def rel_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_totalprice", 3).over(wall).alias("third_price"),
+    )
+
+
+REL_WINDOW_DIST_SQL = """\
+SELECT o_orderkey, o_custkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       NTH_VALUE(o_totalprice, 3) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+register("rel_window_dist", rel_window_dist, REL_WINDOW_DIST_SQL)

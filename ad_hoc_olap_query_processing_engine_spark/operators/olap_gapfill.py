@@ -487,3 +487,110 @@ register("rel_customer_distribution", rel_customer_distribution, REL_CUSTOMER_DI
 register("rel_small_qty_revenue", rel_small_qty_revenue, REL_SMALL_QTY_REVENUE_SQL)
 register("rel_disjunctive_pred", rel_disjunctive_pred, REL_DISJUNCTIVE_PRED_SQL)
 register("rel_part_dominant_supplier", rel_part_dominant_supplier, REL_PART_DOMINANT_SUPPLIER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_count_distinct_multi — several COUNT(DISTINCT ...) over different
+# columns in ONE aggregate.  Catalyst plans this with an Expand node (one
+# row replica per distinct column) feeding a two-phase distinct aggregate —
+# a genuinely different physical shape from every other aggregate in the
+# repo, and the scalable alternative to self-joining per distinct column.
+# Monthly buyer/supplier/part reach over the joined facts.
+# ---------------------------------------------------------------------------
+
+
+def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        l.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+REL_COUNT_DISTINCT_MULTI_SQL = """\
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(DISTINCT o_custkey) AS n_buyers,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*)                  AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# rel_incremental_agg — incremental view maintenance by partial-aggregate
+# merge: the pre-cutoff facts exist only as a per-(month, returnflag)
+# partial-state table (sum/count/min/max — all mergeable), the post-cutoff
+# delta arrives as raw rows, and the report MERGES the two (sum+sum,
+# count+count, min(min), max(max)) instead of re-scanning history.  This is
+# the 100 TB warehouse refresh pattern: yesterday's rollup + today's
+# partition, never a full recompute.  AVG is derived sum/count at the end
+# (never averaged averages).  The oracle IS the full recompute over all
+# facts — agreement proves the merge algebra is lossless.
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1999-01-01"
+
+
+def rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    cut = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_returnflag",
+        ).agg(
+            F.sum(_dec("l_extendedprice")).alias("__sum"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("l_quantity").alias("__min"),
+            F.max("l_quantity").alias("__max"),
+        )
+
+    base = partials(l.filter(F.col("l_shipdate") < cut))   # the stored rollup
+    delta = partials(l.filter(F.col("l_shipdate") >= cut))  # today's partition
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "l_returnflag")
+        .agg(
+            F.sum("__sum").alias("__sum"),
+            F.sum("__cnt").alias("n_items"),
+            F.min("__min").alias("min_qty"),
+            F.max("__max").alias("max_qty"),
+        )
+    )
+    return merged.select(
+        "month",
+        "l_returnflag",
+        F.col("__sum").cast("double").alias("sum_price"),
+        "n_items",
+        (F.col("__sum").cast("double") / F.col("n_items").cast("double")).alias("avg_price"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+REL_INCREMENTAL_AGG_SQL = """\
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY 1, 2"""
+
+
+register("rel_count_distinct_multi", rel_count_distinct_multi, REL_COUNT_DISTINCT_MULTI_SQL)
+register("rel_incremental_agg", rel_incremental_agg, REL_INCREMENTAL_AGG_SQL)
