@@ -49,6 +49,9 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "sim_mmr_topk",
+    "ts_ewma",
+    "udf_iter_series",
     "func_variant_shred",
     "rel_count_distinct_multi",
     "rel_incremental_agg",

@@ -10,6 +10,8 @@ row through Arrow).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -883,3 +885,58 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 
 
 register("rel_window_dist", rel_window_dist, REL_WINDOW_DIST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udf_iter_series — the ITERATOR pandas_udf form (Iterator[pd.Series] →
+# Iterator[pd.Series]), the one Python-UDF API variant the suite didn't yet
+# cover.  Its point is amortized per-worker initialization: the generator
+# body runs ONCE per partition (load a tokenizer/model/vocab there), then
+# streams Arrow batches through the initialized state — the exact shape an
+# LLM-pipeline uses to run a real tokenizer over 100 TB of documents
+# without per-batch model loads.  Here the "expensive init" is a vocab
+# lookup structure; the kernel counts each document's in-vocab tokens.
+# Integer outputs, space-split tokens — exact cross-engine parity, same
+# contract as udf_token_count_pandas.
+# ---------------------------------------------------------------------------
+
+_ITER_VOCAB = ("scan", "join", "merge", "sort", "filter")
+
+
+def udf_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: `Iterator` and `pd` must be module-level imports — pyspark
+    # resolves the stringified type hints (PEP 563) via the module globals
+    # to pick the iterator-UDF evaluation mode.
+
+    @F.pandas_udf("int")
+    def vocab_hits(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition init (stands in for tokenizer/model load)
+        vocab = frozenset(_ITER_VOCAB)
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(1 for tok in t.split(" ") if tok in vocab)
+            ).astype("int32")
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("n_hits", vocab_hits("text"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+            F.max("n_hits").alias("max_hits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+UDF_ITER_SERIES_SQL = f"""\
+SELECT source,
+       CAST(SUM(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_ITER_VOCAB}))) AS BIGINT) AS total_hits,
+       CAST(MAX(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_ITER_VOCAB}))) AS INT)    AS max_hits,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source"""
+
+
+register("udf_iter_series", udf_iter_series, UDF_ITER_SERIES_SQL)

@@ -1144,3 +1144,150 @@ cand AS (
 
 
 register("sim_sq_ann", sim_sq_ann, SIM_SQ_ANN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_topk — Maximal Marginal Relevance diversified retrieval: for each
+# query, fetch the top-M candidates by relevance, then greedily select K
+# results balancing relevance against similarity to what's already selected
+# (mmr(d) = rel(d) − max_{s∈S} sim(d, s), λ = ½ absorbed into the equal
+# weighting).  This is the standard de-redundancy re-rank an LLM retrieval
+# stack runs after ANN — near-duplicate passages crowd out coverage if the
+# raw top-k ships.
+#
+# Topology at 100 TB: relevance scoring + top-M is the existing brute/ANN
+# pipeline shape (query batch broadcast, one corpus pass, per-query top-M
+# window); the greedy stage then touches ONLY the M-row candidate group per
+# query inside one applyInPandas task — the iterative part never sees the
+# corpus.
+#
+# Exactness contract: embeddings quantize to floor(x·1000) integers, so
+# every dot product (relevance AND pairwise diversity penalty) is an exact
+# int64 — order-proof in numpy, Spark higher-order folds, and DuckDB
+# list_dot_product alike (integer-valued doubles sum exactly in any
+# order).  The DuckDB oracle unrolls the K greedy rounds as chained CTEs
+# with the same (mmr DESC, vec_id ASC) tie-break; agreement proves the
+# greedy selection, not just the scoring.
+# ---------------------------------------------------------------------------
+
+MMR_M = 10  # candidate pool per query
+MMR_K = 3   # diversified selections
+
+
+def _quantize_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000).cast("bigint"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.select("vec_id", _quantize_vec(F.col("embedding")).alias("iv"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qiv")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", "iv", _int_dot(F.col("iv"), F.col("qiv")).alias("rel")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= MMR_M)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True], kind="mergesort")
+        mat = np.array(pdf["iv"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy()
+        pair = mat @ mat.T  # exact int64 pairwise dots
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[int] = []
+        penalty = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        for _ in range(min(MMR_K, n)):
+            if selected:
+                mmr = rel - penalty
+            else:
+                mmr = rel.copy()
+            mmr[selected] = np.iinfo(np.int64).min  # never reselect
+            # argmax with vec_id tiebreak: rows are (rel, vec_id)-sorted, and
+            # np.argmax returns the FIRST max — for equal mmr that is the
+            # smaller vec_id only when rel order matches; make it explicit:
+            best = max(
+                (i for i in range(n) if i not in selected),
+                key=lambda i: (mmr[i], -int(pdf["vec_id"].iloc[i])),
+            )
+            selected.append(best)
+            scores.append(int(mmr[best]))
+            newpen = pair[best]
+            penalty = np.maximum(penalty, newpen)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(selected)).to_numpy(),
+                "vec_id": pdf["vec_id"].iloc[selected].to_numpy(),
+                "sel_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "mmr_fp": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return cand.select("query_id", "vec_id", "rel", "iv").groupBy("query_id").applyInPandas(
+        greedy, "query_id bigint, vec_id bigint, sel_rank int, mmr_fp bigint"
+    )
+
+
+def _mmr_sql() -> str:
+    qv = (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 1000))"
+    )
+    sel_cte = []
+    prev_sels = []
+    for k in range(2, MMR_K + 1):
+        pens = ", ".join(
+            f"(SELECT CAST(list_dot_product(c.v, s.v) AS BIGINT) FROM s{j} s"
+            f" WHERE s.query_id = c.query_id)"
+            for j in range(1, k)
+        )
+        exclude = " AND ".join(
+            f"c.vec_id <> (SELECT vec_id FROM s{j} s WHERE s.query_id = c.query_id)"
+            for j in range(1, k)
+        )
+        sel_cte.append(f"""\
+s{k} AS (
+  SELECT query_id, vec_id, v, mmr FROM (
+    SELECT c.query_id, c.vec_id, c.v,
+           c.rel - GREATEST({pens}) AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY c.rel - GREATEST({pens}) DESC,
+                                       c.vec_id ASC) AS rn
+    FROM cand c
+    WHERE {exclude})
+  WHERE rn = 1)""")
+        prev_sels.append(f"SELECT query_id, vec_id, {k} AS sel_rank, mmr AS mmr_fp FROM s{k}")
+    sel_body = ",\n".join(sel_cte)
+    unions = "\nUNION ALL\n".join(
+        ["SELECT query_id, vec_id, 1 AS sel_rank, rel AS mmr_fp FROM s1"] + prev_sels
+    )
+    return f"""\
+WITH qv AS (
+  SELECT vec_id, {qv} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM qv WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.v,
+         CAST(list_dot_product(c.v, q.v) AS BIGINT) AS rel
+  FROM qv c JOIN q ON c.vec_id <> q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {MMR_M}),
+s1 AS (SELECT query_id, vec_id, v, rel FROM cand WHERE rn = 1),
+{sel_body}
+{unions}"""
+
+
+register("sim_mmr_topk", sim_mmr_topk, _mmr_sql())

@@ -644,3 +644,81 @@ GROUP BY user_id, day_start"""
 
 
 register("ts_resample_ohlc", ts_resample_ohlc, TS_RESAMPLE_OHLC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma — exponentially weighted moving average per user (α = ½, window
+# truncated at the last 8 observations), computed by a SEQUENTIAL
+# applyInPandas kernel: each user's series is sorted inside its group and
+# smoothed with a vectorized 8-tap dot product — the shape for per-key
+# order-dependent kernels (EWMA, Kalman, drawdown) that a plain window
+# expression can't express without one LAG term per tap.
+#
+# Exactness contract: observations quantize to 1e-4 fixed point, the tap
+# weights are powers of two (128, 64, …, 1), the ramp-up denominator is
+# 2^8 − 2^(8−m) for m available taps, and the final smoothing is INTEGER
+# division — every intermediate is an exact int64, so the pandas kernel and
+# the DuckDB oracle (which unrolls the 8 taps as LAG terms) agree
+# bit-for-bit; no recursive float accumulation ever happens.  One shuffle
+# (user_id), per-user state never leaves the executor.
+#
+# The integer division requires NON-NEGATIVE observations (events.value ≥ 0
+# by dataset contract): numpy's // floors while DuckDB's // truncates
+# toward zero, so a negative numerator would differ by one unit.  For
+# signed series, offset into the non-negative range first.
+# ---------------------------------------------------------------------------
+
+EWMA_TAPS = 8
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        xq = np.floor(pdf["value"].to_numpy() * 10000.0).astype(np.int64)
+        n = len(xq)
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for j in range(EWMA_TAPS):
+            w = 1 << (EWMA_TAPS - 1 - j)  # 128, 64, ..., 1
+            if j < n:
+                num[j:] += xq[: n - j] * w
+                den[j:] += w
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma_fp": num // den,
+            }
+        )
+
+    e = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts", "value")
+    return e.groupBy("user_id").applyInPandas(
+        kernel, "user_id bigint, event_id bigint, ewma_fp bigint"
+    )
+
+
+def _ewma_sql() -> str:
+    taps = []
+    dens = []
+    for j in range(EWMA_TAPS):
+        w = 1 << (EWMA_TAPS - 1 - j)
+        x = f"LAG(xq, {j}) OVER w" if j else "xq"
+        taps.append(f"COALESCE({x} * {w}, 0)")
+        dens.append(f"CASE WHEN {x} IS NULL THEN 0 ELSE {w} END")
+    num = " + ".join(taps)
+    den = " + ".join(dens)
+    return f"""\
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS xq
+  FROM events)
+SELECT user_id, event_id,
+       ({num}) // ({den}) AS ewma_fp
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+register("ts_ewma", ts_ewma, _ewma_sql())
