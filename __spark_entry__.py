@@ -49,6 +49,7 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "text_line_dedup",
     "sim_mmr_topk",
     "ts_ewma",
     "udf_iter_series",

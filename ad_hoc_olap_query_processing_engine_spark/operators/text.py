@@ -777,3 +777,88 @@ LIMIT {COLLOC_TOP_K}"""
 
 
 register("text_collocations", text_collocations, TEXT_COLLOCATIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — corpus-level boilerplate line removal, the C4/CCNet
+# pipeline step: split every document into fixed-width token "lines",
+# count each line's distinct-document frequency across the WHOLE corpus,
+# drop lines appearing in more than one document (repeated headers/
+# footers/navigation chrome in web corpora), and re-assemble each document
+# from its surviving lines in order.
+#
+# Shape at 100 TB: explode → line-frequency aggregate (map-side combining
+# on the line hash) → join back on line → ordered re-assembly per doc.
+# The frequency table is corpus-wide state, the same artifact CCNet shards
+# by line hash; nothing here is per-document-pair, so it scales linearly
+# where pairwise dedup can't.  Output ships the cleaned text as an md5
+# digest + kept/total counts (narrow result, full-content check).  Docs
+# whose every line is boilerplate survive with n_kept = 0 and the digest
+# of the empty string (left join back to the corpus — removal must never
+# silently drop the document row itself).
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 4
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+    )
+    exploded = d.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    freq = exploded.groupBy("line").agg(F.countDistinct("doc_id").alias("__df"))
+    kept = (
+        exploded.join(freq, "line")
+        .filter(F.col("__df") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                " ",
+            ).alias("__clean"),
+        )
+    )
+    return (
+        d.select("doc_id", n_lines.alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit("")).cast("binary")).alias("clean_md5"),
+        )
+    )
+
+
+TEXT_LINE_DEDUP_SQL = f"""\
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i * {LINE_TOKENS} + 1 : (i + 1) * {LINE_TOKENS}], ' ') AS line
+  FROM toks, unnest(range(CAST(ceil(len(t) / {LINE_TOKENS}.0) AS BIGINT))) AS u(i)),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, COUNT(*) AS n_kept,
+         string_agg(l.line, ' ' ORDER BY l.pos) AS clean
+  FROM lines l JOIN freq f ON l.line = f.line
+  WHERE f.df = 1
+  GROUP BY l.doc_id),
+base AS (
+  SELECT doc_id, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) AS n_lines FROM toks)
+SELECT b.doc_id, b.n_lines,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
+
+
+register("text_line_dedup", text_line_dedup, TEXT_LINE_DEDUP_SQL)
