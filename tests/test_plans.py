@@ -449,3 +449,38 @@ def test_disjunctive_pred_partial_pushdown(spark):
     pushed = " ".join(pushed_filters(df))
     assert "l_quantity" in pushed
     assert has_broadcast_join(df)
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim_join(spark):
+    """Spark's runtime bloom-filter join (SPARK-32268): a selective filter on
+    the build side injects a bloom_filter_agg whose might_contain() prunes
+    the probe side BEFORE the join shuffle. At 100 TB the 10 GB
+    application-side default triggers on any fact scan; the test lowers that
+    threshold to simulate at-scale conditions on the sf0.001 fixture and
+    pins that the rewrite actually fires under our session confs."""
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        l = load_table(spark, "lineitem", SF_SMALL)
+        o = load_table(spark, "orders", SF_SMALL).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_thresh,
+        )
