@@ -49,6 +49,9 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "stream_session_dynamic",
+    "func_calendar_surface",
+    "embed_matryoshka_eval",
     "text_line_dedup",
     "sim_mmr_topk",
     "ts_ewma",

@@ -355,3 +355,41 @@ GROUP BY 1, 2"""
 
 
 register("func_variant_shred", func_variant_shred, FUNC_VARIANT_SHRED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_calendar_surface — the calendar-arithmetic function family over the
+# order timeline: month arithmetic WITH end-of-month clamping (add_months:
+# Jan 31 + 3 months = Apr 30 in both engines), last_day, ISO Monday week
+# truncation, day-of-year, quarter.  Every date output ships as a formatted
+# string so the cross-engine compare sees identical values rather than
+# date-vs-timestamp dtype artifacts.  Pure map over the scan — no shuffle;
+# fused into whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+def func_calendar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+FUNC_CALENDAR_SURFACE_SQL = """\
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')  AS plus3m,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')           AS month_end,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       CAST(dayofyear(o_orderdate) AS INT)                   AS doy,
+       CAST(quarter(o_orderdate) AS INT)                     AS qtr
+FROM orders"""
+
+
+register("func_calendar_surface", func_calendar_surface, FUNC_CALENDAR_SURFACE_SQL)

@@ -1291,3 +1291,91 @@ s1 AS (SELECT query_id, vec_id, v, rel FROM cand WHERE rn = 1),
 
 
 register("sim_mmr_topk", sim_mmr_topk, _mmr_sql())
+
+
+# ---------------------------------------------------------------------------
+# embed_matryoshka_eval — Matryoshka-representation evaluation: score every
+# query's neighbors with FULL 64-dim embeddings and with the 16-dim PREFIX
+# (MRL truncation), and report whether the truncated index would have
+# returned the same top-1 plus where the true top-1 lands under truncated
+# scoring.  This is the retrieval-quality screen a pipeline runs before
+# switching its ANN index to truncated vectors (4× memory/compute savings
+# if recall holds).  Exactness: both scorings are integer-quantized dots
+# (order-proof); ranks are ROW_NUMBER with vec_id tie-breaks; the corpus
+# passes ONCE computing both scores (slice() on the already-quantized
+# array), queries broadcast — same topology as the brute pipeline.
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = 16
+
+
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.select("vec_id", _quantize_vec(F.col("embedding")).alias("iv"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qiv")
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        _int_dot(F.col("iv"), F.col("qiv")).alias("rel_full"),
+        _int_dot(
+            F.slice(F.col("iv"), 1, MATRYOSHKA_DIMS),
+            F.slice(F.col("qiv"), 1, MATRYOSHKA_DIMS),
+        ).alias("rel_trunc"),
+    )
+    w_full = W.partitionBy("query_id").orderBy(F.desc("rel_full"), F.asc("vec_id"))
+    w_trunc = W.partitionBy("query_id").orderBy(F.desc("rel_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("rk_full"),
+        F.row_number().over(w_trunc).alias("rk_trunc"),
+    )
+    top_full = ranked.filter(F.col("rk_full") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("top1_full"),
+        F.col("rk_trunc").alias("full_top1_trunc_rank"),
+    )
+    top_trunc = ranked.filter(F.col("rk_trunc") == 1).select(
+        "query_id", F.col("vec_id").alias("top1_trunc")
+    )
+    return top_full.join(top_trunc, "query_id").select(
+        "query_id",
+        "top1_full",
+        "top1_trunc",
+        (F.col("top1_full") == F.col("top1_trunc")).alias("top1_agree"),
+        "full_top1_trunc_rank",
+    )
+
+
+EMBED_MATRYOSHKA_EVAL_SQL = f"""\
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 1000)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM qv WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(list_dot_product(c.v, q.v) AS BIGINT) AS rel_full,
+         CAST(list_dot_product(c.v[1:{MATRYOSHKA_DIMS}],
+                               q.v[1:{MATRYOSHKA_DIMS}]) AS BIGINT) AS rel_trunc
+  FROM qv c JOIN q ON c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel_full DESC, vec_id ASC)  AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel_trunc DESC, vec_id ASC) AS rk_trunc
+  FROM scored)
+SELECT f.query_id,
+       f.vec_id AS top1_full,
+       t.vec_id AS top1_trunc,
+       f.vec_id = t.vec_id AS top1_agree,
+       f.rk_trunc AS full_top1_trunc_rank
+FROM ranked f
+JOIN ranked t ON f.query_id = t.query_id AND t.rk_trunc = 1
+WHERE f.rk_full = 1"""
+
+
+register("embed_matryoshka_eval", embed_matryoshka_eval, EMBED_MATRYOSHKA_EVAL_SQL)

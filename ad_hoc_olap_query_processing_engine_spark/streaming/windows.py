@@ -661,3 +661,73 @@ GROUP BY 1, 2"""
 
 
 register("stream_chained_windows", stream_chained_windows, STREAM_CHAINED_WINDOWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# stream_session_dynamic — session windows whose gap is an EXPRESSION of the
+# event (purchases hold a session open 60 min, everything else 15): Spark's
+# dynamic-gap session_window(ts, gapExpr).  Each event proposes [ts, ts+gap)
+# and the state store merges overlapping proposals per key — end-exclusive,
+# so an event landing exactly at the running max end starts a new session.
+# The DuckDB oracle reproduces that merge rule relationally: running MAX of
+# (ts + per-event gap) over the ordered per-user history, a session break
+# whenever the next event's start has reached it.  Same bounded-state
+# contract as the static-gap op; the gap column just rides the state.
+# ---------------------------------------------------------------------------
+
+_DYN_GAP_LONG_US = 3_600_000_000  # purchase: 60 min
+_DYN_GAP_SHORT_US = 900_000_000  # otherwise: 15 min
+
+
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    out = _drain(agg, spark, "complete")
+    return out.select(
+        F.col("w.start").cast("long").alias("session_start"),
+        F.col("w.end").cast("long").alias("session_end"),
+        "user_id",
+        "n_events",
+        "n_purchases",
+    )
+
+
+STREAM_SESSION_DYNAMIC_SQL = f"""\
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN {_DYN_GAP_LONG_US}
+              ELSE {_DYN_GAP_SHORT_US} END AS gap_us
+  FROM events),
+marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN MAX(epoch_us(ts) + gap_us) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR epoch_us(ts) >= MAX(epoch_us(ts) + gap_us) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session,
+         epoch_us(ts) + gap_us AS end_us
+  FROM g),
+sessions AS (
+  SELECT user_id, ts, event_type, end_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 1000000.0) AS BIGINT) AS session_start,
+       CAST(FLOOR(MAX(end_us) / 1000000.0) AS BIGINT)       AS session_end,
+       user_id,
+       COUNT(*)                                             AS n_events,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+FROM sessions GROUP BY user_id, session_id"""
+
+
+register("stream_session_dynamic", stream_session_dynamic, STREAM_SESSION_DYNAMIC_SQL)
