@@ -1175,7 +1175,9 @@ MMR_K = 3   # diversified selections
 
 
 def _quantize_vec(col: Column) -> Column:
-    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000).cast("bigint"))
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint")
+    )
 
 
 def _int_dot(a: Column, b: Column) -> Column:
@@ -1241,7 +1243,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_sql() -> str:
     qv = (
-        "list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 1000))"
+        f"list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * {QUANT_SCALE}))"
     )
     sel_cte = []
     prev_sels = []
@@ -1352,7 +1354,7 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_MATRYOSHKA_EVAL_SQL = f"""\
 WITH qv AS (
   SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 1000)) AS v
+         list_transform(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * {QUANT_SCALE})) AS v
   FROM embeddings),
 q AS (SELECT vec_id AS query_id, v FROM qv WHERE vec_id < {N_QUERIES}),
 scored AS (

@@ -707,7 +707,7 @@ WITH g AS (
               ELSE {_DYN_GAP_SHORT_US} END AS gap_us
   FROM events),
 marked AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN MAX(epoch_us(ts) + gap_us) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -719,7 +719,7 @@ marked AS (
   FROM g),
 sessions AS (
   SELECT user_id, ts, event_type, end_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked)
 SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 1000000.0) AS BIGINT) AS session_start,
