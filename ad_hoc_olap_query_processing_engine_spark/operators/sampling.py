@@ -146,3 +146,103 @@ FROM ranked WHERE rk <= {W_SAMPLE_K}"""
 
 
 register("pipe_weighted_sample", pipe_weighted_sample, PIPE_WEIGHTED_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_bootstrap_ci — Poisson-bootstrap uncertainty for a corpus statistic
+# (mean tokens per document, per language).  The classical bootstrap
+# resamples n-of-n WITH replacement — impossible to coordinate across a
+# distributed corpus — so production pipelines use the Poisson approximation:
+# each row independently receives a Poisson(1) weight per replicate, giving
+# every replicate an (approximately) resampled corpus in ONE pass with no
+# coordination.  Weights here are DERANDOMIZED: a 48-bit md5 uniform per
+# (doc, replicate) pushed through the fixed Poisson(1) inverse-CDF
+# thresholds (literal integers, identical in both engines), so the whole
+# "randomized" procedure is deterministic and oracle-checked — same
+# contract as the hash-gated samplers above.
+#
+# Shape at 100 TB: explode ×REPS (map-side, no data skew — weights are
+# arithmetic, not storage), one groupBy (lang, rep) for replicate sums, a
+# lang-level reduce for the envelope.  Integer sums throughout; each
+# replicate mean is one exact division.
+# ---------------------------------------------------------------------------
+
+BOOT_REPS = 16
+# floor(1e6 · CDF_Poisson(1)(k)) for k = 0..6; bucket ≥ last ⇒ weight 7
+_POIS_CDF_1E6 = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+
+def _poisson_weight(bucket: F.Column) -> F.Column:
+    w = F.lit(len(_POIS_CDF_1E6))  # tail: weight 7
+    for k in reversed(range(len(_POIS_CDF_1E6))):
+        w = F.when(bucket < _POIS_CDF_1E6[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def pipe_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("__nt")
+    )
+    reps = d.select(
+        "doc_id", "lang", "__nt", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("rep")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("rep").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    weighted = reps.withColumn("__w", _poisson_weight(h % 1_000_000))
+    rep_means = weighted.groupBy("lang", "rep").agg(
+        (F.sum(F.col("__w") * F.col("__nt")).cast("double") / F.sum("__w").cast("double")).alias(
+            "__m"
+        )
+    )
+    point = d.groupBy("lang").agg(
+        (F.sum("__nt").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    env = rep_means.groupBy("lang").agg(
+        F.min("__m").alias("boot_lo"),
+        F.max("__m").alias("boot_hi"),
+    )
+    return point.join(env, "lang").select(
+        "lang", "n_docs", "mean_tokens", "boot_lo", "boot_hi"
+    )
+
+
+def _bootstrap_sql() -> str:
+    cases = " ".join(
+        f"WHEN b < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_1E6)
+    )
+    return f"""\
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS nt FROM documents),
+reps AS (
+  SELECT doc_id, lang, nt, i AS rep,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS b
+  FROM d, unnest(range({BOOT_REPS})) AS u(i)),
+weighted AS (
+  SELECT lang, rep, nt,
+         CASE {cases} ELSE {len(_POIS_CDF_1E6)} END AS w
+  FROM reps),
+rep_means AS (
+  SELECT lang, rep,
+         CAST(SUM(w * nt) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM weighted GROUP BY lang, rep),
+point AS (
+  SELECT lang,
+         CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+         COUNT(*) AS n_docs
+  FROM d GROUP BY lang)
+SELECT p.lang, p.n_docs, p.mean_tokens,
+       MIN(r.m) AS boot_lo, MAX(r.m) AS boot_hi
+FROM point p JOIN rep_means r ON p.lang = r.lang
+GROUP BY p.lang, p.n_docs, p.mean_tokens"""
+
+
+register("pipe_bootstrap_ci", pipe_bootstrap_ci, _bootstrap_sql())

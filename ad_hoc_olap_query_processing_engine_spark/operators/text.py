@@ -862,3 +862,79 @@ FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id"""
 
 
 register("text_line_dedup", text_line_dedup, TEXT_LINE_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_diversity — exact lexical-diversity features per document, aggregated
+# per language: Gini–Simpson index (1 − Σp²; the entropy-family diversity
+# measure that stays in RATIONAL arithmetic — Shannon entropy needs log(),
+# whose last-ulp varies between libm implementations, so it can never be
+# hash-matched across engines) and the type-token ratio.  Both are
+# computed in fixed point with integer numerators/denominators:
+# simpson_fp = 1e6·(total² − Σcnt²) DIV total², ttr_fp = 1e6·distinct DIV
+# total — exact int64 up to ~10⁶-token documents.  One explode + two
+# aggregates (term counts per doc, then doc features), then the per-lang
+# rollup divides two exact integer sums once.
+# ---------------------------------------------------------------------------
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    terms = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_term = terms.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = per_term.groupBy("doc_id", "lang").agg(
+        F.sum("__c").alias("__total"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sumsq"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    feats = per_doc.select(
+        "doc_id",
+        "lang",
+        F.expr("(1000000 * (__total * __total - __sumsq)) DIV (__total * __total)")
+        .cast("bigint")
+        .alias("simpson_fp"),
+        F.expr("(1000000 * __distinct) DIV __total").cast("bigint").alias("ttr_fp"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("simpson_fp").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_simpson_fp"
+        ),
+        (F.sum("ttr_fp").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_ttr_fp"
+        ),
+        F.min("ttr_fp").alias("min_ttr_fp"),
+        F.max("ttr_fp").alias("max_ttr_fp"),
+    )
+
+
+TEXT_DIVERSITY_SQL = """\
+WITH terms AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+per_term AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS c FROM terms GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id, lang,
+         SUM(c)      AS total,
+         SUM(c * c)  AS sumsq,
+         COUNT(*)    AS ndistinct
+  FROM per_term GROUP BY 1, 2),
+feats AS (
+  SELECT doc_id, lang,
+         CAST((1000000 * (total * total - sumsq)) // (total * total) AS BIGINT) AS simpson_fp,
+         CAST((1000000 * ndistinct) // total AS BIGINT)                          AS ttr_fp
+  FROM per_doc)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(simpson_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_simpson_fp,
+       CAST(SUM(ttr_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)     AS avg_ttr_fp,
+       MIN(ttr_fp) AS min_ttr_fp,
+       MAX(ttr_fp) AS max_ttr_fp
+FROM feats GROUP BY lang"""
+
+
+register("text_diversity", text_diversity, TEXT_DIVERSITY_SQL)
