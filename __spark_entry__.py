@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "rel_notin_null",
+    "func_try_surface",
     "pipe_bootstrap_ci",
     "text_diversity",
     "stream_session_dynamic",

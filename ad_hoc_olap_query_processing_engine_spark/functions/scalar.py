@@ -393,3 +393,51 @@ FROM orders"""
 
 
 register("func_calendar_surface", func_calendar_surface, FUNC_CALENDAR_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_try_surface — ANSI-mode-safe error handling: Spark 4 runs under ANSI
+# SQL semantics where division by zero and bad casts RAISE instead of
+# silently corrupting, and the try_* family is the sanctioned way to opt
+# back into NULL-on-error per expression.  Exercised here: try_divide with
+# genuinely-zero denominators (brands with no sub-5 part sizes) and
+# try_cast on both a parseable suffix ('Brand#12' → 12) and an
+# unparseable string (p_type → NULL).  The DuckDB oracle states the same
+# semantics with NULLIF and TRY_CAST — the agreement pins that NULL (not
+# an error, not ±inf) is what flows downstream.
+# ---------------------------------------------------------------------------
+
+
+def func_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    enriched = p.select(
+        F.expr("try_cast(substring(p_brand, 7, 10) AS INT)").alias("brand_num"),
+        F.expr("try_cast(p_type AS INT)").alias("type_num"),  # always NULL
+        "p_size",
+    )
+    return enriched.groupBy("brand_num").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count("type_num").alias("n_parsed_types"),  # 0: NULLs don't count
+        F.sum(F.when(F.col("p_size") > 45, 1).otherwise(0)).alias("n_large"),
+        F.sum(F.when(F.col("p_size") < 5, 1).otherwise(0)).alias("n_small"),
+        F.try_divide(
+            F.sum(F.when(F.col("p_size") > 45, 1).otherwise(0)),
+            F.sum(F.when(F.col("p_size") < 5, 1).otherwise(0)),
+        ).alias("large_small_ratio"),
+    )
+
+
+FUNC_TRY_SURFACE_SQL = """\
+SELECT TRY_CAST(substr(p_brand, 7, 10) AS INT) AS brand_num,
+       COUNT(*) AS n_parts,
+       COUNT(TRY_CAST(p_type AS INT)) AS n_parsed_types,
+       SUM(CASE WHEN p_size > 45 THEN 1 ELSE 0 END) AS n_large,
+       SUM(CASE WHEN p_size < 5 THEN 1 ELSE 0 END) AS n_small,
+       CAST(SUM(CASE WHEN p_size > 45 THEN 1 ELSE 0 END) AS DOUBLE)
+         / NULLIF(CAST(SUM(CASE WHEN p_size < 5 THEN 1 ELSE 0 END) AS DOUBLE), 0)
+         AS large_small_ratio
+FROM part
+GROUP BY 1"""
+
+
+register("func_try_surface", func_try_surface, FUNC_TRY_SURFACE_SQL)

@@ -594,3 +594,44 @@ GROUP BY 1, 2"""
 
 register("rel_count_distinct_multi", rel_count_distinct_multi, REL_COUNT_DISTINCT_MULTI_SQL)
 register("rel_incremental_agg", rel_incremental_agg, REL_INCREMENTAL_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_notin_null — three-valued NOT IN semantics, the classic SQL trap: when
+# the subquery's list contains a NULL, `x NOT IN (list)` is never TRUE (it
+# is NULL for every non-matching x), so ALL outer rows drop.  A plain
+# left_anti join silently implements NOT EXISTS instead; Spark plans the
+# real thing as a null-aware anti join.  The query runs BOTH variants over
+# the same exclusion list — null-free, and the same list with a NULL
+# injected for suppkeys ≡ 0 (mod 7) — labeled in one union: at scale
+# factors where a multiple of 21 exists the with_null variant contributes
+# ZERO rows (the trap firing is part of the hashed result), while the
+# null-free variant keeps the NOT-EXISTS-equivalent counts.  DuckDB
+# evaluates the identical standard semantics independently.
+# ---------------------------------------------------------------------------
+
+_NOTIN_BODY = """\
+SELECT 'null_free' AS variant, c_mktsegment, COUNT(*) AS n_customers
+FROM {cust}
+WHERE c_nationkey NOT IN (
+  SELECT s_nationkey FROM {supp} WHERE s_suppkey % 3 = 0)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'with_null' AS variant, c_mktsegment, COUNT(*) AS n_customers
+FROM {cust}
+WHERE c_nationkey NOT IN (
+  SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END
+  FROM {supp} WHERE s_suppkey % 3 = 0)
+GROUP BY c_mktsegment"""
+
+
+def rel_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("__nn_customer")
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("__nn_supplier")
+    return spark.sql(_NOTIN_BODY.format(cust="__nn_customer", supp="__nn_supplier"))
+
+
+REL_NOTIN_NULL_SQL = _NOTIN_BODY.format(cust="customer", supp="supplier")
+
+
+register("rel_notin_null", rel_notin_null, REL_NOTIN_NULL_SQL)
