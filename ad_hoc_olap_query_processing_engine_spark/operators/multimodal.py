@@ -306,3 +306,154 @@ FROM documents d JOIN sums s ON s.doc_id = d.doc_id"""
 
 
 register("mm_arrow_bytesum", mm_arrow_bytesum, MM_ARROW_BYTESUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mm_ahash_dedup — perceptual near-duplicate detection for binary media by
+# AVERAGE HASH: the payload's byte stream is split into 64 equal blocks,
+# each block contributes one bit (its byte-sum above the payload mean), and
+# payloads whose 64-bit signatures lie within a small hamming radius are
+# near-duplicates.  This is the aHash family image pipelines run before
+# expensive embedding dedup; with a real decoder the blocks would be
+# downsampled pixels — the signature/banding/verify machinery is identical.
+#
+# Scale shape: the signature kernel runs vectorized in Arrow batches
+# (mapInPandas — exactly the seat a real image decoder/downsampler
+# occupies; an earlier all-higher-order-function formulation evaluated an
+# interpreted lambda per BYTE and was ~50× slower, since Spark HOF lambdas
+# never enter whole-stage codegen).  Candidate generation is LSH-style
+# banding — the 64 bits split into four 16-bit bands, explode → equi-join
+# on (band, value) — so only band-colliding pairs are ever verified (168
+# of 125k possible pairs at sf0.001; wide bands keep bucket occupancy
+# near-constant as the corpus grows, so candidate volume stays
+# near-linear), and verification is four XOR+bit_count ops on the
+# already-joined rows.  All arithmetic is exact integers; the DuckDB
+# oracle states the SAME banded-candidate contract (band-share ∧ hamming ≤
+# T — banding recall vs exhaustive is the documented LSH trade-off, not a
+# bug), so the hash match proves signature, banding, and verify together.
+# ---------------------------------------------------------------------------
+
+AHASH_BLOCKS = 64
+AHASH_BANDS = 4  # 4 bands × 16 bits — wide bands keep bucket sizes ~O(1)
+AHASH_HAM_T = 10
+
+
+def _ahash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        nb = AHASH_BLOCKS
+        bits_per_band = nb // AHASH_BANDS
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        for pdf in batches:
+            out_bands = []
+            for raw in pdf["payload"]:
+                data = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                n = len(data)
+                # block i covers bytes [floor(i·n/64), floor((i+1)·n/64))
+                bounds = np.floor(np.arange(nb + 1) * n / 64.0).astype(np.int64)
+                sums = np.add.reduceat(
+                    np.concatenate([data, [0]]), np.minimum(bounds[:-1], n)
+                )[:nb]
+                # reduceat quirk: an empty segment (equal consecutive bounds)
+                # returns the NEXT element, not 0 — zero those out explicitly
+                sums[bounds[:-1] == bounds[1:]] = 0
+                total = int(data.sum())
+                bits = (64 * sums > total).astype(np.int64)
+                out_bands.append(
+                    (bits.reshape(AHASH_BANDS, bits_per_band) * weights).sum(axis=1)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["media_id"], "bands": [b.tolist() for b in out_bands]}
+            )
+
+    return p.mapInPandas(kernel, "doc_id long, bands array<long>")
+
+
+def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the signature table before banding/joining: without the
+    # barrier Catalyst collapses the (nested higher-order) signature
+    # expression into the explode→join→distinct pipeline and re-evaluates
+    # it per consumer — localCheckpoint turns the join inputs into plain
+    # columns (measured: candidate join went from wedged >200 s to
+    # sub-second at sf0.001). A warehouse materializes this signature
+    # table anyway — it is the reusable dedup index.
+    bands = _ahash_bands(spark, sf_dir).localCheckpoint()
+    sig = bands.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    other = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"),
+    )
+    cand = (
+        sig.join(
+            other,
+            (F.col("band_idx") == F.col("bi"))
+            & (F.col("band_val") == F.col("bv"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    ham = F.expr(
+        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc + bit_count("
+        "element_at(ba, CAST(j + 1 AS INT)) ^ element_at(bb, CAST(j + 1 AS INT))))"
+    )
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= AHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+MM_AHASH_DEDUP_SQL = f"""\
+WITH blocks AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           COALESCE(list_sum(list_transform(
+             range(CAST(FLOOR(i * len(text) / 64.0) AS BIGINT) + 1,
+                   CAST(FLOOR((i + 1) * len(text) / 64.0) AS BIGINT) + 1),
+             p -> ascii(substr(text, CAST(p AS INT), 1)))), 0)) AS bs
+  FROM documents),
+tot AS (SELECT doc_id, bs, list_sum(bs) AS total FROM blocks),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+           CASE WHEN 64 * bs[CAST(i AS INT) + 1] > total THEN 1 ELSE 0 END) AS bit
+  FROM tot),
+bands AS (
+  SELECT doc_id,
+         list_transform(range(4), j ->
+           list_sum(list_transform(range(16), k ->
+             bit[CAST(j * 16 + k AS INT) + 1] * (1 << CAST(k AS INT))))) AS bd
+  FROM bits),
+sig AS (
+  SELECT doc_id, i AS band_idx, bd[CAST(i AS INT) + 1] AS band_val
+  FROM bands, unnest(range(4)) AS u(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       list_sum(list_transform(range(4), j ->
+         bit_count(xor(CAST(x.bd[CAST(j AS INT) + 1] AS BIGINT),
+                       CAST(y.bd[CAST(j AS INT) + 1] AS BIGINT))))) AS hamming
+FROM cand c
+JOIN bands x ON c.doc_a = x.doc_id
+JOIN bands y ON c.doc_b = y.doc_id
+WHERE list_sum(list_transform(range(4), j ->
+        bit_count(xor(CAST(x.bd[CAST(j AS INT) + 1] AS BIGINT),
+                      CAST(y.bd[CAST(j AS INT) + 1] AS BIGINT))))) <= {AHASH_HAM_T}"""
+
+
+register("mm_ahash_dedup", mm_ahash_dedup, MM_AHASH_DEDUP_SQL)
