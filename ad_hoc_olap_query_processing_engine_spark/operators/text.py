@@ -938,3 +938,161 @@ FROM feats GROUP BY lang"""
 
 
 register("text_diversity", text_diversity, TEXT_DIVERSITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merges — tokenizer training, the BPE inner loop: spell every
+# corpus word as separator-joined symbols, count frequency-weighted adjacent
+# symbol pairs, merge the most frequent pair corpus-wide, and repeat.  Two
+# rounds are unrolled (the standard trainer runs this loop 30k times; round
+# count changes nothing structurally), then the resulting symbol vocabulary
+# is reported.  Everything is exact string/integer work: pair argmax breaks
+# ties lexicographically, and merge application is literal (non-regex)
+# replace on boundary-wrapped spellings ('~'||spell||'~', searching
+# '~a~b~'), run in THREE passes because consecutive occurrences share a
+# boundary separator and left-to-right replace can only take alternate ones
+# per pass — both engines scan identically, so the pass count is a shared
+# part of the operator contract, not an approximation hazard.
+#
+# Scale shape: the word table is the frequency-collapsed vocabulary (a few
+# hundred thousand rows for a real corpus, NOT the token stream), each
+# round is one explode + aggregate over it, and the chosen pair is a
+# one-row broadcast — exactly how distributed BPE trainers (e.g. over a
+# word-count table from a 100 TB corpus) structure the loop.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 2
+BPE_TOP_TOKENS = 10
+_BPE_SEP = "~"
+
+
+def _bpe_pairs_expr(spell_col: str) -> str:
+    return (
+        f"if(size(split({spell_col}, '{_BPE_SEP}')) < 2, array(), "
+        f"transform(sequence(1, size(split({spell_col}, '{_BPE_SEP}')) - 1), "
+        f"i -> concat(element_at(split({spell_col}, '{_BPE_SEP}'), i), '{_BPE_SEP}', "
+        f"element_at(split({spell_col}, '{_BPE_SEP}'), CAST(i + 1 AS INT)))))"
+    )
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    spell = F.expr(
+        f"array_join(transform(sequence(1, length(word)), p -> substring(word, p, 1)), '{_BPE_SEP}')"
+    )
+    cur = words.withColumn("spell", spell)
+
+    merges = []
+    for _ in range(BPE_ROUNDS):
+        pair_counts = (
+            cur.select("wf", F.explode(F.expr(_bpe_pairs_expr("spell"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        top = F.broadcast(
+            pair_counts.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("__mp"), F.col("cnt").alias("__mc"))
+        )
+        merges.append(top)
+        wrapped = F.concat(F.lit(_BPE_SEP), F.col("spell"), F.lit(_BPE_SEP))
+        search = F.concat(F.lit(_BPE_SEP), F.col("__mp"), F.lit(_BPE_SEP))
+        repl = F.concat(
+            F.lit(_BPE_SEP), F.replace(F.col("__mp"), F.lit(_BPE_SEP), F.lit("")), F.lit(_BPE_SEP)
+        )
+        merged = wrapped
+        for _p in range(3):  # bounded passes; see header comment
+            merged = F.replace(merged, search, repl)
+        cur = (
+            cur.crossJoin(top)
+            .select("word", "wf", merged.alias("__m"))
+            .select(
+                "word",
+                "wf",
+                F.expr("substring(__m, 2, length(__m) - 2)").alias("spell"),
+            )
+        )
+
+    tokens = (
+        cur.select("wf", F.explode(F.split("spell", _BPE_SEP)).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wf").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(BPE_TOP_TOKENS)
+        .select(F.lit("token").alias("kind"), "token", "freq")
+    )
+    merge_rows = None
+    for i, top in enumerate(merges, 1):
+        row = top.select(
+            F.lit(f"merge_{i}").alias("kind"),
+            F.col("__mp").alias("token"),
+            F.col("__mc").alias("freq"),
+        )
+        merge_rows = row if merge_rows is None else merge_rows.unionByName(row)
+    return merge_rows.unionByName(tokens)
+
+
+def _bpe_sql() -> str:
+    sep = _BPE_SEP
+
+    def pairs(spell: str) -> str:
+        return (
+            f"CASE WHEN len(string_split({spell}, '{sep}')) < 2 THEN [] "
+            f"ELSE list_transform(range(1, len(string_split({spell}, '{sep}'))), "
+            f"i -> string_split({spell}, '{sep}')[CAST(i AS INT)] || '{sep}' || "
+            f"string_split({spell}, '{sep}')[CAST(i AS INT) + 1]) END"
+        )
+
+    def apply_merge(spell: str, mp: str) -> str:
+        out = f"'{sep}' || {spell} || '{sep}'"
+        for _ in range(3):
+            out = (
+                f"replace({out}, '{sep}' || {mp} || '{sep}', "
+                f"'{sep}' || replace({mp}, '{sep}', '') || '{sep}')"
+            )
+        return f"substr({out}, 2, length({out}) - 2)"
+
+    spell0 = (
+        f"array_to_string(list_transform(range(1, length(word) + 1), "
+        f"p -> substr(word, CAST(p AS INT), 1)), '{sep}')"
+    )
+    return f"""\
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS wf
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+s0 AS (SELECT word, wf, {spell0} AS spell FROM words),
+pc1 AS (
+  SELECT p AS pair, SUM(wf) AS cnt
+  FROM (SELECT wf, unnest({pairs('spell')}) AS p FROM s0)
+  GROUP BY p),
+m1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+s1 AS (
+  SELECT word, wf, {apply_merge('s0.spell', 'm1.pair')} AS spell
+  FROM s0, m1),
+pc2 AS (
+  SELECT p AS pair, SUM(wf) AS cnt
+  FROM (SELECT wf, unnest({pairs('spell')}) AS p FROM s1)
+  GROUP BY p),
+m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+s2 AS (
+  SELECT word, wf, {apply_merge('s1.spell', 'm2.pair')} AS spell
+  FROM s1, m2),
+toks AS (
+  SELECT t AS token, SUM(wf) AS freq
+  FROM (SELECT wf, unnest(string_split(spell, '{sep}')) AS t FROM s2)
+  GROUP BY t
+  ORDER BY freq DESC, token ASC LIMIT {BPE_TOP_TOKENS})
+SELECT 'merge_1' AS kind, pair AS token, cnt AS freq FROM m1
+UNION ALL
+SELECT 'merge_2' AS kind, pair AS token, cnt AS freq FROM m2
+UNION ALL
+SELECT 'token' AS kind, token, freq FROM toks"""
+
+
+register("text_bpe_merges", text_bpe_merges, _bpe_sql())

@@ -290,3 +290,53 @@ def test_dynamic_partition_pruning_from_dim_filter(spark):
         plan = physical_plan(joined)
         assert "dynamicpruning" in plan.lower(), plan[:2000]
         assert joined.count() >= 1
+
+
+def test_malformed_json_modes(spark, tmp_path):
+    """Schema-on-read resilience contract for dirty inputs: PERMISSIVE mode
+    lands bad records in the _corrupt_record column with NULL data fields,
+    DROPMALFORMED silently drops them, FAILFAST raises — the three-way
+    policy a 100 TB ingest job must choose deliberately (default PERMISSIVE
+    means corrupt upstream files degrade to NULLs, not job failures)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "dirty.jsonl"
+    src.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "{this is not json}\n"
+        '{"k": 3, "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+
+    permissive = spark.read.schema(schema).json(str(src)).cache()
+    try:
+        assert permissive.count() == 3
+        bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+        assert len(bad) == 1
+        assert bad[0]["k"] is None and "not json" in bad[0]["_corrupt_record"]
+        assert permissive.filter(F.col("k").isNotNull()).count() == 2
+    finally:
+        permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("k long, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(src))
+    )
+    assert [r.k for r in dropped.collect()] == [1, 3]
+
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        (
+            spark.read.schema("k long, v string")
+            .option("mode", "FAILFAST")
+            .json(str(src))
+            .collect()
+        )
