@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "udf_arrow_scalar",
+    "rel_attribution",
     "text_bpe_merges",
     "mm_ahash_dedup",
     "rel_notin_null",

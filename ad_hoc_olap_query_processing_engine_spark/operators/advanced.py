@@ -940,3 +940,48 @@ FROM documents GROUP BY source"""
 
 
 register("udf_iter_series", udf_iter_series, UDF_ITER_SERIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udf_arrow_scalar — the Arrow-optimized row UDF (@udf(useArrow=True),
+# SPARK-40307): row-at-a-time author experience, Arrow-batched transport —
+# the migration path for legacy @udf code that can't be vectorized, ~2-5×
+# over pickled row UDFs.  Completes the Python-UDF matrix alongside
+# pandas_udf (batch), iterator pandas_udf (amortized init), GROUPED_AGG,
+# applyInPandas, mapInPandas, mapInArrow, and the UDTF.  Kernel: integer
+# order-value bucketing with string labels (exact; mirrored in plain SQL).
+# ---------------------------------------------------------------------------
+
+
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType="string", useArrow=True)
+    def price_band(total: float) -> str:
+        cents = int(total * 100)  # exact: parquet doubles are 2dp decimals
+        if cents < 10_000_00:
+            return "small"
+        if cents < 25_000_00:
+            return "mid"
+        return "large"
+
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.withColumn("band", price_band("o_totalprice"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+UDF_ARROW_SCALAR_SQL = """\
+SELECT CASE WHEN CAST(o_totalprice * 100 AS BIGINT) < 1000000 THEN 'small'
+            WHEN CAST(o_totalprice * 100 AS BIGINT) < 2500000 THEN 'mid'
+            ELSE 'large' END AS band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1"""
+
+
+register("udf_arrow_scalar", udf_arrow_scalar, UDF_ARROW_SCALAR_SQL)

@@ -722,3 +722,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
 register("ts_ewma", ts_ewma, _ewma_sql())
+
+
+# ---------------------------------------------------------------------------
+# rel_attribution — first-touch marketing attribution: every purchase is
+# credited to the event type of the user's FIRST event in the trailing
+# 7-day window before the purchase (strictly earlier; no prior touch ⇒
+# 'direct').  One event-time RANGE window over the per-user stream does the
+# lookback — the matched row travels as a (us, event_id, event_type)
+# struct-minimum so all its fields come from the same event — then a
+# per-channel rollup of conversion counts and exact-decimal credited value.
+# Single shuffle on user_id; the same shape at 100 TB (state bounded by the
+# window horizon per user).  The DuckDB oracle formulates the lookback as
+# the textbook correlated ORDER-BY-LIMIT-1 subquery instead — agreement
+# checks the window reformulation.  Equal-timestamp ordering note: the
+# event stream has no duplicate (user_id, ts) pairs (same contract as the
+# as-of family), so strict-time priority is total.
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    first_touch = F.min(F.struct("us", "event_id", "event_type")).over(w)
+    return (
+        e.withColumn("__ft", first_touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("__ft.event_type"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+REL_ATTRIBUTION_SQL = f"""\
+SELECT COALESCE((
+         SELECT e.event_type
+         FROM events e
+         WHERE e.user_id = p.user_id
+           AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - {ATTR_WINDOW_US}
+                                  AND epoch_us(p.ts) - 1
+         ORDER BY e.ts, e.event_id LIMIT 1), 'direct') AS channel,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM events p
+WHERE p.event_type = 'purchase'
+GROUP BY 1"""
+
+
+register("rel_attribution", rel_attribution, REL_ATTRIBUTION_SQL)
