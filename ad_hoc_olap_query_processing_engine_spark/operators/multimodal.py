@@ -339,7 +339,7 @@ AHASH_HAM_T = 10
 
 
 def _ahash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _payloads(spark, sf_dir)
+    p = _payloads(spark, sf_dir).select("media_id", "payload")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -354,7 +354,7 @@ def _ahash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
                 n = len(data)
                 # block i covers bytes [floor(i·n/64), floor((i+1)·n/64))
-                bounds = np.floor(np.arange(nb + 1) * n / 64.0).astype(np.int64)
+                bounds = np.floor(np.arange(nb + 1) * n / float(nb)).astype(np.int64)
                 sums = np.add.reduceat(
                     np.concatenate([data, [0]]), np.minimum(bounds[:-1], n)
                 )[:nb]
@@ -362,7 +362,7 @@ def _ahash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # returns the NEXT element, not 0 — zero those out explicitly
                 sums[bounds[:-1] == bounds[1:]] = 0
                 total = int(data.sum())
-                bits = (64 * sums > total).astype(np.int64)
+                bits = (nb * sums > total).astype(np.int64)
                 out_bands.append(
                     (bits.reshape(AHASH_BANDS, bits_per_band) * weights).sum(axis=1)
                 )

@@ -196,10 +196,14 @@ def pipe_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     weighted = reps.withColumn("__w", _poisson_weight(h % 1_000_000))
+    # try_divide: a tiny stratum can draw all-zero Poisson weights for a
+    # replicate — ANSI mode would raise DIVIDE_BY_ZERO where the oracle's
+    # 0.0/0.0 yields NULL; NULL replicates then drop out of MIN/MAX
     rep_means = weighted.groupBy("lang", "rep").agg(
-        (F.sum(F.col("__w") * F.col("__nt")).cast("double") / F.sum("__w").cast("double")).alias(
-            "__m"
-        )
+        F.try_divide(
+            F.sum(F.col("__w") * F.col("__nt")).cast("double"),
+            F.sum("__w").cast("double"),
+        ).alias("__m")
     )
     point = d.groupBy("lang").agg(
         (F.sum("__nt").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_tokens"),

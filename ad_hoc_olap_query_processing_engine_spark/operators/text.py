@@ -979,6 +979,10 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
+        # empty tokens (double/leading spaces) spell differently across
+        # engines (Spark's sequence(1, 0) is DESCENDING, DuckDB's range is
+        # empty) — excluded from the vocabulary on both sides
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
@@ -994,10 +998,16 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("wf").alias("cnt"))
         )
+        # localCheckpoint both per-round artifacts: the chosen pair feeds
+        # three downstream lineages (its own output row, the next round's
+        # spellings, the token rollup) and the spelled table feeds two —
+        # without the barrier the corpus-wide aggregations re-execute per
+        # consumer (same hazard mm_ahash_dedup documents)
         top = F.broadcast(
             pair_counts.orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .select(F.col("pair").alias("__mp"), F.col("cnt").alias("__mc"))
+            .localCheckpoint()
         )
         merges.append(top)
         wrapped = F.concat(F.lit(_BPE_SEP), F.col("spell"), F.lit(_BPE_SEP))
@@ -1016,6 +1026,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "wf",
                 F.expr("substring(__m, 2, length(__m) - 2)").alias("spell"),
             )
+            .localCheckpoint()
         )
 
     tokens = (
@@ -1065,6 +1076,7 @@ def _bpe_sql() -> str:
 WITH words AS (
   SELECT w AS word, COUNT(*) AS wf
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
   GROUP BY w),
 s0 AS (SELECT word, wf, {spell0} AS spell FROM words),
 pc1 AS (
