@@ -100,3 +100,51 @@ GROUP BY l_returnflag"""
 
 
 register("rel_bitmap_semi_join", rel_bitmap_semi_join, REL_BITMAP_SEMI_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_bitmap_distinct — EXACT mergeable COUNT(DISTINCT) via bitmap
+# aggregation, the Druid/ClickHouse alternative to HLL when the key domain
+# is dense integers: each (group, 64-key block) reduces to one BIGINT word
+# (bit_or of 1 << key mod 64), distinct count = Σ bit_count(word).  Unlike
+# approx_count_distinct this is exact, and unlike COUNT(DISTINCT) the
+# per-block words are MERGEABLE partial state — the same rollup algebra as
+# rel_incremental_agg (bit_or is idempotent/commutative), so daily bitmap
+# tiers can union into monthly NDV without touching raw facts.  Two
+# map-side-combining aggregates, keys shrink 64× after the first.  The
+# DuckDB oracle is the first-principles COUNT(DISTINCT) — agreement proves
+# the whole bitmap encoding, merge, and popcount path (same oracle policy
+# as rel_bitmap_semi_join).  Monthly distinct buyers per order priority.
+# ---------------------------------------------------------------------------
+
+
+def rel_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    blk = F.expr("CAST(FLOOR(o_custkey / 64) AS BIGINT)")
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey - 64 * FLOOR(o_custkey / 64) AS INT))"
+    )
+    words = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+            blk.alias("__blk"),
+            bit.alias("__bit"),
+        )
+        .groupBy("month", "o_orderpriority", "__blk")
+        .agg(F.bit_or("__bit").alias("__word"))
+    )
+    return words.groupBy("month", "o_orderpriority").agg(
+        F.sum(F.bit_count("__word")).cast("bigint").alias("n_buyers")
+    )
+
+
+REL_BITMAP_DISTINCT_SQL = """\
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_buyers
+FROM orders
+GROUP BY 1, 2"""
+
+
+register("rel_bitmap_distinct", rel_bitmap_distinct, REL_BITMAP_DISTINCT_SQL)
