@@ -49,6 +49,7 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "pipe_kfold_split",
     "rel_bitmap_distinct",
     "udf_arrow_scalar",
     "rel_attribution",

@@ -250,3 +250,47 @@ GROUP BY p.lang, p.n_docs, p.mean_tokens"""
 
 
 register("pipe_bootstrap_ci", pipe_bootstrap_ci, _bootstrap_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_kfold_split — deterministic k-fold assignment for eval splits: fold =
+# md5-uniform(doc_id) mod K, so the split is reproducible across runs,
+# engines, and cluster sizes (no rand(), no row-order dependence), and
+# folds are disjoint-and-exhaustive BY CONSTRUCTION — the property a
+# training pipeline must guarantee before trusting held-out metrics.  The
+# fold profile (doc/token mass per fold) is what a pipeline inspects to
+# confirm the hash is balanced before training; per-lang counts surface
+# stratification skew.  Pure map + one aggregate.
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+
+
+def pipe_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    fold = (_doc_hash() % KFOLDS).cast("int")
+    return (
+        d.select(
+            fold.alias("fold"),
+            "lang",
+            F.size(F.split("text", " ")).alias("__nt"),
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+PIPE_KFOLD_SPLIT_SQL = f"""\
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+            % {KFOLDS} AS INT) AS fold,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2"""
+
+
+register("pipe_kfold_split", pipe_kfold_split, PIPE_KFOLD_SPLIT_SQL)

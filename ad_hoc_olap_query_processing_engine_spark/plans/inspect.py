@@ -71,3 +71,23 @@ def exchange_args(df: DataFrame) -> list[str]:
         if m:
             out.append(m.group(1))
     return out
+
+
+def observed_counts(df: DataFrame, *metric_cols) -> tuple[DataFrame, "Observation"]:
+    """Attach a named Observation to ``df`` — Spark's zero-cost pipeline
+    telemetry: the metrics are computed BY THE ACTION ITSELF (accumulator
+    semantics inside the same job), so row counts / null counts / sums of a
+    100 TB write cost no second scan, unlike a separate ``df.count()``.
+    Returns ``(instrumented_df, observation)``; read ``observation.get``
+    after any action on the instrumented frame.
+
+    Default metrics when none given: row count. Callers pass aliased
+    aggregate Columns for anything richer (null counts, min/max freshness
+    timestamps — the data-quality gates an ingest pipeline records per
+    batch)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    metrics = list(metric_cols) or [F.count(F.lit(1)).alias("n_rows")]
+    return df.observe(obs, *metrics), obs

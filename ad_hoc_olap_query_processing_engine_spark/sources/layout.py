@@ -185,3 +185,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def recover_layout(out_path: str) -> str:
+    """Crash-recovery sweep for ``compact_small_files``'s two-rename swap —
+    run this before reading a table whose compactor may have died:
+
+    - table present: any ``._old`` / ``._compacting`` residue is garbage
+      from a crash AFTER the new data landed (or mid-write) → remove it.
+    - table ABSENT but ``._old`` present: the compactor died between the
+      two renames → restore ``._old`` to the table path (old data is intact
+      by construction; the half-swapped ``._compacting`` output is dropped).
+    - table absent and no ``._old``: nothing to recover.
+
+    Returns one of ``"clean"``, ``"cleaned_residue"``, ``"restored_old"``,
+    ``"missing"`` so operators can log what happened. This is the recovery
+    half of the crash-recoverable contract documented on
+    ``compact_small_files``; on an object store the same logic runs against
+    the metastore's location pointer instead of directory renames."""
+    base = out_path.rstrip("/")
+    old = base + "._old"
+    tmp = base + "._compacting"
+    if os.path.isdir(base):
+        residue = False
+        for p in (old, tmp):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                residue = True
+        return "cleaned_residue" if residue else "clean"
+    if os.path.isdir(old):
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.replace(old, base)
+        return "restored_old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    return "missing"

@@ -124,3 +124,31 @@ def test_zorder_quantile_scaling_balances_skewed_domains(spark):
     # both keys cover all rows
     assert mm.count() == qt.count() == 4000
     assert max_bucket_frac(qt) < 0.5 < max_bucket_frac(mm)
+
+
+def test_recover_layout_restores_after_mid_swap_crash(spark, tmp_path):
+    """Simulated compactor death between the two renames: the table path is
+    gone, old data sits at ._old — recovery must put it back untouched."""
+    from ad_hoc_olap_query_processing_engine_spark.sources import layout
+
+    table = str(tmp_path / "t")
+    spark.range(100).write.parquet(table)
+    # crash state: table renamed away, half-written new output stranded
+    os.replace(table, table + "._old")
+    os.makedirs(table + "._compacting")
+    assert layout.recover_layout(table) == "restored_old"
+    assert spark.read.parquet(table).count() == 100
+    assert not os.path.isdir(table + "._old")
+    assert not os.path.isdir(table + "._compacting")
+
+
+def test_recover_layout_cleans_residue_and_reports_clean(spark, tmp_path):
+    from ad_hoc_olap_query_processing_engine_spark.sources import layout
+
+    table = str(tmp_path / "t")
+    spark.range(10).write.parquet(table)
+    assert layout.recover_layout(table) == "clean"
+    os.makedirs(table + "._old")
+    assert layout.recover_layout(table) == "cleaned_residue"
+    assert spark.read.parquet(table).count() == 10
+    assert layout.recover_layout(str(tmp_path / "never_existed")) == "missing"

@@ -484,3 +484,25 @@ def test_runtime_bloom_filter_injected_on_selective_dim_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             saved_thresh,
         )
+
+
+def test_observed_counts_rides_the_action(spark):
+    """df.observe(): quality metrics computed by the action itself (no
+    second scan). The write and the metrics must agree."""
+    from pyspark.sql import functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.plans.inspect import observed_counts
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", SF_SMALL).filter(F.col("o_totalprice") > 0)
+    inst, obs = observed_counts(
+        o,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.max("o_orderdate").alias("freshness"),
+    )
+    inst.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == o.count()
+    assert got["null_keys"] == 0
+    assert got["freshness"] is not None
