@@ -635,3 +635,166 @@ REL_NOTIN_NULL_SQL = _NOTIN_BODY.format(cust="customer", supp="supplier")
 
 
 register("rel_notin_null", rel_notin_null, REL_NOTIN_NULL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_yoy_growth — year-over-year revenue per customer segment: LAG over the
+# (segment, year) aggregate, growth in exact basis points ((cur − prev) ·
+# 10⁴ DIV prev on scale-4 fixed-point integers — the revenue decimals have
+# scale 4, so ×10⁴ is exactly integral (×100 would leave a fraction whose
+# BIGINT cast truncates in Spark but rounds in DuckDB); no float ratio, so
+# the figure hash-matches bit-for-bit).  The windows run over the post-aggregation
+# table (|segments| × |years| rows), never the facts.
+# ---------------------------------------------------------------------------
+
+
+def rel_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    yearly = (
+        l.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("year"))
+        .agg((F.sum(_REV) * 10000).cast("bigint").alias("__cents"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("year")
+    prev = F.lag("__cents").over(w)
+    return yearly.select(
+        "c_mktsegment",
+        "year",
+        (F.col("__cents").cast("double") / 10000).alias("revenue"),
+        F.expr("CAST(((__cents - LAG(__cents) OVER "
+               "(PARTITION BY c_mktsegment ORDER BY year)) * 10000) "
+               "DIV LAG(__cents) OVER (PARTITION BY c_mktsegment ORDER BY year) "
+               "AS BIGINT)").alias("growth_bps"),
+    )
+
+
+REL_YOY_GROWTH_SQL = """\
+WITH yearly AS (
+  SELECT c_mktsegment,
+         CAST(year(o_orderdate) AS INT) AS year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, year,
+       CAST(cents AS DOUBLE) / 10000 AS revenue,
+       CAST(((cents - LAG(cents) OVER w) * 10000) // LAG(cents) OVER w AS BIGINT)
+         AS growth_bps
+FROM yearly
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY year)"""
+
+
+# ---------------------------------------------------------------------------
+# rel_pareto_coverage — the 80/20 concentration report: rank customers by
+# revenue, accumulate exact scale-4 fixed-point integers, and find how few
+# customers cover 80% of total.  The global cumulative sum is rebuilt
+# PARTITION-SAFELY (value-range buckets → local cumsum → broadcast offsets,
+# the rel_decile_spend technique) — a bare ORDER BY window would sort every
+# customer in one task; the 80% test is multiplied out (5·cum ≥ 4·total)
+# so no division happens before the final double cast.  The DuckDB oracle
+# keeps the single-window textbook form — agreement checks the
+# decomposition.
+# ---------------------------------------------------------------------------
+
+
+PARETO_BUCKETS = 32
+
+
+def rel_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg((F.sum(_REV) * 10000).cast("bigint").alias("__cents"))
+    )
+    # partition-safe global cumsum (same technique as rel_decile_spend's
+    # global NTILE): value-range buckets → per-bucket local rank/cumsum →
+    # broadcast count/sum offsets of all HIGHER-revenue buckets. No
+    # unpartitioned window ever materializes, so the plan survives a
+    # customer dimension of any size.
+    bounds = per_cust.agg(
+        F.min("__cents").alias("__lo"),
+        F.max("__cents").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__cents").alias("__tot"),
+    )
+    b = per_cust.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.width_bucket(
+            F.col("__cents"), F.col("__lo"), F.col("__hi") + F.lit(1), PARETO_BUCKETS
+        ),
+    )
+    wb = W.partitionBy("__bkt").orderBy(F.desc("__cents"), F.asc("o_custkey"))
+    local = b.select(
+        "__bkt",
+        "__n",
+        "__tot",
+        F.row_number().over(wb).alias("__rk_l"),
+        F.sum("__cents").over(wb.rowsBetween(W.unboundedPreceding, 0)).alias("__cum_l"),
+    )
+    sizes = b.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__sz"), F.sum("__cents").alias("__bsum")
+    )
+    higher = sizes.select(
+        F.col("__bkt").alias("__hb"), F.col("__sz").alias("__hsz"), F.col("__bsum").alias("__hbs")
+    )
+    offsets = (
+        sizes.join(F.broadcast(higher), F.col("__hb") > F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("__hsz"), F.lit(0)).alias("__coff"),
+            F.coalesce(F.sum("__hbs"), F.lit(0)).alias("__soff"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "__bkt").select(
+        (F.col("__coff") + F.col("__rk_l")).alias("__rk"),
+        (F.col("__soff") + F.col("__cum_l")).alias("__cum"),
+        "__tot",
+        "__n",
+    )
+    covered = ranked.filter(5 * F.col("__cum") >= 4 * F.col("__tot"))
+    return covered.agg(
+        F.min("__rk").alias("customers_for_80pct"),
+        F.min("__n").alias("n_customers"),
+        (F.min("__rk").cast("double") / F.min("__n").cast("double")).alias(
+            "pareto_fraction"
+        ),
+        (F.min("__tot").cast("double") / 10000).alias("total_revenue"),
+    )
+
+
+REL_PARETO_COVERAGE_SQL = """\
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS tot,
+         COUNT(*) OVER () AS n
+  FROM per_cust)
+SELECT MIN(rk) AS customers_for_80pct,
+       MIN(n)  AS n_customers,
+       CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE) AS pareto_fraction,
+       CAST(MIN(tot) AS DOUBLE) / 10000 AS total_revenue
+FROM ranked
+WHERE 5 * cum >= 4 * tot"""
+
+
+register("rel_yoy_growth", rel_yoy_growth, REL_YOY_GROWTH_SQL)
+register("rel_pareto_coverage", rel_pareto_coverage, REL_PARETO_COVERAGE_SQL)

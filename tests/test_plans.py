@@ -506,3 +506,19 @@ def test_observed_counts_rides_the_action(spark):
     assert got["n_rows"] == o.count()
     assert got["null_keys"] == 0
     assert got["freshness"] is not None
+
+
+def test_pareto_coverage_no_unpartitioned_window(spark):
+    """The Pareto cumulative sum is rebuilt from per-bucket cumsums +
+    broadcast offsets: every Window in the plan partitions by __bkt — the
+    bare ORDER BY cumsum (one task sorting every customer) must never
+    appear."""
+    import re
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap_gapfill
+
+    plan = physical_plan(olap_gapfill.rel_pareto_coverage(spark, SF_SMALL))
+    windows = list(re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan))
+    assert windows, "expected at least one Window node"
+    for m in windows:
+        assert "__bkt" in m.group(1)
