@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "rel_pit_join",
+    "dedup_survivorship",
     "rel_yoy_growth",
     "rel_pareto_coverage",
     "pipe_kfold_split",

@@ -248,3 +248,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
 register("cdc_scd2_intervals", cdc_scd2_intervals, CDC_SCD2_INTERVALS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_pit_join — POINT-IN-TIME join against the SCD2 interval dimension:
+# every purchase looks up the dimension version that was valid just before
+# it happened (t = ts − 1 µs ⇒ valid_from < ts ≤ valid_to), the
+# feature-store / ML-training correctness rule that prevents label leakage
+# — joining "current" dimension values into historical facts trains on
+# information from the future.  The intervals partition each user's
+# timeline, so every probe matches at most one version (left join keeps
+# first-ever purchases as 'none').  Join shape at 100 TB: equi on user_id
+# with the interval predicate as a residual — per-user version counts are
+# bounded by state changes, so the residual scan per key is tiny; no range
+# explosion.  Oracle: the same interval CTE joined the same way.
+# ---------------------------------------------------------------------------
+
+
+def rel_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = cdc_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("iv_user"), "state", "valid_from", "valid_to"
+    )
+    p = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    joined = p.join(
+        iv,
+        (p.user_id == F.col("iv_user"))
+        & (F.col("valid_from") < p.ts)
+        & (p.ts <= F.col("valid_to")),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("state"), F.lit("none")).alias("prior_state"), "value"
+        )
+        .groupBy("prior_state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+REL_PIT_JOIN_SQL = f"""\
+WITH iv AS ({CDC_SCD2_INTERVALS_SQL})
+SELECT COALESCE(iv.state, 'none') AS prior_state,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events p
+LEFT JOIN iv ON iv.user_id = p.user_id
+            AND iv.valid_from < p.ts AND p.ts <= iv.valid_to
+WHERE p.event_type = 'purchase'
+GROUP BY 1"""
+
+
+register("rel_pit_join", rel_pit_join, REL_PIT_JOIN_SQL)

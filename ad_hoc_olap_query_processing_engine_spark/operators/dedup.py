@@ -697,3 +697,70 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}"""
 
 
 register("dedup_fuzzy_name", dedup_fuzzy_name, DEDUP_FUZZY_NAME_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivorship — golden-record selection (the MDM step after duplicate
+# clustering): every near-duplicate cluster elects ONE canonical document by
+# an explicit precedence rule — longest text wins, ties break to the lowest
+# doc_id — and the cluster's members fold into survivor-level stats.  The
+# arg-max rides a struct maximum ((n_chars, −doc_id) — one aggregate, no
+# window, no second shuffle after the member join), so election cost is one
+# map-side-combining pass over cluster members regardless of corpus size.
+# Reuses the session-cached MinHash pair + CC artifacts (same inputs as
+# dedup_cluster_cc); the oracle re-derives the clusters via the recursive
+# label walk and elects with ROW_NUMBER — agreement checks rule and
+# clustering together.
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = connected_components(verified_minhash_pairs(spark, sf_dir))
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    members = cc.join(d, "doc_id")
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return members.groupBy("cluster_id").agg(
+        best.getField("neg_id").cast("bigint").alias("__nid"),
+        best.getField("n_chars").alias("canonical_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).select(
+        "cluster_id",
+        (-F.col("__nid")).alias("canonical_doc"),
+        "canonical_chars",
+        "n_members",
+        "total_chars",
+    )
+
+
+def _survivorship_sql() -> str:
+    return f"""\
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs),
+walk(u, l) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.u),
+cc AS (SELECT u AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY u),
+members AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM cc c JOIN documents d ON c.doc_id = d.doc_id),
+elected AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM members)
+SELECT m.cluster_id,
+       e.doc_id  AS canonical_doc,
+       e.n_chars AS canonical_chars,
+       COUNT(*)  AS n_members,
+       CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+FROM members m
+JOIN elected e ON e.cluster_id = m.cluster_id AND e.rk = 1
+GROUP BY m.cluster_id, e.doc_id, e.n_chars"""
+
+
+register("dedup_survivorship", dedup_survivorship, _survivorship_sql())
