@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "pipe_attrition_report",
+    "rel_funnel_window",
     "rel_pit_join",
     "dedup_survivorship",
     "rel_yoy_growth",

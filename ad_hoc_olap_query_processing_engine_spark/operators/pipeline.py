@@ -479,3 +479,89 @@ GROUP BY d.lang, b.bucket"""
 
 
 register("pipe_ccnet_buckets", pipe_ccnet_buckets, _ccnet_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_attrition_report — the quality-gate waterfall every corpus pipeline
+# publishes with a release: how many documents survive each filter
+# CUMULATIVELY (length → stopword ratio → token-length band → alpha ratio),
+# so a sudden corpus regression localizes to the gate that caused it.  One
+# pass: each stage is a conditional count over the same quality frame
+# (conjunction of all gates up to that stage), emitted as an ordered
+# waterfall via an inline stage table — no per-stage rescans, no unions of
+# separate jobs.  Exact integer counts; drop share is one division at the
+# end.
+# ---------------------------------------------------------------------------
+
+_ATTRITION_STAGES = (
+    ("0_corpus", None),
+    ("1_min_tokens", "n_tokens >= 20"),
+    ("2_stopword_ratio", "stopword_ratio > 0.01"),
+    ("3_token_len_band", "avg_token_len BETWEEN 3 AND 12"),
+    ("4_alpha_ratio", "alpha_ratio > 0.6"),
+)
+
+
+def pipe_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_frame
+
+    q = quality_frame(load_table(spark, "documents", sf_dir))
+    agg = []
+    conds = []
+    for stage, cond in _ATTRITION_STAGES:
+        if cond is not None:
+            conds.append(cond)
+        alive = F.expr(" AND ".join(conds)) if conds else F.lit(True)
+        agg.append(F.sum(alive.cast("long")).alias(stage))
+    wide = q.agg(*agg)
+    stages = ", ".join(f"struct('{s}' AS stage, {s} AS n_docs)" for s, _ in _ATTRITION_STAGES)
+    total = _ATTRITION_STAGES[0][0]
+    return (
+        wide.select(F.col(total).alias("__total"), F.explode(F.expr(f"array({stages})")).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            (F.col("__total") - F.col("s.n_docs")).alias("n_dropped_total"),
+            (F.col("s.n_docs").cast("double") / F.col("__total").cast("double")).alias(
+                "survival_rate"
+            ),
+        )
+    )
+
+
+def _attrition_sql() -> str:
+    conds: list[str] = []
+    cols = []
+    for stage, cond in _ATTRITION_STAGES:
+        if cond is not None:
+            conds.append(cond)
+        alive = " AND ".join(conds) if conds else "TRUE"
+        cols.append(f"SUM(CASE WHEN {alive} THEN 1 ELSE 0 END) AS \"{stage}\"")
+    wide_cols = ",\n         ".join(cols)
+    stage_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS stage, \"{s}\" AS n_docs, \"0_corpus\" AS total FROM wide"
+        for s, _ in _ATTRITION_STAGES
+    )
+    return f"""\
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+         {' + '.join(f"(length(text) - length(replace(text, ' {w} ', ''))) / {len(w) + 2}" for w in ('the', 'a', 'and', 'of', 'to'))} AS stop_hits
+  FROM documents),
+q AS (
+  SELECT n_tokens,
+         stop_hits * 1.0 / n_tokens               AS stopword_ratio,
+         (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS avg_token_len,
+         alpha_chars * 1.0 / n_chars              AS alpha_ratio
+  FROM t),
+wide AS (
+  SELECT {wide_cols}
+  FROM q)
+SELECT stage, n_docs,
+       total - n_docs AS n_dropped_total,
+       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS survival_rate
+FROM ({stage_rows})"""
+
+
+register("pipe_attrition_report", pipe_attrition_report, _attrition_sql())

@@ -788,3 +788,92 @@ GROUP BY 1"""
 
 
 register("rel_attribution", rel_attribution, REL_ATTRIBUTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_funnel_window — the bounded-window funnel (ClickHouse windowFunnel
+# semantics): a conversion only counts if each step lands within its
+# deadline — first click within 1 h of the user's first view, first
+# purchase within 24 h of that click.  Same single-shuffle per-user window
+# machinery as rel_funnel, with the deadlines as extra integer bounds on
+# the conditional mins; all epoch-microsecond arithmetic, no timestamps
+# cross the engines.
+# ---------------------------------------------------------------------------
+
+FUNNEL_CLICK_US = 3_600_000_000         # 1 h after first view
+FUNNEL_PURCHASE_US = 86_400_000_000     # 24 h after qualifying click
+
+
+def rel_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    e = e.withColumn("__t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("__t_view"))
+            & (F.col("us") <= F.col("__t_view") + FUNNEL_CLICK_US),
+            F.col("us"),
+        )
+    ).over(w)
+    e = e.withColumn("__t_click", t_click)
+    t_purch = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("__t_click"))
+            & (F.col("us") <= F.col("__t_click") + FUNNEL_PURCHASE_US),
+            F.col("us"),
+        )
+    ).over(w)
+    e = e.withColumn("__t_purch", t_purch)
+    per_user = e.groupBy("user_id").agg(
+        F.min("__t_view").alias("t_view"),
+        F.min("__t_click").alias("t_click"),
+        F.min("__t_purch").alias("t_purch"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_1h"),
+        F.count("t_purch").alias("n_purchased_24h"),
+        (F.count("t_purch").cast("double") / F.count("t_view")).alias(
+            "windowed_conversion"
+        ),
+    )
+
+
+REL_FUNNEL_WINDOW_SQL = f"""\
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+u AS (
+  SELECT user_id,
+         MIN(us) FILTER (WHERE event_type = 'view') AS t_view
+  FROM e GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.us) AS t_click
+  FROM e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > u.t_view
+    AND e.us <= u.t_view + {FUNNEL_CLICK_US}
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.us) AS t_purch
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t_click
+    AND e.us <= c.t_click + {FUNNEL_PURCHASE_US}
+  GROUP BY e.user_id)
+SELECT COUNT(*)         AS n_users,
+       COUNT(u.t_view)  AS n_viewed,
+       COUNT(c.t_click) AS n_clicked_1h,
+       COUNT(p.t_purch) AS n_purchased_24h,
+       CAST(COUNT(p.t_purch) AS DOUBLE) / COUNT(u.t_view)
+                        AS windowed_conversion
+FROM u
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id"""
+
+
+register("rel_funnel_window", rel_funnel_window, REL_FUNNEL_WINDOW_SQL)
