@@ -798,3 +798,58 @@ WHERE 5 * cum >= 4 * tot"""
 
 register("rel_yoy_growth", rel_yoy_growth, REL_YOY_GROWTH_SQL)
 register("rel_pareto_coverage", rel_pareto_coverage, REL_PARETO_COVERAGE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_order_lifecycle — fulfillment-latency profile per order priority: days
+# from order date to the order's LAST shipment, reduced per order first
+# (max shipdate — so the lifecycle is an order-level fact, not a lineitem
+# average), then profiled per priority.  Day diffs are exact integers
+# (timestamp DIV 86400 boundaries in both engines); the mean is one
+# division over exact sums.
+# ---------------------------------------------------------------------------
+
+
+def rel_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_order = (
+        l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__last_ship"))
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            (
+                F.floor(F.unix_micros("__last_ship") / 86_400_000_000)
+                - F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            ).cast("bigint").alias("__days"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("__days").alias("min_days"),
+        F.max("__days").alias("max_days"),
+        (F.sum("__days").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_days"
+        ),
+    )
+
+
+REL_ORDER_LIFECYCLE_SQL = """\
+WITH per_order AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(epoch_us(MAX(l_shipdate)) / 86400000000)
+              - FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS days
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+SELECT o_orderpriority,
+       COUNT(*)  AS n_orders,
+       MIN(days) AS min_days,
+       MAX(days) AS max_days,
+       CAST(SUM(days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_days
+FROM per_order
+GROUP BY o_orderpriority"""
+
+
+register("rel_order_lifecycle", rel_order_lifecycle, REL_ORDER_LIFECYCLE_SQL)

@@ -877,3 +877,40 @@ LEFT JOIN p ON p.user_id = u.user_id"""
 
 
 register("rel_funnel_window", rel_funnel_window, REL_FUNNEL_WINDOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_activity_heatmap — the day-of-week × hour-of-day activity matrix every
+# ops dashboard renders.  ISO weekday is DERIVED portably ((dayofweek + 5)
+# mod 7 + 1 from Spark's Sunday=1 convention vs DuckDB's native isodow) —
+# calendar-function conventions differ across engines even when both are
+# "correct", so the mapping is pinned by the oracle.  Exact counts + one
+# decimal-summed value column; single map-side-combining aggregate.
+# ---------------------------------------------------------------------------
+
+
+def ts_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    return (
+        e.groupBy(
+            isodow.alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+TS_ACTIVITY_HEATMAP_SQL = """\
+SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(hour(ts) AS INT)   AS hour,
+       COUNT(*)                AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+register("ts_activity_heatmap", ts_activity_heatmap, TS_ACTIVITY_HEATMAP_SQL)
