@@ -853,3 +853,74 @@ GROUP BY o_orderpriority"""
 
 
 register("rel_order_lifecycle", rel_order_lifecycle, REL_ORDER_LIFECYCLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_nation_concentration — per-group Pareto: within every nation, how many
+# distinct parts make up half the nation's revenue, plus the top part's
+# share in exact basis points.  Unlike the global rel_pareto_coverage this
+# cumsum partitions NATURALLY by nation — the window key IS the group — so
+# no bucket decomposition is needed; the concentration test is multiplied
+# out (2·cum ≥ total) and the share is integer DIV on scale-4 fixed point.
+# ---------------------------------------------------------------------------
+
+
+def rel_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    per_part = (
+        l.join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg((F.sum(_REV) * 10000).cast("bigint").alias("__fp"))
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("__fp"), F.asc("l_partkey"))
+    wall = W.partitionBy("nation")
+    ranked = per_part.select(
+        "nation",
+        F.row_number().over(w).alias("__rk"),
+        F.sum("__fp").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("__fp").over(wall).alias("__tot"),
+        F.max("__fp").over(wall).alias("__top"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    covered = ranked.filter(2 * F.col("__cum") >= F.col("__tot"))
+    return covered.groupBy("nation").agg(
+        F.min("__rk").alias("parts_for_half"),
+        F.min("__n").alias("n_parts"),
+        F.expr("CAST((MIN(__top) * 10000) DIV MIN(__tot) AS BIGINT)").alias(
+            "top_part_share_bps"
+        ),
+    )
+
+
+REL_NATION_CONCENTRATION_SQL = """\
+WITH per_part AS (
+  SELECT n_name AS nation, l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS fp
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation,
+         ROW_NUMBER() OVER w AS rk,
+         SUM(fp) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(fp) OVER (PARTITION BY nation) AS tot,
+         MAX(fp) OVER (PARTITION BY nation) AS top,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM per_part
+  WINDOW w AS (PARTITION BY nation ORDER BY fp DESC, l_partkey ASC))
+SELECT nation,
+       MIN(rk) AS parts_for_half,
+       MIN(n)  AS n_parts,
+       CAST((MIN(top) * 10000) // MIN(tot) AS BIGINT) AS top_part_share_bps
+FROM ranked
+WHERE 2 * cum >= tot
+GROUP BY nation"""
+
+
+register("rel_nation_concentration", rel_nation_concentration, REL_NATION_CONCENTRATION_SQL)

@@ -1108,3 +1108,72 @@ SELECT 'token' AS kind, token, freq FROM toks"""
 
 
 register("text_bpe_merges", text_bpe_merges, _bpe_sql())
+
+
+# ---------------------------------------------------------------------------
+# text_selfline_dedup — INTRA-document repetition cleanup: drop repeated
+# fixed-width token lines within the same document, keeping each line's
+# first occurrence in order (the self-repetition scrub that strips looping
+# boilerplate inside a single page — distinct from text_line_dedup's
+# cross-corpus frequency rule and text_repetition's measure-only score).
+# Pure per-document work: explode → first-occurrence filter via a
+# (doc, line) min-position aggregate joined back — no corpus-wide state at
+# all, so it composes before the corpus-level passes.  Output ships kept
+# counts + the cleaned digest, same contract as text_line_dedup.
+# ---------------------------------------------------------------------------
+
+
+def text_selfline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+    )
+    exploded = d.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    firsts = exploded.groupBy("doc_id", "line").agg(F.min("pos").alias("pos"))
+    kept = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    return (
+        d.select("doc_id", n_lines.alias("n_lines"))
+        .join(kept, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.md5(F.col("__clean").cast("binary")).alias("clean_md5"),
+        )
+    )
+
+
+TEXT_SELFLINE_DEDUP_SQL = f"""\
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i * {LINE_TOKENS} + 1 : (i + 1) * {LINE_TOKENS}], ' ') AS line
+  FROM toks, unnest(range(CAST(ceil(len(t) / {LINE_TOKENS}.0) AS BIGINT))) AS u(i)),
+firsts AS (
+  SELECT doc_id, line, MIN(pos) AS pos FROM lines GROUP BY doc_id, line),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS clean
+  FROM firsts GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) AS n_lines FROM toks)
+SELECT b.doc_id, b.n_lines,
+       k.n_kept,
+       md5(k.clean) AS clean_md5
+FROM base b JOIN kept k ON b.doc_id = k.doc_id"""
+
+
+register("text_selfline_dedup", text_selfline_dedup, TEXT_SELFLINE_DEDUP_SQL)
