@@ -660,8 +660,6 @@ def rel_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("year"))
         .agg((F.sum(_REV) * 10000).cast("bigint").alias("__cents"))
     )
-    w = W.partitionBy("c_mktsegment").orderBy("year")
-    prev = F.lag("__cents").over(w)
     return yearly.select(
         "c_mktsegment",
         "year",

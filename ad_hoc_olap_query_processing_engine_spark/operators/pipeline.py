@@ -542,12 +542,15 @@ def _attrition_sql() -> str:
         f"SELECT '{s}' AS stage, \"{s}\" AS n_docs, \"0_corpus\" AS total FROM wide"
         for s, _ in _ATTRITION_STAGES
     )
+    from .text import _STOPWORDS, _occurrences_sql
+
+    stop_hits = ' + '.join(_occurrences_sql(f' {w} ') for w in _STOPWORDS)
     return f"""\
 WITH t AS (
   SELECT len(string_split(text, ' ')) AS n_tokens,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
-         {' + '.join(f"(length(text) - length(replace(text, ' {w} ', ''))) / {len(w) + 2}" for w in ('the', 'a', 'and', 'of', 'to'))} AS stop_hits
+         {stop_hits} AS stop_hits
   FROM documents),
 q AS (
   SELECT n_tokens,

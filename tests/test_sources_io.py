@@ -392,6 +392,7 @@ def test_parquet_compression_codec_roundtrip(spark, tmp_path):
         )
         assert files, f"no {codec}-suffixed files in {os.listdir(out)}"
         back = spark.read.parquet(out)
+        assert back.count() == src.count(), codec
         digest = back.agg(
             F.bit_xor(F.xxhash64(*sorted(back.columns))).alias("h")
         ).collect()[0].h
