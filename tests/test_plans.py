@@ -522,3 +522,52 @@ def test_pareto_coverage_no_unpartitioned_window(spark):
     assert windows, "expected at least one Window node"
     for m in windows:
         assert "__bkt" in m.group(1)
+
+
+# Queries whose plans DELIBERATELY contain BroadcastNestedLoopJoin: every
+# instance is a bounded-small relation by construction — one-row scalar
+# broadcasts (bounds/stats crossJoins), the ≤10-row ANN query batch joined
+# with a != condition (the documented brute-force corpus pass), ≤32-row
+# bucket-offset θ-joins (decile/pareto), or the tiny Φ group-table θ-joins.
+_BNLJ_ALLOWED = {
+    "embed_knn_classify",
+    "embed_matryoshka_eval",
+    "func_timebucket",
+    "phi_q7",
+    "pipe_ccnet_buckets",
+    "pipe_doc_mixture",
+    "rel_decile_spend",
+    "rel_important_parts",
+    "rel_pareto_coverage",
+    "rel_sales_opportunity",
+    "sim_brute_topk",
+    "sim_mmr_topk",
+    "sim_range_search",
+    "sim_sq_ann",
+    "text_bm25_topk",
+    "text_collocations",
+    "text_rarity_score",
+    "text_tfidf_topk",
+    "text_vocab",
+    "ts_interpolate",
+}
+
+
+def test_no_accidental_quadratic_joins(spark):
+    """Bulk plan lint over every registered batch query: CartesianProduct
+    never appears, and BroadcastNestedLoopJoin only in the allowlisted
+    queries whose nested-loop sides are bounded-small by construction. A
+    new fact-sized θ-join would show up here before it ships."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith("stream_") or name == "src_pyds_docstats":
+            continue  # executing sources; plan-only lint doesn't apply
+        plan = physical_plan(fn(spark, SF_SMALL))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "unexpected BNLJ"
+    assert not offenders, offenders
