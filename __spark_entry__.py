@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "rel_basket_affinity",
+    "cdc_changelog_apply",
     "text_selfline_dedup",
     "rel_nation_concentration",
     "ts_activity_heatmap",

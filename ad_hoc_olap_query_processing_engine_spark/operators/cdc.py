@@ -308,3 +308,73 @@ GROUP BY 1"""
 
 
 register("rel_pit_join", rel_pit_join, REL_PIT_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cdc_changelog_apply — delete-aware changelog compaction: replaying an
+# ordered change stream (here: events as upserts, with 'error' acting as
+# the DELETE marker) must yield each key's LATEST surviving state, and keys
+# whose final entry is a delete must vanish from the materialized table —
+# the read-side contract of a CDC ingest (Debezium-style op streams)
+# that rel_latest_event (upsert-only) and rel_merge_upsert (single batch)
+# don't cover.  One struct-max per key (ts, event_id tie-break), then the
+# tombstone filter; a single shuffle, mergeable across partitions, so the
+# same plan applies a 100 TB backlog.  Aggregated to per-state counts +
+# tombstone total so the result stays narrow.
+# ---------------------------------------------------------------------------
+
+
+def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    last = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("__last")
+        )
+        .select(
+            "user_id",
+            F.col("__last.event_type").alias("last_state"),
+            F.col("__last.value").alias("last_value"),
+        )
+    )
+    live = last.filter(F.col("last_state") != "error")
+    dead = last.filter(F.col("last_state") == "error").agg(
+        F.count(F.lit(1)).alias("__n_dead")
+    )
+    return (
+        live.groupBy("last_state")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("last_value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_last_value"
+            ),
+        )
+        .crossJoin(F.broadcast(dead))
+        .select(
+            "last_state",
+            "n_users",
+            "sum_last_value",
+            F.col("__n_dead").alias("n_tombstoned"),
+        )
+    )
+
+
+CDC_CHANGELOG_APPLY_SQL = """\
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events),
+last AS (SELECT user_id, event_type AS last_state, value AS last_value
+         FROM ranked WHERE rk = 1),
+dead AS (SELECT COUNT(*) AS n_dead FROM last WHERE last_state = 'error')
+SELECT last_state,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(last_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_last_value,
+       dead.n_dead AS n_tombstoned
+FROM last CROSS JOIN dead
+WHERE last_state <> 'error'
+GROUP BY last_state, dead.n_dead"""
+
+
+register("cdc_changelog_apply", cdc_changelog_apply, CDC_CHANGELOG_APPLY_SQL)

@@ -922,3 +922,83 @@ GROUP BY nation"""
 
 
 register("rel_nation_concentration", rel_nation_concentration, REL_NATION_CONCENTRATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_basket_affinity — market-basket association rules over order baskets:
+# support, confidence, and lift for co-purchased part pairs, top-20 by
+# pair count.  The pair table comes from the order-level item-set self-join
+# (dedup to one row per (order, part) first — multiplicity is not
+# co-occurrence), per-part supports from the same deduped table, and every
+# ratio ships in exact fixed point: conf_bps = cnt_ab·10⁴ DIV cnt_a,
+# lift_milli = cnt_ab·n_orders·10³ DIV (cnt_a·cnt_b) — integer arithmetic
+# end-to-end, no float ratios to drift.  The self-join shuffles once on
+# the order key and pair cardinality is bounded by basket sizes (≤ k² per
+# order), the standard a-priori counting shape; int64 headroom: cnt_ab ·
+# n_orders · 10³ stays under 2⁶³ up to ~10⁹-order corpora with 10⁵-deep
+# supports (beyond that, decimal widening).
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 20
+
+
+def rel_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    items = (
+        l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition("ok")
+        .dropDuplicates(["ok", "pk"])
+    )
+    n_orders = items.select(F.countDistinct("ok").alias("__n"))
+    supports = items.groupBy("pk").agg(F.count(F.lit(1)).alias("__sup"))
+    i2 = items.select("ok", F.col("pk").alias("pk2"))
+    pairs = (
+        items.join(i2, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    sa = supports.select(F.col("pk").alias("part_a"), F.col("__sup").alias("__sa"))
+    sb = supports.select(F.col("pk").alias("part_b"), F.col("__sup").alias("__sb"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.expr("CAST((pair_orders * 10000) DIV __sa AS BIGINT)").alias(
+                "conf_a_to_b_bps"
+            ),
+            F.expr(
+                "CAST((pair_orders * __n * 1000) DIV (__sa * __sb) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+REL_BASKET_AFFINITY_SQL = f"""\
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+sup AS (SELECT pk, COUNT(*) AS s FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_orders
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2)
+SELECT part_a, part_b, pair_orders,
+       CAST((pair_orders * 10000) // sa.s AS BIGINT) AS conf_a_to_b_bps,
+       CAST((pair_orders * n.n_orders * 1000) // (sa.s * sb.s) AS BIGINT)
+         AS lift_milli
+FROM pairs
+JOIN sup sa ON sa.pk = part_a
+JOIN sup sb ON sb.pk = part_b
+CROSS JOIN n
+ORDER BY pair_orders DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}"""
+
+
+register("rel_basket_affinity", rel_basket_affinity, REL_BASKET_AFFINITY_SQL)

@@ -530,6 +530,8 @@ def test_pareto_coverage_no_unpartitioned_window(spark):
 # with a != condition (the documented brute-force corpus pass), ≤32-row
 # bucket-offset θ-joins (decile/pareto), or the tiny Φ group-table θ-joins.
 _BNLJ_ALLOWED = {
+    "cdc_changelog_apply",
+    "rel_basket_affinity",
     "embed_knn_classify",
     "embed_matryoshka_eval",
     "func_timebucket",
