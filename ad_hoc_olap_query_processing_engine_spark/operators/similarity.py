@@ -1381,3 +1381,71 @@ WHERE f.rk_full = 1"""
 
 
 register("embed_matryoshka_eval", embed_matryoshka_eval, EMBED_MATRYOSHKA_EVAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_report — the ANN quality dashboard: recall@K of every
+# approximate index family (SRP bands, IVF multi-probe, SQ8 codes) against
+# the exact brute-force top-K, in one table.  This is the evaluation every
+# vector pipeline publishes before switching its serving index — per-method
+# hit counts over the same query batch, recall as one exact-count division.
+# Composes the REGISTERED pipelines directly (shared session-cached
+# projections do the heavy lifting once); the DuckDB oracle nests each
+# method's full oracle SQL as a subquery, so the report's agreement
+# re-proves all four retrieval paths plus the intersection logic in a
+# single check.
+# ---------------------------------------------------------------------------
+
+
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = sim_brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    methods = [
+        ("srp", sim_srp_ann),
+        ("ivf", sim_ivf_ann),
+        ("sq8", sim_sq_ann),
+    ]
+    total = brute.agg(F.count(F.lit(1)).alias("__n_total"))
+    out = None
+    for mname, fn in methods:
+        m = fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = brute.join(m, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(mname).alias("method"),
+                "n_hits",
+                F.col("__n_total").alias("n_total"),
+                (F.col("n_hits").cast("double") / F.col("__n_total").cast("double")).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _recall_report_sql() -> str:
+    methods = {
+        "srp": _srp_sql(),
+        "ivf": _ivf_sql(),
+        "sq8": SIM_SQ_ANN_SQL,
+    }
+    rows = []
+    for mname, msql in methods.items():
+        rows.append(f"""\
+SELECT '{mname}' AS method,
+       (SELECT COUNT(*) FROM
+          (SELECT query_id, vec_id FROM ({SIM_BRUTE_TOPK_SQL.replace(chr(10), ' ')}) ) b
+          JOIN (SELECT query_id, vec_id FROM ({msql.replace(chr(10), ' ')}) ) m
+          USING (query_id, vec_id)) AS n_hits,
+       (SELECT COUNT(*) FROM ({SIM_BRUTE_TOPK_SQL.replace(chr(10), ' ')})) AS n_total""")
+    unions = "\nUNION ALL\n".join(rows)
+    return f"""\
+SELECT method, n_hits, n_total,
+       CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE) AS recall_at_k
+FROM ({unions})"""
+
+
+register("sim_recall_report", sim_recall_report, _recall_report_sql())

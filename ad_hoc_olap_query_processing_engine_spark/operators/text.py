@@ -1177,3 +1177,55 @@ FROM base b JOIN kept k ON b.doc_id = k.doc_id"""
 
 
 register("text_selfline_dedup", text_selfline_dedup, TEXT_SELFLINE_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_hash_features — the hashing-trick vectorizer (sklearn
+# HashingVectorizer / Vowpal Wabbit shape): tokens map to a FIXED feature
+# dimension via a hash, so featurization needs no vocabulary build, no
+# global state, and no second pass — the property that lets a 100 TB
+# corpus featurize in a single embarrassingly-parallel map.  Buckets come
+# from the md5-uniform (bit-identical cross-engine, like every
+# derandomized op in this repo), reported in long form per language with
+# the distinct-token count per bucket as the collision diagnostic a user
+# checks before trusting the dimension choice.
+# ---------------------------------------------------------------------------
+
+HASH_FEATURE_DIM = 16
+
+
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 12), 16, 10)
+        .cast("bigint")
+        % HASH_FEATURE_DIM
+    ).cast("int")
+    return (
+        toks.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+    )
+
+
+TEXT_HASH_FEATURES_SQL = f"""\
+WITH toks AS (
+  SELECT lang, t AS tok
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE length(t) > 0)
+SELECT lang,
+       CAST(('0x' || substr(md5(tok), 1, 12))::BIGINT % {HASH_FEATURE_DIM} AS INT)
+         AS bucket,
+       COUNT(*) AS total_count,
+       COUNT(DISTINCT tok) AS n_distinct_tokens
+FROM toks
+GROUP BY 1, 2"""
+
+
+register("text_hash_features", text_hash_features, TEXT_HASH_FEATURES_SQL)
