@@ -138,3 +138,39 @@ def test_restart_with_no_new_data_emits_nothing_new(spark):
             q.stop()
         n2 = spark.read.schema("ws long, user_id long, n long").parquet(out).count()
         assert n1 == n2, f"restart replayed rows: {n1} -> {n2}"
+
+
+def test_trigger_available_now_drains_and_stops(spark):
+    """Trigger.AvailableNow: the modern batch-drain mode (successor to the
+    deprecated trigger(once=True)) — processes everything available in
+    bounded micro-batches, then stops the query BY ITSELF (no
+    processAllAvailable babysitting). The contract a scheduled
+    incremental-ingest job relies on: drain, commit offsets, exit."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+        _write(spark, src, [0, 10, 90, 150])  # two files' worth of hours
+
+        q = (
+            _agg(spark, src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow query did not self-stop"
+        assert not q.isActive
+        got = spark.read.schema("ws long, user_id long, n long").parquet(out)
+        # watermark reached 150-30=120 min → hour-0 (end 60) and hour-1
+        # (end 120) finalized; hour-2 stays in state for the NEXT drain
+        assert got.agg(F.sum("n")).collect()[0][0] == 3  # events at 0,10,90
