@@ -914,3 +914,91 @@ GROUP BY 1, 2"""
 
 
 register("ts_activity_heatmap", ts_activity_heatmap, TS_ACTIVITY_HEATMAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_clamped_balance — inventory-style running balance with a floor: credits
+# add, debits subtract, and the balance CLAMPS at zero (an oversold debit
+# burns only what's there).  The clamp makes the scan NON-ASSOCIATIVE — no
+# window frame or prefix-sum trick can express it (unlike every other
+# running metric in this repo), which is exactly the computational class
+# applyInPandas sequential kernels exist for: sort inside the group, fold
+# with state, one shuffle on the key.  Deltas are exact 1e-4 fixed point
+# (credit for purchases, debit for errors); the DuckDB oracle replays the
+# SAME fold as a per-user recursive CTE — agreement proves the stateful
+# scan, which a window-based formulation could not even produce.
+# ---------------------------------------------------------------------------
+
+
+def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        deltas = pdf["delta"].to_numpy()
+        bal = np.int64(0)
+        clamps = 0
+        for d in deltas:
+            nxt = bal + d
+            if nxt < 0:
+                bal = np.int64(0)
+                clamps += 1
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "final_balance_e4": [int(bal)],
+                "n_clamped": [clamps],
+                "n_moves": [len(deltas)],
+            }
+        )
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 10000).cast("bigint"),
+        )
+        .otherwise(-F.floor(F.col("value") * 10000).cast("bigint"))
+        .alias("delta"),
+    )
+    return deltas.groupBy("user_id").applyInPandas(
+        kernel, "user_id bigint, final_balance_e4 bigint, n_clamped int, n_moves bigint"
+    )
+
+
+TS_CLAMPED_BALANCE_SQL = """\
+WITH RECURSIVE t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 10000) AS BIGINT)
+              ELSE -CAST(FLOOR(value * 10000) AS BIGINT) END AS delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type IN ('purchase', 'error')),
+fold(user_id, rn, bal, clamps) AS (
+  SELECT user_id, rn, GREATEST(0, delta),
+         CASE WHEN delta < 0 THEN 1 ELSE 0 END
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.rn,
+         GREATEST(0, f.bal + t.delta),
+         f.clamps + CASE WHEN f.bal + t.delta < 0 THEN 1 ELSE 0 END
+  FROM fold f JOIN t ON t.user_id = f.user_id AND t.rn = f.rn + 1)
+SELECT f.user_id,
+       f.bal AS final_balance_e4,
+       CAST(f.clamps AS INT) AS n_clamped,
+       f.rn AS n_moves
+FROM fold f
+JOIN (SELECT user_id, MAX(rn) AS mx FROM t GROUP BY user_id) last
+  ON last.user_id = f.user_id AND last.mx = f.rn"""
+
+
+register("ts_clamped_balance", ts_clamped_balance, TS_CLAMPED_BALANCE_SQL)
