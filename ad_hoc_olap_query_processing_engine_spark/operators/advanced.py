@@ -985,3 +985,75 @@ GROUP BY 1"""
 
 
 register("udf_arrow_scalar", udf_arrow_scalar, UDF_ARROW_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# udf_cogroup_latency — the cogrouped-map API (groupBy().cogroup().
+# applyInPandas), the last Python extension surface in the matrix: both
+# sides shuffle ONCE on the key and the kernel receives each key's two
+# frames TOGETHER — the shape for per-key reconciliation that a join would
+# explode (every click × every purchase) and separate groupbys would need
+# a second shuffle to line up.  Kernel: per user, for each purchase find
+# the latest click at-or-before it (merge over two sorted arrays, exact
+# integer microseconds) and report conversion-latency stats.  The DuckDB
+# oracle states the same lookup as the textbook correlated MAX — agreement
+# checks the cogrouped merge.
+# ---------------------------------------------------------------------------
+
+
+def udf_cogroup_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    def kernel(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_matched", "total_latency_us"]
+            )
+        uid = purchases["user_id"].iloc[0]
+        cus = np.sort(clicks["us"].to_numpy()) if not clicks.empty else np.array([], dtype=np.int64)
+        pus = purchases["us"].to_numpy()
+        # latest click <= purchase: searchsorted on the sorted click times
+        idx = np.searchsorted(cus, pus, side="right") - 1
+        matched = idx >= 0
+        lat = np.where(matched, pus - (cus[np.maximum(idx, 0)] if len(cus) else 0), 0)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(pus)],
+                "n_matched": [int(matched.sum())],
+                "total_latency_us": [int(lat[matched].sum()) if matched.any() else 0],
+            }
+        )
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "us")
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            kernel,
+            "user_id bigint, n_purchases bigint, n_matched bigint, total_latency_us bigint",
+        )
+    )
+
+
+UDF_COGROUP_LATENCY_SQL = """\
+WITH p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.user_id, p.us,
+         (SELECT MAX(c.us) FROM c
+          WHERE c.user_id = p.user_id AND c.us <= p.us) AS last_click
+  FROM p)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(last_click) AS n_matched,
+       CAST(COALESCE(SUM(us - last_click), 0) AS BIGINT) AS total_latency_us
+FROM m
+GROUP BY user_id"""
+
+
+register("udf_cogroup_latency", udf_cogroup_latency, UDF_COGROUP_LATENCY_SQL)
