@@ -1002,3 +1002,78 @@ JOIN (SELECT user_id, MAX(rn) AS mx FROM t GROUP BY user_id) last
 
 
 register("ts_clamped_balance", ts_clamped_balance, TS_CLAMPED_BALANCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_rolling_retention — the growth team's daily D1/D7 retention series:
+# for every day, what fraction of that day's active users were also active
+# exactly 1 and 7 days earlier.  The daily-active set reduces the event
+# stream once (distinct (user, day) — the same pre-aggregation discipline
+# as rel_customer_distribution), then two self-equi-joins on (user, day−k)
+# reuse that small table; rates are exact-count divisions.  Distinct from
+# rel_retention_cohorts (monthly cohort × age matrix) — this is the
+# day-grain operational series dashboards alert on.
+# ---------------------------------------------------------------------------
+
+
+def rel_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    dau = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    base = dau.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    d1 = dau.select("user_id", (F.col("day") + 1).alias("day"))
+    d7 = dau.select("user_id", (F.col("day") + 7).alias("day"))
+    r1 = dau.join(d1, ["user_id", "day"]).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_retained_d1")
+    )
+    r7 = dau.join(d7, ["user_id", "day"]).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_retained_d7")
+    )
+    return (
+        base.join(r1, "day", "left")
+        .join(r7, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_retained_d1", F.lit(0)).cast("bigint").alias("n_retained_d1"),
+            F.coalesce("n_retained_d7", F.lit(0)).cast("bigint").alias("n_retained_d7"),
+            (F.coalesce("n_retained_d1", F.lit(0)).cast("double") / F.col("n_active")).alias(
+                "d1_rate"
+            ),
+            (F.coalesce("n_retained_d7", F.lit(0)).cast("double") / F.col("n_active")).alias(
+                "d7_rate"
+            ),
+        )
+    )
+
+
+REL_ROLLING_RETENTION_SQL = """\
+WITH dau AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events),
+base AS (SELECT day, COUNT(*) AS n_active FROM dau GROUP BY day),
+r1 AS (
+  SELECT a.day, COUNT(*) AS n
+  FROM dau a JOIN dau b ON a.user_id = b.user_id AND b.day = a.day - 1
+  GROUP BY a.day),
+r7 AS (
+  SELECT a.day, COUNT(*) AS n
+  FROM dau a JOIN dau b ON a.user_id = b.user_id AND b.day = a.day - 7
+  GROUP BY a.day)
+SELECT base.day, base.n_active,
+       COALESCE(r1.n, 0) AS n_retained_d1,
+       COALESCE(r7.n, 0) AS n_retained_d7,
+       CAST(COALESCE(r1.n, 0) AS DOUBLE) / base.n_active AS d1_rate,
+       CAST(COALESCE(r7.n, 0) AS DOUBLE) / base.n_active AS d7_rate
+FROM base
+LEFT JOIN r1 ON r1.day = base.day
+LEFT JOIN r7 ON r7.day = base.day"""
+
+
+register("rel_rolling_retention", rel_rolling_retention, REL_ROLLING_RETENTION_SQL)

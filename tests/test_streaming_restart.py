@@ -174,3 +174,48 @@ def test_trigger_available_now_drains_and_stops(spark):
         # watermark reached 150-30=120 min → hour-0 (end 60) and hour-1
         # (end 120) finalized; hour-2 stays in state for the NEXT drain
         assert got.agg(F.sum("n")).collect()[0][0] == 3  # events at 0,10,90
+
+
+def test_update_mode_emits_only_changed_keys(spark):
+    """UPDATE output mode: each micro-batch emits only the (window, key)
+    rows whose aggregate CHANGED — the mode a keyed KV/metrics sink wants
+    (append withholds until the watermark; complete rewrites the world).
+    Batch 2 touches hour-0/user-0 only, so the second wave of emissions
+    must contain that key's new count and nothing for untouched keys."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # batch 1: users 0,1,2 in hour 0
+        _write(spark, src, [0, 10, 20])
+
+        q = (
+            _agg(spark, src)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("upd_test")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            wave1 = spark.table("upd_test").count()
+            assert wave1 == 3  # one row per (hour0, user)
+            # batch 2: ONE more event for user 0 in hour 0 (minute 30 % 3 == 0)
+            _write(spark, src, [30])
+            q.processAllAvailable()
+            rows = spark.table("upd_test").collect()
+            # total emissions: 3 from wave 1 + exactly 1 updated key
+            assert len(rows) == 4, rows
+            # the updated emission carries user 0's NEW count (2), and the
+            # latest emission per key reflects final state
+            latest = {}
+            for r in rows:
+                latest[(r.ws, r.user_id)] = r.n  # memory sink appends in order
+            assert latest[(min(r.ws for r in rows), 0)] == 2
+        finally:
+            q.stop()
