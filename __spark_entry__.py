@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "func_percentile_disc",
+    "rel_weighted_median",
     "rel_rolling_retention",
     "udf_cogroup_latency",
     "ts_clamped_balance",

@@ -1002,3 +1002,117 @@ LIMIT {BASKET_TOP_K}"""
 
 
 register("rel_basket_affinity", rel_basket_affinity, REL_BASKET_AFFINITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_percentile_disc — PERCENTILE_DISC semantics: the percentile is an
+# ACTUAL data value (smallest value whose cumulative rank reaches p·n),
+# never an interpolation — the variant auditors ask for ("a real order had
+# this price") and the one that stays exact on any data type.  Pure
+# integer-rank arithmetic: rank via ROW_NUMBER with a value+key tie-break,
+# pick rank = ceil(p·n) (ceil on exact integer math: (p_num·n + p_den − 1)
+# DIV p_den).  Per order-priority over the order values.
+# ---------------------------------------------------------------------------
+
+_DISC_PCTS = ((1, 4), (1, 2), (9, 10))  # p25, p50, p90 as exact fractions
+
+
+def func_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("__n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    for num, den in _DISC_PCTS:
+        target = F.expr(f"({num} * __n + {den} - 1) DIV {den}")
+        aggs.append(
+            F.min(F.when(F.col("__rk") == target, F.col("o_totalprice"))).alias(
+                f"p{100 * num // den}_disc"
+            )
+        )
+    return ranked.groupBy("o_orderpriority").agg(*aggs)
+
+
+def _percentile_disc_sql() -> str:
+    cols = []
+    for num, den in _DISC_PCTS:
+        cols.append(
+            f"MIN(CASE WHEN rk = ({num} * n + {den} - 1) // {den} "
+            f"THEN o_totalprice END) AS p{100 * num // den}_disc"
+        )
+    body = ",\n       ".join(cols)
+    return f"""\
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {body}
+FROM ranked
+GROUP BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# rel_weighted_median — exact weighted median: the smallest quantity whose
+# cumulative revenue weight reaches half the group's total (each unit of
+# quantity "votes" with its revenue).  Cumulative weights run over the
+# per-(group, value) pre-aggregate with a value-ordered window — exact
+# scale-4 fixed-point integers, threshold multiplied out (2·cum ≥ tot).
+# The unweighted median (rel_mode_median) can't answer "the typical
+# revenue-weighted order size", which is what capacity planning wants.
+# ---------------------------------------------------------------------------
+
+
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    per_val = l.groupBy("l_returnflag", "l_quantity").agg(
+        (F.sum(_REV) * 10000).cast("bigint").alias("__w")
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wall = W.partitionBy("l_returnflag")
+    cum = per_val.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("__w").over(wcum.rowsBetween(W.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("__w").over(wall).alias("__tot"),
+    )
+    return (
+        cum.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            (F.min("__tot").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+REL_WEIGHTED_MEDIAN_SQL = """\
+WITH per_val AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, l_quantity,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM per_val)
+SELECT l_returnflag,
+       MIN(l_quantity) AS weighted_median_qty,
+       CAST(MIN(tot) AS DOUBLE) / 10000 AS total_revenue
+FROM cum
+WHERE 2 * c >= tot
+GROUP BY l_returnflag"""
+
+
+register("func_percentile_disc", func_percentile_disc, _percentile_disc_sql())
+register("rel_weighted_median", rel_weighted_median, REL_WEIGHTED_MEDIAN_SQL)
