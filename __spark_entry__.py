@@ -49,6 +49,9 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "rel_new_vs_returning",
+    "rel_cohort_ltv",
+    "graph_degree_histogram",
     "func_percentile_disc",
     "rel_weighted_median",
     "rel_rolling_retention",

@@ -345,3 +345,50 @@ GROUP BY dist"""
 
 
 register("graph_bfs_layers", graph_bfs_layers, _bfs_sql())
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_histogram — the degree distribution of the purchase graph,
+# bucketed by ORDER OF MAGNITUDE via decimal digit count (length of the
+# integer's string — exact, unlike floor(log10) whose libm last-ulp can
+# straddle a bucket edge cross-engine).  Degree distributions are how a
+# pipeline detects graph pathologies (super-nodes that will skew every
+# downstream join) before running iterative algorithms; the histogram
+# reduces node-count rows, never edges.
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = purchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    side = F.substring("src", 1, 1)  # 'c' / 's' — bipartite side
+    magnitude = F.length(F.col("__deg").cast("string")).cast("int")
+    return (
+        deg.groupBy(side.alias("side"), magnitude.alias("degree_digits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("__deg").alias("min_degree"),
+            F.max("__deg").alias("max_degree"),
+        )
+    )
+
+
+GRAPH_DEGREE_HISTOGRAM_SQL = """\
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src FROM pairs
+  UNION ALL
+  SELECT s AS src FROM pairs),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+SELECT substr(src, 1, 1) AS side,
+       CAST(length(CAST(d AS VARCHAR)) AS INT) AS degree_digits,
+       COUNT(*) AS n_nodes,
+       MIN(d) AS min_degree,
+       MAX(d) AS max_degree
+FROM deg
+GROUP BY 1, 2"""
+
+
+register("graph_degree_histogram", graph_degree_histogram, GRAPH_DEGREE_HISTOGRAM_SQL)

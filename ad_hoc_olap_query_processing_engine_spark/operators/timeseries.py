@@ -1077,3 +1077,119 @@ LEFT JOIN r7 ON r7.day = base.day"""
 
 
 register("rel_rolling_retention", rel_rolling_retention, REL_ROLLING_RETENTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_new_vs_returning — daily actives split into first-ever-seen vs
+# returning users (the growth dashboard's companion to the retention
+# series).  First-seen day is one min-aggregate over the DAU table; the
+# split is a flag comparison, never a self-join over history.
+# ---------------------------------------------------------------------------
+
+
+def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    dau = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    first = dau.groupBy("user_id").agg(F.min("day").alias("__first"))
+    return (
+        dau.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("__first"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("day") != F.col("__first"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+REL_NEW_VS_RETURNING_SQL = """\
+WITH dau AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events),
+first AS (SELECT user_id, MIN(day) AS f FROM dau GROUP BY user_id)
+SELECT day,
+       SUM(CASE WHEN day = f THEN 1 ELSE 0 END) AS n_new,
+       SUM(CASE WHEN day <> f THEN 1 ELSE 0 END) AS n_returning
+FROM dau JOIN first USING (user_id)
+GROUP BY day"""
+
+
+register("rel_new_vs_returning", rel_new_vs_returning, REL_NEW_VS_RETURNING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_cohort_ltv — cumulative lifetime value per signup cohort: users
+# cohort by their first-active WEEK (the fixture's event stream spans one
+# month, so monthly cohorts would degenerate to a single cell; at
+# production span the same code runs at month grain by swapping the
+# divisor), purchase revenue accrues per (cohort, weeks-since-signup),
+# and the running total per cohort gives the LTV curve finance
+# extrapolates from.  The cumsum windows over the (cohort × age)
+# aggregate (tiny), ordered by age — exact 1e-4 fixed point until the
+# final double cast.
+# ---------------------------------------------------------------------------
+
+
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    week = F.floor(F.unix_micros("ts") / (7 * 86_400_000_000)).cast("bigint")
+    first = (
+        e.select("user_id", week.alias("__w"))
+        .groupBy("user_id")
+        .agg(F.min("__w").alias("cohort_w"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        week.alias("__w"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("__v"),
+    )
+    accrual = (
+        purchases.join(first, "user_id")
+        .groupBy("cohort_w", (F.col("__w") - F.col("cohort_w")).alias("age_weeks"))
+        .agg(F.sum("__v").alias("__rev"))
+    )
+    wcum = W.partitionBy("cohort_w").orderBy("age_weeks")
+    return accrual.select(
+        "cohort_w",
+        "age_weeks",
+        (F.col("__rev").cast("double") / 10000).alias("revenue"),
+        (
+            F.sum("__rev").over(wcum.rowsBetween(W.unboundedPreceding, 0)).cast("double")
+            / 10000
+        ).alias("cumulative_ltv"),
+    )
+
+
+REL_COHORT_LTV_SQL = """\
+WITH m AS (
+  SELECT user_id, event_type, value,
+         CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS ew
+  FROM events),
+first AS (SELECT user_id, MIN(ew) AS cohort_w FROM m GROUP BY user_id),
+accrual AS (
+  SELECT f.cohort_w, m.ew - f.cohort_w AS age_weeks,
+         SUM(CAST(FLOOR(m.value * 10000) AS BIGINT)) AS rev
+  FROM m JOIN first f USING (user_id)
+  WHERE m.event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT cohort_w, age_weeks,
+       CAST(rev AS DOUBLE) / 10000 AS revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_w ORDER BY age_weeks
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000
+         AS cumulative_ltv
+FROM accrual"""
+
+
+register("rel_cohort_ltv", rel_cohort_ltv, REL_COHORT_LTV_SQL)
