@@ -441,3 +441,60 @@ GROUP BY 1"""
 
 
 register("func_try_surface", func_try_surface, FUNC_TRY_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_aes_roundtrip — column-level encryption for data governance:
+# aes_encrypt (AES-GCM, random IV per row — ciphertexts are intentionally
+# non-deterministic) protects the PII column at rest, aes_decrypt restores
+# it for authorized readers.  The registered query aggregates over the
+# DECRYPTED values, so the oracle (which reads the plaintext directly)
+# hash-matches iff decrypt∘encrypt is the identity for every row — the
+# round-trip is checkable even though no two ciphertext runs ever repeat.
+# A tamper canary (try_aes_decrypt under a WRONG key → NULL, never
+# plaintext) rides the same aggregate.
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key; production: column key from a KMS
+_AES_BAD_KEY = "fedcba9876543210"
+
+
+def func_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    enc = F.expr(f"aes_encrypt(c_name, '{_AES_KEY}')")
+    protected = c.select(
+        "c_mktsegment",
+        "c_name",
+        enc.alias("__ct"),
+    )
+    back = protected.select(
+        "c_mktsegment",
+        "c_name",
+        F.expr(f"CAST(aes_decrypt(__ct, '{_AES_KEY}') AS STRING)").alias("__pt"),
+        F.expr(f"try_aes_decrypt(__ct, '{_AES_BAD_KEY}')").alias("__bad"),
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("__pt") == F.col("c_name"), 1).otherwise(0)).alias(
+            "n_roundtripped"
+        ),
+        F.count("__bad").alias("n_wrong_key_leaks"),  # MUST be 0
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list("__pt"))
+            ).cast("binary")
+        ).alias("decrypted_digest"),
+    )
+
+
+FUNC_AES_ROUNDTRIP_SQL = """\
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(*) AS n_roundtripped,
+       0        AS n_wrong_key_leaks,
+       md5(string_agg(c_name, '|' ORDER BY c_name)) AS decrypted_digest
+FROM customer
+GROUP BY c_mktsegment"""
+
+
+register("func_aes_roundtrip", func_aes_roundtrip, FUNC_AES_ROUNDTRIP_SQL)
