@@ -1116,3 +1116,126 @@ GROUP BY l_returnflag"""
 
 register("func_percentile_disc", func_percentile_disc, _percentile_disc_sql())
 register("rel_weighted_median", rel_weighted_median, REL_WEIGHTED_MEDIAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_dq_report — the data-contract check suite (dbt tests / Great
+# Expectations shape) every warehouse runs before publishing a snapshot:
+# uniqueness of the primary key, referential integrity of every foreign
+# key (anti-join orphan counts), NOT-NULL gates, and domain/range
+# assertions — one labeled report row per check with violation and
+# checked counts.  Each check is its own aggregate over the minimal scan
+# (anti-joins for FKs — never full joins), unioned into the report; at
+# 100 TB the checks share nothing and parallelize trivially, and the
+# orphan anti-joins broadcast the smaller key side.
+# ---------------------------------------------------------------------------
+
+
+def rel_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+
+    def row(name, violations_df, checked_df):
+        v = violations_df.agg(F.count(F.lit(1)).alias("n_violations"))
+        n = checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
+        return v.crossJoin(F.broadcast(n)).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    checks = [
+        row(
+            "orders_pk_unique",
+            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__c")).filter("__c > 1"),
+            o,
+        ),
+        row(
+            "lineitem_fk_orders",
+            l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti"),
+            l,
+        ),
+        row(
+            "lineitem_fk_part",
+            l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_anti"),
+            l,
+        ),
+        row(
+            "lineitem_fk_supplier",
+            l.join(s.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_anti"),
+            l,
+        ),
+        row(
+            "orders_fk_customer",
+            o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"),
+            o,
+        ),
+        row(
+            "lineitem_price_positive",
+            l.filter(~(F.col("l_extendedprice") > 0)),
+            l,
+        ),
+        row(
+            "lineitem_discount_domain",
+            l.filter(~F.col("l_discount").between(0.0, 0.1)),
+            l,
+        ),
+        row(
+            "orders_date_in_range",
+            o.filter(
+                ~F.col("o_orderdate").between(
+                    F.lit("1990-01-01").cast("timestamp"),
+                    F.lit("2005-01-01").cast("timestamp"),
+                )
+            ),
+            o,
+        ),
+    ]
+    out = checks[0]
+    for r in checks[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+REL_DQ_REPORT_SQL = """\
+SELECT 'orders_pk_unique' AS check_name,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                              GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations,
+       (SELECT COUNT(*) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_fk_part',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_fk_supplier',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem_price_positive',
+       (SELECT COUNT(*) FROM lineitem WHERE NOT (l_extendedprice > 0)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_date_in_range',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderdate NOT BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2005-01-01'),
+       (SELECT COUNT(*) FROM orders)"""
+
+
+register("rel_dq_report", rel_dq_report, REL_DQ_REPORT_SQL)

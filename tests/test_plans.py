@@ -531,6 +531,7 @@ def test_pareto_coverage_no_unpartitioned_window(spark):
 # bucket-offset θ-joins (decile/pareto), or the tiny Φ group-table θ-joins.
 _BNLJ_ALLOWED = {
     "cdc_changelog_apply",
+    "rel_dq_report",
     "sim_recall_report",
     "rel_basket_affinity",
     "embed_knn_classify",
