@@ -1193,3 +1193,80 @@ FROM accrual"""
 
 
 register("rel_cohort_ltv", rel_cohort_ltv, REL_COHORT_LTV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_max_concurrency — peak concurrent activity per day: each event opens a
+# 30-minute activity interval, and the report is the maximum number of
+# simultaneously-open intervals (the occupancy/Gantt gauge: concurrent
+# sessions, licenses, live connections).  Spark side is the classic +1/−1
+# SWEEP made PARTITION-SAFE: points cumsum within their day and a tiny
+# midnight-carryover aggregate (intervals still open at each day's first
+# instant) adds the cross-boundary context — no global ORDER BY window
+# ever materializes.  Ends sort before starts at the same instant, so
+# back-to-back intervals never double-count.  Caveat the code states: the
+# in-day maximum always occurs at an in-day start point, and the
+# day-start occupancy equals the carryover alone, which the first start's
+# cumsum+carry already dominates — so max(in-day cumsum)+carry is the
+# day's true peak.  The DuckDB
+# oracle is the INDEPENDENT quadratic formulation — for every start point,
+# count intervals covering it — so agreement proves the sweep against
+# first principles, not a shared algorithm.
+# ---------------------------------------------------------------------------
+
+CONC_INTERVAL_US = 1_800_000_000  # each event holds activity open 30 min
+
+
+def rel_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    DAY_US = 86_400_000_000
+    e = load_table(spark, "events", sf_dir).select(F.unix_micros("ts").alias("us"))
+    starts = e.select(F.col("us").alias("t"), F.lit(1).alias("d"))
+    ends = e.select((F.col("us") + CONC_INTERVAL_US).alias("t"), F.lit(-1).alias("d"))
+    points = starts.unionByName(ends)
+    day = F.floor(F.col("t") / DAY_US).cast("bigint")
+    # PARTITION-SAFE sweep: cumsum per day plus a midnight carryover (the
+    # count of intervals still open at each day's first instant) — a global
+    # ORDER BY window would funnel every point through one task.  With a
+    # 30-minute interval an open-at-midnight interval must start in the
+    # last 30 minutes of the previous day, so the carryover is a tiny
+    # per-day aggregate joined back.
+    carry = (
+        e.filter((F.col("us") % DAY_US) > DAY_US - CONC_INTERVAL_US)
+        .groupBy((F.floor(F.col("us") / DAY_US) + 1).cast("bigint").alias("day"))
+        .agg(F.count(F.lit(1)).alias("__carry"))
+    )
+    # ends (-1) before starts (+1) at the same instant: order by (t, d)
+    w = W.partitionBy("day").orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
+    swept = (
+        points.select(day.alias("day"), "t", "d")
+        .select("day", F.sum("d").over(w).alias("__open"), "d")
+        .filter(F.col("d") == 1)  # concurrency is sampled AT start points
+        .groupBy("day")
+        .agg(F.max("__open").alias("__in_day_max"))
+    )
+    return swept.join(F.broadcast(carry), "day", "left").select(
+        "day",
+        (F.col("__in_day_max") + F.coalesce(F.col("__carry"), F.lit(0))).alias(
+            "max_concurrent"
+        ),
+    )
+
+
+REL_MAX_CONCURRENCY_SQL = f"""\
+WITH iv AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + {CONC_INTERVAL_US} AS e
+  FROM events),
+at_start AS (
+  SELECT a.s,
+         (SELECT COUNT(*) FROM iv b
+          WHERE b.s <= a.s AND a.s < b.e) AS open_count
+  FROM iv a)
+SELECT CAST(FLOOR(s / 86400000000) AS BIGINT) AS day,
+       MAX(open_count) AS max_concurrent
+FROM at_start
+GROUP BY 1"""
+
+
+register("rel_max_concurrency", rel_max_concurrency, REL_MAX_CONCURRENCY_SQL)
