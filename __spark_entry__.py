@@ -49,6 +49,8 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # stays at the tail.
 _CHECK_FIRST = (
     # (0) round-5 additions
+    "rel_status_transitions",
+    "text_charset_profile",
     "rel_max_concurrency",
     "rel_dq_report",
     "func_aes_roundtrip",

@@ -1239,3 +1239,67 @@ SELECT 'orders_date_in_range',
 
 
 register("rel_dq_report", rel_dq_report, REL_DQ_REPORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_status_transitions — first-order Markov transition counts over each
+# order's line sequence: how often line status s_i is followed by s_{i+1}
+# in linenumber order (totalized with part/supplier/price tie-breaks —
+# the generated data has duplicate linenumbers), with per-source-state
+# probabilities in exact basis
+# points.  The LAG rides the (orderkey, linenumber) window — partitions
+# are order-sized (tiny, bounded) — and the probability denominator is a
+# window sum over the transition aggregate.  The sequence-mining shape
+# (clickstream Markov models, process mining) on exact integer counts.
+# ---------------------------------------------------------------------------
+
+
+def rel_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    # linenumber is NOT unique in the generated data (duplicate lines per
+    # order); the sequence order totalizes with (partkey, suppkey, price)
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pairs = (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.lag("l_linestatus").over(w).alias("from_status"),
+            F.col("l_linestatus").alias("to_status"),
+        )
+        .filter(F.col("from_status").isNotNull())
+        .groupBy("from_status", "to_status")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wtot = W.partitionBy("from_status")
+    return pairs.select(
+        "from_status",
+        "to_status",
+        "n_transitions",
+        F.expr(
+            "CAST((n_transitions * 10000) DIV SUM(n_transitions)"
+            " OVER (PARTITION BY from_status) AS BIGINT)"
+        ).alias("prob_bps"),
+    )
+
+
+REL_STATUS_TRANSITIONS_SQL = """\
+WITH pairs AS (
+  SELECT LAG(l_linestatus) OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+           AS from_status,
+         l_linestatus AS to_status
+  FROM lineitem),
+agg AS (
+  SELECT from_status, to_status, COUNT(*) AS n_transitions
+  FROM pairs WHERE from_status IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_status, to_status, n_transitions,
+       CAST((n_transitions * 10000) //
+            SUM(n_transitions) OVER (PARTITION BY from_status) AS BIGINT)
+         AS prob_bps
+FROM agg"""
+
+
+register("rel_status_transitions", rel_status_transitions, REL_STATUS_TRANSITIONS_SQL)

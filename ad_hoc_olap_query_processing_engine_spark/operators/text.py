@@ -1229,3 +1229,60 @@ GROUP BY 1, 2"""
 
 
 register("text_hash_features", text_hash_features, TEXT_HASH_FEATURES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_charset_profile — character-class composition per language: counts of
+# letters / digits / spaces / other, with shares in exact basis points
+# (integer DIV over exact char counts).  The cheapest corpus-drift tripwire
+# there is — an encoding regression or markup leak shifts these shares
+# before any model metric moves.  Class counts come from length arithmetic
+# over regex-stripped copies (the established _occurrences discipline) —
+# no per-char explode, pure map + one aggregate.
+# ---------------------------------------------------------------------------
+
+
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    n = F.length("text")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    per_doc = d.select(
+        "lang",
+        n.alias("__n"),
+        letters.alias("__l"),
+        digits.alias("__d"),
+        spaces.alias("__s"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("__n").cast("bigint").alias("total_chars"),
+        F.expr("CAST((SUM(__l) * 10000) DIV SUM(__n) AS BIGINT)").alias("letter_bps"),
+        F.expr("CAST((SUM(__d) * 10000) DIV SUM(__n) AS BIGINT)").alias("digit_bps"),
+        F.expr("CAST((SUM(__s) * 10000) DIV SUM(__n) AS BIGINT)").alias("space_bps"),
+        F.expr(
+            "CAST(((SUM(__n) - SUM(__l) - SUM(__d) - SUM(__s)) * 10000)"
+            " DIV SUM(__n) AS BIGINT)"
+        ).alias("other_bps"),
+    )
+
+
+TEXT_CHARSET_PROFILE_SQL = """\
+WITH t AS (
+  SELECT lang,
+         length(text) AS n,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS l,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+         length(regexp_replace(text, '[^ ]', '', 'g'))   AS s
+  FROM documents)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS total_chars,
+       CAST((SUM(l) * 10000) // SUM(n) AS BIGINT) AS letter_bps,
+       CAST((SUM(d) * 10000) // SUM(n) AS BIGINT) AS digit_bps,
+       CAST((SUM(s) * 10000) // SUM(n) AS BIGINT) AS space_bps,
+       CAST(((SUM(n) - SUM(l) - SUM(d) - SUM(s)) * 10000) // SUM(n) AS BIGINT)
+         AS other_bps
+FROM t GROUP BY lang"""
+
+
+register("text_charset_profile", text_charset_profile, TEXT_CHARSET_PROFILE_SQL)
