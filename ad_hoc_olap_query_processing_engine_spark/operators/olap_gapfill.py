@@ -1138,59 +1138,75 @@ def rel_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, "part", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
 
-    def row(name, violations_df, checked_df):
-        v = violations_df.agg(F.count(F.lit(1)).alias("n_violations"))
-        n = checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
-        return v.crossJoin(F.broadcast(n)).select(
-            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+    # one pass per fact table computes its row count AND its row-level
+    # domain violations together (conditional aggregate); the anti-join
+    # orphan checks are the only additional fact scans
+    l_stats = F.broadcast(
+        l.agg(
+            F.count(F.lit(1)).alias("__n_l"),
+            F.sum(F.when(~(F.col("l_extendedprice") > 0), 1).otherwise(0)).alias(
+                "__v_price"
+            ),
+            F.sum(
+                F.when(~F.col("l_discount").between(0.0, 0.1), 1).otherwise(0)
+            ).alias("__v_disc"),
+        ).localCheckpoint()
+    )
+    o_stats = F.broadcast(
+        o.agg(
+            F.count(F.lit(1)).alias("__n_o"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderdate").between(
+                        F.lit("1990-01-01").cast("timestamp"),
+                        F.lit("2005-01-01").cast("timestamp"),
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("__v_date"),
+        ).localCheckpoint()
+    )
+
+    def anti(name, fact, dim, cond, stats, n_col):
+        v = fact.join(dim, cond, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        return v.crossJoin(stats).select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+            F.col(n_col).cast("bigint").alias("n_checked"),
         )
 
+    def from_stats(name, stats, v_col, n_col):
+        return stats.select(
+            F.lit(name).alias("check_name"),
+            F.col(v_col).cast("bigint").alias("n_violations"),
+            F.col(n_col).cast("bigint").alias("n_checked"),
+        )
+
+    pk_dupes = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__c")).filter("__c > 1")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(o_stats)
+        .select(
+            F.lit("orders_pk_unique").alias("check_name"),
+            "n_violations",
+            F.col("__n_o").cast("bigint").alias("n_checked"),
+        )
+    )
     checks = [
-        row(
-            "orders_pk_unique",
-            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__c")).filter("__c > 1"),
-            o,
-        ),
-        row(
-            "lineitem_fk_orders",
-            l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti"),
-            l,
-        ),
-        row(
-            "lineitem_fk_part",
-            l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_anti"),
-            l,
-        ),
-        row(
-            "lineitem_fk_supplier",
-            l.join(s.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_anti"),
-            l,
-        ),
-        row(
-            "orders_fk_customer",
-            o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti"),
-            o,
-        ),
-        row(
-            "lineitem_price_positive",
-            l.filter(~(F.col("l_extendedprice") > 0)),
-            l,
-        ),
-        row(
-            "lineitem_discount_domain",
-            l.filter(~F.col("l_discount").between(0.0, 0.1)),
-            l,
-        ),
-        row(
-            "orders_date_in_range",
-            o.filter(
-                ~F.col("o_orderdate").between(
-                    F.lit("1990-01-01").cast("timestamp"),
-                    F.lit("2005-01-01").cast("timestamp"),
-                )
-            ),
-            o,
-        ),
+        pk_dupes,
+        anti("lineitem_fk_orders", l, o.select("o_orderkey"),
+             l.l_orderkey == F.col("o_orderkey"), l_stats, "__n_l"),
+        anti("lineitem_fk_part", l, p.select("p_partkey"),
+             l.l_partkey == F.col("p_partkey"), l_stats, "__n_l"),
+        anti("lineitem_fk_supplier", l, s.select("s_suppkey"),
+             l.l_suppkey == F.col("s_suppkey"), l_stats, "__n_l"),
+        anti("orders_fk_customer", o, c.select("c_custkey"),
+             o.o_custkey == F.col("c_custkey"), o_stats, "__n_o"),
+        from_stats("lineitem_price_positive", l_stats, "__v_price", "__n_l"),
+        from_stats("lineitem_discount_domain", l_stats, "__v_disc", "__n_l"),
+        from_stats("orders_date_in_range", o_stats, "__v_date", "__n_o"),
     ]
     out = checks[0]
     for r in checks[1:]:
@@ -1205,23 +1221,23 @@ SELECT 'orders_pk_unique' AS check_name,
        (SELECT COUNT(*) FROM orders) AS n_checked
 UNION ALL
 SELECT 'lineitem_fk_orders',
-       (SELECT COUNT(*) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT COUNT(*) FROM lineitem t
+        WHERE NOT EXISTS (SELECT 1 FROM orders r WHERE r.o_orderkey = t.l_orderkey)),
        (SELECT COUNT(*) FROM lineitem)
 UNION ALL
 SELECT 'lineitem_fk_part',
-       (SELECT COUNT(*) FROM lineitem
-        WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+       (SELECT COUNT(*) FROM lineitem t
+        WHERE NOT EXISTS (SELECT 1 FROM part r WHERE r.p_partkey = t.l_partkey)),
        (SELECT COUNT(*) FROM lineitem)
 UNION ALL
 SELECT 'lineitem_fk_supplier',
-       (SELECT COUNT(*) FROM lineitem
-        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+       (SELECT COUNT(*) FROM lineitem t
+        WHERE NOT EXISTS (SELECT 1 FROM supplier r WHERE r.s_suppkey = t.l_suppkey)),
        (SELECT COUNT(*) FROM lineitem)
 UNION ALL
 SELECT 'orders_fk_customer',
-       (SELECT COUNT(*) FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM customer r WHERE r.c_custkey = t.o_custkey)),
        (SELECT COUNT(*) FROM orders)
 UNION ALL
 SELECT 'lineitem_price_positive',
@@ -1259,7 +1275,7 @@ def rel_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linenumber is NOT unique in the generated data (duplicate lines per
     # order); the sequence order totalizes with (partkey, suppkey, price)
     w = W.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_linestatus"
     )
     pairs = (
         l.select(
@@ -1287,7 +1303,8 @@ def rel_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 REL_STATUS_TRANSITIONS_SQL = """\
 WITH pairs AS (
   SELECT LAG(l_linestatus) OVER (PARTITION BY l_orderkey
-           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+                    l_linestatus)
            AS from_status,
          l_linestatus AS to_status
   FROM lineitem),

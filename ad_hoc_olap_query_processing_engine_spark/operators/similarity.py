@@ -1398,7 +1398,12 @@ register("embed_matryoshka_eval", embed_matryoshka_eval, EMBED_MATRYOSHKA_EVAL_S
 
 
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    brute = sim_brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    # materialize the exact baseline once: it feeds three method joins plus
+    # the total — uncached, each reference re-runs the full brute scoring
+    # pass over the corpus
+    brute = (
+        sim_brute_topk(spark, sf_dir).select("query_id", "vec_id").localCheckpoint()
+    )
     methods = [
         ("srp", sim_srp_ann),
         ("ivf", sim_ivf_ann),

@@ -1004,6 +1004,19 @@ JOIN (SELECT user_id, MAX(rn) AS mx FROM t GROUP BY user_id) last
 register("ts_clamped_balance", ts_clamped_balance, TS_CLAMPED_BALANCE_SQL)
 
 
+def _daily_active(e: DataFrame) -> DataFrame:
+    """Distinct (user_id, epoch-day) reduction shared by the growth-metric
+    family — one definition so the day-bucketing discipline can't drift
+    between consumers."""
+    return (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # rel_rolling_retention — the growth team's daily D1/D7 retention series:
 # for every day, what fraction of that day's active users were also active
@@ -1018,13 +1031,7 @@ register("ts_clamped_balance", ts_clamped_balance, TS_CLAMPED_BALANCE_SQL)
 
 def rel_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
-    dau = (
-        e.select(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
-        )
-        .distinct()
-    )
+    dau = _daily_active(e)
     base = dau.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
     d1 = dau.select("user_id", (F.col("day") + 1).alias("day"))
     d7 = dau.select("user_id", (F.col("day") + 7).alias("day"))
@@ -1089,13 +1096,7 @@ register("rel_rolling_retention", rel_rolling_retention, REL_ROLLING_RETENTION_S
 
 def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
-    dau = (
-        e.select(
-            "user_id",
-            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
-        )
-        .distinct()
-    )
+    dau = _daily_active(e)
     first = dau.groupBy("user_id").agg(F.min("day").alias("__first"))
     return (
         dau.join(first, "user_id")
@@ -1233,7 +1234,10 @@ def rel_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last 30 minutes of the previous day, so the carryover is a tiny
     # per-day aggregate joined back.
     carry = (
-        e.filter((F.col("us") % DAY_US) > DAY_US - CONC_INTERVAL_US)
+        # >= (not >): an interval ending EXACTLY at midnight still drops its
+        # -1 point into the next day's partition, so it must also appear in
+        # that day's carry or the cumsum starts one short
+        e.filter((F.col("us") % DAY_US) >= DAY_US - CONC_INTERVAL_US)
         .groupBy((F.floor(F.col("us") / DAY_US) + 1).cast("bigint").alias("day"))
         .agg(F.count(F.lit(1)).alias("__carry"))
     )

@@ -157,7 +157,8 @@ def test_trigger_available_now_drains_and_stops(spark):
         out = os.path.join(tmp, "out")
         ckpt = os.path.join(tmp, "ckpt")
         os.makedirs(src)
-        _write(spark, src, [0, 10, 90, 150])  # two files' worth of hours
+        _write(spark, src, [0, 10, 90])   # file 1
+        _write(spark, src, [150])         # file 2 — forces multi-batch drain
 
         q = (
             _agg(spark, src)
