@@ -431,8 +431,8 @@ FUNC_TRY_SURFACE_SQL = """\
 SELECT TRY_CAST(substr(p_brand, 7, 10) AS INT) AS brand_num,
        COUNT(*) AS n_parts,
        COUNT(TRY_CAST(p_type AS INT)) AS n_parsed_types,
-       SUM(CASE WHEN p_size > 45 THEN 1 ELSE 0 END) AS n_large,
-       SUM(CASE WHEN p_size < 5 THEN 1 ELSE 0 END) AS n_small,
+       CAST(SUM(CASE WHEN p_size > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+       CAST(SUM(CASE WHEN p_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
        CAST(SUM(CASE WHEN p_size > 45 THEN 1 ELSE 0 END) AS DOUBLE)
          / NULLIF(CAST(SUM(CASE WHEN p_size < 5 THEN 1 ELSE 0 END) AS DOUBLE), 0)
          AS large_small_ratio

@@ -445,9 +445,9 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id)
 SELECT c.doc_a, c.doc_b,
-       list_sum(list_transform(range(4), j ->
+       CAST(list_sum(list_transform(range(4), j ->
          bit_count(xor(CAST(x.bd[CAST(j AS INT) + 1] AS BIGINT),
-                       CAST(y.bd[CAST(j AS INT) + 1] AS BIGINT))))) AS hamming
+                       CAST(y.bd[CAST(j AS INT) + 1] AS BIGINT))))) AS BIGINT) AS hamming
 FROM cand c
 JOIN bands x ON c.doc_a = x.doc_id
 JOIN bands y ON c.doc_b = y.doc_id

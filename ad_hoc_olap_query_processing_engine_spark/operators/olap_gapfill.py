@@ -283,10 +283,10 @@ def rel_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_PRIORITY_LATENESS_SQL = """\
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -626,9 +626,13 @@ GROUP BY c_mktsegment"""
 
 
 def rel_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, "customer", sf_dir).createOrReplaceTempView("__nn_customer")
-    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("__nn_supplier")
-    return spark.sql(_NOTIN_BODY.format(cust="__nn_customer", supp="__nn_supplier"))
+    # spark.sql's DataFrame templating keeps this pure — no temp views that
+    # would outlive the call or collide across concurrently built queries.
+    return spark.sql(
+        _NOTIN_BODY,
+        cust=load_table(spark, "customer", sf_dir),
+        supp=load_table(spark, "supplier", sf_dir),
+    )
 
 
 REL_NOTIN_NULL_SQL = _NOTIN_BODY.format(cust="customer", supp="supplier")

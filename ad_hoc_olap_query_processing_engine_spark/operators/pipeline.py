@@ -536,7 +536,11 @@ def _attrition_sql() -> str:
         if cond is not None:
             conds.append(cond)
         alive = " AND ".join(conds) if conds else "TRUE"
-        cols.append(f"SUM(CASE WHEN {alive} THEN 1 ELSE 0 END) AS \"{stage}\"")
+        cols.append(
+            # CAST: DuckDB types an uncast SUM(int) as HUGEINT (int128), which the
+            # driver's value-hash serializes differently from Spark's BIGINT.
+            f"CAST(SUM(CASE WHEN {alive} THEN 1 ELSE 0 END) AS BIGINT) AS \"{stage}\""
+        )
     wide_cols = ",\n         ".join(cols)
     stage_rows = " UNION ALL ".join(
         f"SELECT '{s}' AS stage, \"{s}\" AS n_docs, \"0_corpus\" AS total FROM wide"

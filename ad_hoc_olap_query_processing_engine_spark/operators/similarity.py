@@ -1147,6 +1147,200 @@ register("sim_sq_ann", sim_sq_ann, SIM_SQ_ANN_SQL)
 
 
 # ---------------------------------------------------------------------------
+# sim_pq_ann — product-quantization ANN with exact re-rank (the PQ path of
+# FAISS's IVFPQ / ScaNN / Milvus PQ, reference surface: the same ANN family
+# as sim_srp/ivf/sq8).  Pipeline, all in exact int64 arithmetic so Spark and
+# DuckDB build bit-identical codebooks and codes:
+#
+#   1. split each D-dim vector (floor(x·1000) quantized) into PQ_M
+#      contiguous subspaces, m = ⌊d·M/D⌋;
+#   2. deterministic codebook fit = sampled k-means with ONE Lloyd step:
+#      seeds are the subvectors of vec_ids [N_QUERIES, N_QUERIES+PQ_K); the
+#      vec_id % PQ_TRAIN_MOD == 0 sample is assigned to its nearest seed
+#      (L2² per subspace, packed-argmin ss·K+k for a deterministic
+#      tie-break), and each centroid is re-estimated as the elementwise
+#      ⌊mean⌋ of its members — floor of an int64-sum/count is bit-stable
+#      cross-engine, unlike an iterated float k-means (sim_ivf_kmeans keeps
+#      the genuinely iterative fit, rows-only by contract; HERE the fit is
+#      part of the hash-checked contract);
+#   3. encode the WHOLE corpus: code_m(v) = argmin_k L2²(subvec, centroid) —
+#      one pass over the corpus against a broadcast K·D-row codebook,
+#      map-side-combined per (vec_id, m): at 100 TB this is the standard
+#      O(n·D·K) PQ encode, embarrassingly parallel, and the corpus
+#      thereafter carries PQ_M small codes per vector instead of D floats;
+#   4. ADC (asymmetric distance): precompute the N_QUERIES·M·K table of
+#      query-subvector→centroid distances (tiny, broadcast), join codes on
+#      (m, k), sum over m — the classic lookup-table trick: candidate
+#      scoring never touches raw vectors;
+#   5. top PQ_CANDIDATES per query (adist, vec_id tiebreak), then the shared
+#      exact-cosine re-rank tail over candidates only.
+#
+# The codebook is session-cached ("materialize the index once, many queries
+# read it") — its lineage is consumed by both the encode and the ADC-table
+# branches, and without persistence Catalyst would re-inline the fit per
+# consumer.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_TRAIN_MOD = 5  # deterministic 20% fit sample: vec_id % 5 == 0
+PQ_CANDIDATES = 4 * TOP_K
+
+
+def _pq_elems(e: DataFrame) -> DataFrame:
+    """(vec_id, d, m, v): exact-int quantized elements with subspace ids."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    return (
+        e.select("vec_id", F.size("embedding").alias("__D"), F.posexplode(q).alias("d", "v"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("d") * PQ_M / F.col("__D")).cast("int").alias("m"),
+            "v",
+        )
+    )
+
+
+def _pq_argmin_code(ss: DataFrame) -> DataFrame:
+    """(vec_id, m, k): nearest centroid per subspace from (vec_id, m, k, ss),
+    deterministic tie-break via the packed key ss·K + k (k < K ⇒ the packed
+    MIN is lexicographic (ss, k))."""
+    return (
+        ss.groupBy("vec_id", "m")
+        .agg(F.min(F.col("ss") * PQ_K + F.col("k")).alias("__p"))
+        .select("vec_id", "m", (F.col("__p") % PQ_K).alias("k"))
+    )
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, k, d, c): one-Lloyd-step PQ codebook, session-cached + persisted."""
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        elems = _pq_elems(load_table(spark, "embeddings", sf_dir))
+        seeds = elems.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("vc"))
+        train = elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        ss = (
+            train.join(F.broadcast(seeds), "d")
+            .groupBy("vec_id", "m", "k")
+            .agg(F.sum((F.col("v") - F.col("vc")) * (F.col("v") - F.col("vc"))).alias("ss"))
+        )
+        assign = _pq_argmin_code(ss)
+        return (
+            train.join(assign, ["vec_id", "m"])
+            .groupBy("m", "k", "d")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+            .persist()
+        )
+
+    return session_cached("pq_codebook", spark, sf_dir, build)
+
+
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = pq_codebook(spark, sf_dir)
+    elems = _pq_elems(e)
+    enc_ss = (
+        elems.join(F.broadcast(cb.drop("m")), "d")
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("ss"))
+    )
+    codes = _pq_argmin_code(enc_ss)
+    qd = (
+        _pq_elems(e.filter(F.col("vec_id") < N_QUERIES))
+        .join(F.broadcast(cb.drop("m")), "d")
+        .groupBy(F.col("vec_id").alias("query_id"), "m", "k")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= PQ_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        cand.join(F.broadcast(queries), F.col("query_id") == F.col("__qid"))
+        .join(e, "vec_id")
+        .select("query_id", "q_emb", "vec_id", "embedding")
+    )
+    return _exact_rerank(pairs)
+
+
+SIM_PQ_ANN_SQL = f"""\
+WITH elems AS (
+  SELECT vec_id,
+         CAST(i AS INT) - 1 AS d,
+         CAST(((CAST(i AS INT) - 1) * {PQ_M}) // len(embedding) AS INT) AS m,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+seeds AS (
+  SELECT vec_id - {N_QUERIES} AS k, d, v AS vc
+  FROM elems
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}),
+tss AS (
+  SELECT e.vec_id, e.m, s.k, SUM((e.v - s.vc) * (e.v - s.vc)) AS ss
+  FROM elems e JOIN seeds s ON e.d = s.d
+  WHERE e.vec_id % {PQ_TRAIN_MOD} = 0
+  GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, m, CAST(MIN(ss * {PQ_K} + k) % {PQ_K} AS INT) AS k
+  FROM tss GROUP BY vec_id, m),
+codebook AS (
+  SELECT e.m, a.k, e.d,
+         CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM elems e JOIN assign a ON e.vec_id = a.vec_id AND e.m = a.m
+  WHERE e.vec_id % {PQ_TRAIN_MOD} = 0
+  GROUP BY 1, 2, 3),
+ess AS (
+  SELECT e.vec_id, e.m, cb.k, SUM((e.v - cb.c) * (e.v - cb.c)) AS ss
+  FROM elems e JOIN codebook cb ON e.d = cb.d
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, CAST(MIN(ss * {PQ_K} + k) % {PQ_K} AS INT) AS k
+  FROM ess GROUP BY vec_id, m),
+qd AS (
+  SELECT e.vec_id AS query_id, e.m, cb.k,
+         SUM((e.v - cb.c) * (e.v - cb.c)) AS qd
+  FROM elems e JOIN codebook cb ON e.d = cb.d
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT q.query_id, c.vec_id, SUM(q.qd) AS adist
+  FROM codes c JOIN qd q ON c.m = q.m AND c.k = q.k
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, vec_id ASC) AS rn
+        FROM adc)
+  WHERE rn <= {PQ_CANDIDATES}),
+{_RERANK_SQL_TAIL}"""
+
+
+register("sim_pq_ann", sim_pq_ann, SIM_PQ_ANN_SQL)
+
+
+# ---------------------------------------------------------------------------
 # sim_mmr_topk — Maximal Marginal Relevance diversified retrieval: for each
 # query, fetch the top-M candidates by relevance, then greedily select K
 # results balancing relevance against similarity to what's already selected
@@ -1439,13 +1633,22 @@ def _recall_report_sql() -> str:
     }
     rows = []
     for mname, msql in methods.items():
+        # Nested oracles are embedded with newlines INTACT: collapsing to one
+        # line would let any future `--` line comment inside a fragment
+        # silently comment out the rest of the statement.
         rows.append(f"""\
 SELECT '{mname}' AS method,
        (SELECT COUNT(*) FROM
-          (SELECT query_id, vec_id FROM ({SIM_BRUTE_TOPK_SQL.replace(chr(10), ' ')}) ) b
-          JOIN (SELECT query_id, vec_id FROM ({msql.replace(chr(10), ' ')}) ) m
+          (SELECT query_id, vec_id FROM (
+{SIM_BRUTE_TOPK_SQL}
+          ) ) b
+          JOIN (SELECT query_id, vec_id FROM (
+{msql}
+          ) ) m
           USING (query_id, vec_id)) AS n_hits,
-       (SELECT COUNT(*) FROM ({SIM_BRUTE_TOPK_SQL.replace(chr(10), ' ')})) AS n_total""")
+       (SELECT COUNT(*) FROM (
+{SIM_BRUTE_TOPK_SQL}
+       )) AS n_total""")
     unions = "\nUNION ALL\n".join(rows)
     return f"""\
 SELECT method, n_hits, n_total,

@@ -689,6 +689,104 @@ register("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL)
 
 
 # ---------------------------------------------------------------------------
+# text_trigram_lm — interpolated-backoff trigram LM (the Jelinek-Mercer
+# mixture KenLM-class corpus filters actually deploy, one order up from
+# text_bigram_lm's raw ML bigram):
+#
+#   P(w3|w1 w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(·w2w3)/c(·w2·) + λ1·c(··w3)/N
+#
+# with (λ3, λ2, λ1) = (0.6, 0.3, 0.1).  EVERY count table is derived from
+# the one trigram relation (c(w1w2·) = Σ_w3 c(w1w2w3), etc.), so the three
+# ML components are mutually consistent and the whole model is five
+# vocab-bounded aggregates over a single shuffle-free zip_with explode —
+# at 100 TB the count tables are the only shuffled relations, AQE broadcasts
+# them when small, and the corpus is scanned once.  The interpolation weights
+# are applied in a FIXED left-to-right arithmetic order and per-doc scores
+# round to 4 dp (the same cross-engine float policy as text_bigram_lm and
+# the cosine scores).  N is a one-row broadcast (allowlisted BNLJ).  Scoring
+# the training corpus itself means no component is ever zero — the mixture
+# grades fluency rather than gating OOV, which is the actual quality-filter
+# use (unseen-event smoothing only matters when scoring held-out text).
+# ---------------------------------------------------------------------------
+
+TRIGRAM_L3, TRIGRAM_L2, TRIGRAM_L1 = 0.6, 0.3, 0.1
+
+
+def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
+    tris = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(toks, 3, m),
+        lambda p, c: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")),
+    )
+    tri = d.select("doc_id", F.explode(tris).alias("t")).select(
+        "doc_id",
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2ctx = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    c2u = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("cu2"))
+    c3u = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("cu3"))
+    n = tri.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        F.lit(TRIGRAM_L3) * (F.col("c3") / F.col("c2"))
+        + F.lit(TRIGRAM_L2) * (F.col("c23") / F.col("cu2"))
+        + F.lit(TRIGRAM_L1) * (F.col("cu3") / F.col("n"))
+    )
+    return (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c2ctx, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2u, ["w2"])
+        .join(c3u, ["w3"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg(F.log(p))), 4).alias("ppl"),
+        )
+    )
+
+
+TEXT_TRIGRAM_LM_SQL = f"""\
+WITH tri AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(range(1, len(toks) - 1)) AS u(i)),
+c3    AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+c2ctx AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri GROUP BY 1, 2),
+c23   AS (SELECT w2, w3, COUNT(*) AS c23 FROM tri GROUP BY 1, 2),
+c2u   AS (SELECT w2, COUNT(*) AS cu2 FROM tri GROUP BY 1),
+c3u   AS (SELECT w3, COUNT(*) AS cu3 FROM tri GROUP BY 1),
+nn    AS (SELECT COUNT(*) AS n FROM tri)
+SELECT t.doc_id, COUNT(*) AS n_trigrams,
+       ROUND(AVG(ln({TRIGRAM_L3} * (c3 / c2) + {TRIGRAM_L2} * (c23 / cu2)
+                    + {TRIGRAM_L1} * (cu3 / n))), 4) AS avg_logp,
+       ROUND(exp(-AVG(ln({TRIGRAM_L3} * (c3 / c2) + {TRIGRAM_L2} * (c23 / cu2)
+                         + {TRIGRAM_L1} * (cu3 / n)))), 4) AS ppl
+FROM tri t
+JOIN c3 USING (w1, w2, w3)
+JOIN c2ctx USING (w1, w2)
+JOIN c23 USING (w2, w3)
+JOIN c2u USING (w2)
+JOIN c3u USING (w3)
+CROSS JOIN nn
+GROUP BY t.doc_id"""
+
+
+register("text_trigram_lm", text_trigram_lm, TEXT_TRIGRAM_LM_SQL)
+
+
+# ---------------------------------------------------------------------------
 # text_collocations — PMI-ranked collocations: bigrams whose observed count
 # beats the independence expectation, pmi = ln(c_bi·N_uni² / (N_bi·c_w1·c_w2))
 # — the phrase-mining signal (word2vec's phrase pass, NLTK collocations) a
@@ -1080,7 +1178,7 @@ WITH words AS (
   GROUP BY w),
 s0 AS (SELECT word, wf, {spell0} AS spell FROM words),
 pc1 AS (
-  SELECT p AS pair, SUM(wf) AS cnt
+  SELECT p AS pair, CAST(SUM(wf) AS BIGINT) AS cnt
   FROM (SELECT wf, unnest({pairs('spell')}) AS p FROM s0)
   GROUP BY p),
 m1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair ASC LIMIT 1),
@@ -1088,7 +1186,7 @@ s1 AS (
   SELECT word, wf, {apply_merge('s0.spell', 'm1.pair')} AS spell
   FROM s0, m1),
 pc2 AS (
-  SELECT p AS pair, SUM(wf) AS cnt
+  SELECT p AS pair, CAST(SUM(wf) AS BIGINT) AS cnt
   FROM (SELECT wf, unnest({pairs('spell')}) AS p FROM s1)
   GROUP BY p),
 m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
@@ -1096,7 +1194,7 @@ s2 AS (
   SELECT word, wf, {apply_merge('s1.spell', 'm2.pair')} AS spell
   FROM s1, m2),
 toks AS (
-  SELECT t AS token, SUM(wf) AS freq
+  SELECT t AS token, CAST(SUM(wf) AS BIGINT) AS freq
   FROM (SELECT wf, unnest(string_split(spell, '{sep}')) AS t FROM s2)
   GROUP BY t
   ORDER BY freq DESC, token ASC LIMIT {BPE_TOP_TOKENS})

@@ -20,7 +20,7 @@ func_timebucket     the registered instance: daily event counts + exact
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -919,42 +919,24 @@ register("ts_activity_heatmap", ts_activity_heatmap, TS_ACTIVITY_HEATMAP_SQL)
 # ---------------------------------------------------------------------------
 # ts_clamped_balance — inventory-style running balance with a floor: credits
 # add, debits subtract, and the balance CLAMPS at zero (an oversold debit
-# burns only what's there).  The clamp makes the scan NON-ASSOCIATIVE — no
-# window frame or prefix-sum trick can express it (unlike every other
-# running metric in this repo), which is exactly the computational class
-# applyInPandas sequential kernels exist for: sort inside the group, fold
-# with state, one shuffle on the key.  Deltas are exact 1e-4 fixed point
-# (credit for purchases, debit for errors); the DuckDB oracle replays the
-# SAME fold as a per-user recursive CTE — agreement proves the stateful
-# scan, which a window-based formulation could not even produce.
+# burns only what's there).  The fold LOOKS non-associative, but with a floor
+# only (no cap) it admits a closed form over plain prefix aggregates:
+#     bal_t    = S_t - min(0, min_{k<=t} S_k)        (S = raw prefix sum)
+#     clamp@t  <=> S_t < min(0, min_{k<t} S_k)       (strict new below-zero
+#                                                     prefix minimum)
+# (property-tested against the sequential fold; with BOTH a floor and a cap
+# the closed form would NOT exist and an applyInPandas kernel would be the
+# right tool).  That compiles the whole operator to two window passes over
+# ONE hash-partition + sort on user_id — fully JVM/WholeStageCodegen, zero
+# Python in the hot path — and the trailing groupBy reuses the same
+# partitioning, so the plan is a single Exchange end-to-end.  Deltas are
+# exact 1e-4 fixed point (credit for purchases, debit for errors); the
+# DuckDB oracle replays the ORIGINAL sequential fold as a per-user recursive
+# CTE — agreement between the closed form and the literal fold is the proof.
 # ---------------------------------------------------------------------------
 
 
 def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        deltas = pdf["delta"].to_numpy()
-        bal = np.int64(0)
-        clamps = 0
-        for d in deltas:
-            nxt = bal + d
-            if nxt < 0:
-                bal = np.int64(0)
-                clamps += 1
-            else:
-                bal = nxt
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[:1],
-                "final_balance_e4": [int(bal)],
-                "n_clamped": [clamps],
-                "n_moves": [len(deltas)],
-            }
-        )
-
     e = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isin("purchase", "error")
     )
@@ -969,8 +951,30 @@ def ts_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.floor(F.col("value") * 10000).cast("bigint"))
         .alias("delta"),
     )
-    return deltas.groupBy("user_id").applyInPandas(
-        kernel, "user_id bigint, final_balance_e4 bigint, n_clamped int, n_moves bigint"
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = deltas.withColumn("s", F.sum("delta").over(w_run))
+    marked = s.withColumn(
+        "clamped",
+        (
+            F.col("s")
+            < F.least(F.lit(0).cast("bigint"), F.coalesce(F.min("s").over(w_prior), F.lit(0)))
+        ).cast("int"),
+    )
+    return marked.groupBy("user_id").agg(
+        (F.sum("delta") - F.least(F.lit(0).cast("bigint"), F.min("s")))
+        .cast("bigint")
+        .alias("final_balance_e4"),
+        F.sum("clamped").cast("int").alias("n_clamped"),
+        F.count(F.lit(1)).alias("n_moves"),
     )
 
 
@@ -1119,8 +1123,8 @@ WITH dau AS (
   FROM events),
 first AS (SELECT user_id, MIN(day) AS f FROM dau GROUP BY user_id)
 SELECT day,
-       SUM(CASE WHEN day = f THEN 1 ELSE 0 END) AS n_new,
-       SUM(CASE WHEN day <> f THEN 1 ELSE 0 END) AS n_returning
+       CAST(SUM(CASE WHEN day = f THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN day <> f THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
 FROM dau JOIN first USING (user_id)
 GROUP BY day"""
 
@@ -1274,3 +1278,148 @@ GROUP BY 1"""
 
 
 register("rel_max_concurrency", rel_max_concurrency, REL_MAX_CONCURRENCY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_lttb — Largest-Triangle-Three-Buckets plot downsampling (Steinarsson's
+# thesis algorithm, the de-facto standard in Grafana/InfluxDB dashboards):
+# keep the first and last point of each series, split the middle n-2 points
+# into B-2 equal rank-buckets, and in each bucket keep the point maximizing
+# the triangle area with the PREVIOUSLY SELECTED point and the NEXT bucket's
+# centroid.  The previous-selection dependence makes the scan genuinely
+# sequential per series (unlike ts_clamped_balance there is no closed form),
+# so the Spark side is an applyInPandas kernel — one shuffle on user_id,
+# B-step numpy-vectorized loop inside the group — the computational class
+# grouped sequential kernels exist for.
+#
+# Cross-engine parity is by QUANTIZED-AREA design: x = whole seconds from
+# the series start (BIGINT), y = floor(value·100) (BIGINT), and the
+# candidate score is the centroid-cleared twice-area
+#     |(x_a·nn − Σx)·(y_c − y_a) − (x_a − x_c)·(Σy − y_a·nn)|
+# — the triangle area against the next bucket's MEAN, multiplied through by
+# the bucket size nn, so it is exact int64 arithmetic with no float centroid
+# (bounds: |x| ≤ series span in seconds, |y| ≤ 100·max(value); products stay
+# far under 2^63 for any realistic series).  Ties break to the smallest rank
+# (numpy argmax first-hit == SQL ORDER BY score DESC, rn ASC).  The DuckDB
+# oracle replays the sequential selection as a B-step UNROLLED CTE chain
+# (QUALIFY argmax per step) — a deliberately different formulation of the
+# same recurrence.  Series shorter than B points are dropped on both sides.
+# ---------------------------------------------------------------------------
+
+LTTB_B = 12  # output points per series
+
+
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    B = LTTB_B
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        n = len(pdf)
+        if n < B:
+            return pd.DataFrame(
+                {"user_id": [], "pos": [], "rn": [], "x_off": [], "y_e2": []}
+            ).astype(
+                {"user_id": "int64", "pos": "int32", "rn": "int64",
+                 "x_off": "int64", "y_e2": "int64"}
+            )
+        x = pdf["ts_us"].to_numpy() // 1_000_000
+        x = x - x.min()
+        y = pdf["y"].to_numpy()
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        # bucket of middle points rn=2..n-1 (0-based positions 1..n-2)
+        b = (rn[1 : n - 1] - 2) * (B - 2) // (n - 2)
+        sel = [0]
+        a = 0
+        for bb in range(B - 2):
+            idx = np.nonzero(b == bb)[0] + 1  # 0-based positions in x/y
+            if bb < B - 3:
+                nxt = np.nonzero(b == bb + 1)[0] + 1
+                sx, sy, nn = int(x[nxt].sum()), int(y[nxt].sum()), len(nxt)
+            else:
+                sx, sy, nn = int(x[n - 1]), int(y[n - 1]), 1
+            score = np.abs(
+                (x[a] * nn - sx) * (y[idx] - y[a]) - (x[a] - x[idx]) * (sy - y[a] * nn)
+            )
+            a = int(idx[np.argmax(score)])  # first max ⇒ smallest rank
+            sel.append(a)
+        sel.append(n - 1)
+        sel_a = np.array(sel)
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["user_id"].iloc[0], B).astype("int64"),
+                "pos": np.arange(B, dtype=np.int32),
+                "rn": rn[sel_a],
+                "x_off": x[sel_a],
+                "y_e2": y[sel_a],
+            }
+        )
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return e.groupBy("user_id").applyInPandas(
+        kernel, "user_id bigint, pos int, rn bigint, x_off bigint, y_e2 bigint"
+    )
+
+
+def _lttb_sql() -> str:
+    B = LTTB_B
+    score = (
+        "ABS((a.x * t.nn - t.sx) * (m.y - a.y)"
+        " - (a.x - m.x) * (t.sy - a.y * t.nn))"
+    )
+    sels = []
+    for bb in range(B - 2):
+        prev = f"sel{bb}"
+        sels.append(f"""\
+sel{bb + 1} AS (
+  SELECT m.user_id, m.rn, m.x, m.y
+  FROM mid m
+  JOIN {prev} a ON a.user_id = m.user_id
+  JOIN nxt t ON t.user_id = m.user_id AND t.b = {bb}
+  WHERE m.b = {bb}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.user_id
+                             ORDER BY {score} DESC, m.rn ASC) = 1)""")
+    sel_ctes = ",\n".join(sels)
+    outs = [f"SELECT user_id, 0 AS pos, rn, x AS x_off, y AS y_e2 FROM sel0"]
+    outs += [
+        f"SELECT user_id, {bb + 1} AS pos, rn, x, y FROM sel{bb + 1}"
+        for bb in range(B - 2)
+    ]
+    outs.append(
+        f"SELECT user_id, {B - 1} AS pos, rn, x, y FROM pts WHERE n >= {B} AND rn = n"
+    )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""\
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         epoch_us(ts) // 1000000
+           - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x
+  FROM events),
+mid AS (
+  SELECT user_id, rn, x, y, ((rn - 2) * {B - 2}) // (n - 2) AS b
+  FROM pts WHERE n >= {B} AND rn >= 2 AND rn <= n - 1),
+nxt AS (
+  SELECT user_id, b - 1 AS b, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, COUNT(*) AS nn
+  FROM mid WHERE b >= 1 GROUP BY user_id, b
+  UNION ALL
+  SELECT user_id, {B - 3} AS b, x AS sx, y AS sy, 1 AS nn
+  FROM pts WHERE n >= {B} AND rn = n),
+sel0 AS (SELECT user_id, rn, x, y FROM pts WHERE n >= {B} AND rn = 1),
+{sel_ctes}
+SELECT user_id, CAST(pos AS INT) AS pos, rn, x_off, y_e2
+FROM ({union})"""
+
+
+register("ts_lttb", ts_lttb, _lttb_sql())

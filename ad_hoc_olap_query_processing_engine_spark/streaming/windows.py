@@ -726,7 +726,7 @@ SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 1000000.0) AS BIGINT) AS session_start,
        CAST(FLOOR(MAX(end_us) / 1000000.0) AS BIGINT)       AS session_end,
        user_id,
        COUNT(*)                                             AS n_events,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
 FROM sessions GROUP BY user_id, session_id"""
 
 

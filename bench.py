@@ -5,6 +5,11 @@ Runs every registered query at $SPARK_GRAFT_SF_DIR (default
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
+The driver keeps only the LAST 2,000 characters of stdout (BENCH_r02-r05 were
+"parsed: null" because the full 200-query map is ~5.6 KB), so the stdout line
+carries summary stats plus only the top-20 slowest queries; the complete
+per-query map goes to stderr and to bench_full.json next to this file.
+
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect). A warmup query amortizes JVM/codegen startup out of the
 per-query numbers.
@@ -72,18 +77,47 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    ok = sorted(t for t in timings.values() if t >= 0)
+    total = round(sum(ok), 3)
+    n_failed = sum(1 for t in timings.values() if t < 0)
+    full = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(full), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(full, fh)
+
+    # stdout line must fit the driver's 2,000-char tail buffer: summary stats
+    # + top-20 slowest only (plus any failures, which report as -1).
+    def _line(top_n: int) -> str:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+        slowest.update(
+            dict(sorted((k, v) for k, v in timings.items() if v < 0)[:top_n])
+        )
+        return json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+                "median_sec": round(ok[len(ok) // 2], 3) if ok else None,
+                "queries": slowest,
             }
         )
-    )
+
+    top_n = 20
+    line = _line(top_n)
+    while len(line) >= 1900 and top_n > 0:  # never exceed the driver's tail
+        top_n -= 5
+        line = _line(top_n)
+    print(line)
     spark.stop()
 
 

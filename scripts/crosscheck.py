@@ -20,10 +20,47 @@ TABLES = [
 ]
 
 
+# Driver-hash-safe DuckDB output types (see tests/test_oracle_types.py).
+# HUGEINT/DECIMAL silently coerce to float64/object in .df(), so a pandas
+# value-compare alone is structurally blind to them — lint the relation's
+# declared types BEFORE comparing values.
+ALLOWED_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def lint_oracle_types(con, sql: str) -> None:
+    rel = con.sql(sql)
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if str(typ) not in ALLOWED_TYPES
+    ]
+    if bad:
+        raise AssertionError(
+            f"oracle outputs driver-hash-unsafe DuckDB types {bad}; CAST to BIGINT/DOUBLE/..."
+        )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            for v in df[c]:
+                if isinstance(v, decimal.Decimal):
+                    raise AssertionError(
+                        f"column {c} holds decimal.Decimal — driver-hash-unsafe; CAST the oracle"
+                    )
+                if v is not None and not isinstance(v, bool) and isinstance(v, int) and (
+                    v > 2**63 - 1 or v < -(2**63)
+                ):
+                    raise AssertionError(
+                        f"column {c} holds an int128-range value — driver-hash-unsafe"
+                    )
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -50,6 +87,7 @@ def main() -> None:
             if name not in oracles:
                 print(f"{name}: NO_ORACLE spark_rows={len(got)}")
                 continue
+            lint_oracle_types(con, oracles[name])
             exp = canon(con.sql(oracles[name]).df())
             assert list(got.columns) == list(exp.columns), (
                 f"cols {list(got.columns)} vs {list(exp.columns)}"
