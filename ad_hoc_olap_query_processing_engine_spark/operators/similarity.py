@@ -1602,6 +1602,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("srp", sim_srp_ann),
         ("ivf", sim_ivf_ann),
         ("sq8", sim_sq_ann),
+        ("pq", sim_pq_ann),
     ]
     total = brute.agg(F.count(F.lit(1)).alias("__n_total"))
     out = None
@@ -1630,6 +1631,7 @@ def _recall_report_sql() -> str:
         "srp": _srp_sql(),
         "ivf": _ivf_sql(),
         "sq8": SIM_SQ_ANN_SQL,
+        "pq": SIM_PQ_ANN_SQL,
     }
     rows = []
     for mname, msql in methods.items():

@@ -571,3 +571,135 @@ def test_sq_ann_candidates_recall_vs_brute(spark):
     top1_sq = sq[sq["rank"] == 1].set_index("query_id")["vec_id"]
     hits = sum(int(top1_sq.get(q, -1) == v) for q, v in top1_brute.items())
     assert hits >= 8, f"SQ8 top-1 recall degraded: {hits}/10"
+
+
+def test_pq_ann_scores_match_brute(spark):
+    """Every PQ hit that is also a brute hit carries the identical exact
+    re-rank score (the shared _exact_rerank tail), and the PQ result is
+    non-empty with TOP_K rows per query."""
+    brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
+    pq = similarity.sim_pq_ann(spark, SF_SMALL).toPandas()
+    assert len(pq) == similarity.N_QUERIES * similarity.TOP_K
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
+    checked = 0
+    for r in pq.itertuples():
+        if (r.query_id, r.vec_id) in brute_scores:
+            assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
+            checked += 1
+    assert checked > 0
+
+
+def test_pq_codebook_well_formed(spark):
+    """One-Lloyd-step codebook invariants: every subspace has ≥1 centroid,
+    every centroid spans exactly its subspace's dims, and centroid values sit
+    inside the quantized data range (a floor-mean cannot leave the hull)."""
+    cb = similarity.pq_codebook(spark, SF_SMALL).toPandas()
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    import pyspark.sql.functions as SF
+
+    dim = len(e.select("embedding").first()[0])
+    sub = dim // similarity.PQ_M
+    assert set(cb["m"].unique()) == set(range(similarity.PQ_M))
+    for (m, k), grp in cb.groupby(["m", "k"]):
+        dims = sorted(grp["d"])
+        assert dims == list(range(m * sub, (m + 1) * sub)), (m, k)
+    lo = e.select(SF.min(SF.array_min("embedding"))).first()[0] * 1000 - 1
+    hi = e.select(SF.max(SF.array_max("embedding"))).first()[0] * 1000 + 1
+    assert cb["c"].between(lo, hi).all()
+
+
+def test_trigram_lm_probabilities_are_probabilities(spark):
+    """Interpolated mixture of ML components each ≤ 1 ⇒ per-token p ≤ 1 ⇒
+    avg log-prob ≤ 0 and perplexity ≥ 1 for every document."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+
+    out = text.text_trigram_lm(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out["avg_logp"] <= 0).all()
+    assert (out["ppl"] >= 1).all()
+    assert (out["n_trigrams"] > 0).all()
+
+
+def _lttb_reference(ts_us, event_id, value, B):
+    """Naive per-point sequential LTTB fold — deliberately structured
+    differently from the vectorized kernel (plain Python loop, no numpy)."""
+    import math
+
+    rows = sorted(zip(ts_us, event_id, value))
+    n = len(rows)
+    if n < B:
+        return []
+    xs = [t // 1_000_000 for t, _, _ in rows]
+    x0 = min(xs)
+    xs = [x - x0 for x in xs]
+    ys = [math.floor(v * 100) for _, _, v in rows]
+    bucket = [((rn - 2) * (B - 2)) // (n - 2) for rn in range(2, n)]
+    sel = [0]
+    a = 0
+    for bb in range(B - 2):
+        idx = [i + 1 for i, b in enumerate(bucket) if b == bb]
+        if bb < B - 3:
+            nxt = [i + 1 for i, b in enumerate(bucket) if b == bb + 1]
+            sx, sy, nn = sum(xs[i] for i in nxt), sum(ys[i] for i in nxt), len(nxt)
+        else:
+            sx, sy, nn = xs[n - 1], ys[n - 1], 1
+        best, best_score = None, -1
+        for i in idx:
+            s = abs((xs[a] * nn - sx) * (ys[i] - ys[a]) - (xs[a] - xs[i]) * (sy - ys[a] * nn))
+            if s > best_score:
+                best, best_score = i, s
+        a = best
+        sel.append(a)
+    sel.append(n - 1)
+    return [(pos, i + 1, xs[i], ys[i]) for pos, i in enumerate(sel)]
+
+
+def test_lttb_matches_sequential_reference(spark):
+    """The vectorized applyInPandas kernel reproduces a naive sequential
+    LTTB fold exactly (positions, ranks, quantized coordinates) on real
+    series from the sf0.01 events table."""
+    import pandas as pd
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from .conftest import SF_ORACLE
+
+    out = timeseries.ts_lttb(spark, SF_ORACLE).toPandas()
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    # normalize to µs explicitly — pandas may surface the parquet timestamps
+    # as datetime64[ns] OR datetime64[us] depending on version/resolution
+    ev["ts_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+    users = sorted(out["user_id"].unique())[:5]
+    assert users, "no series long enough for LTTB at this sf"
+    for uid in users:
+        grp = ev[ev["user_id"] == uid]
+        ref = _lttb_reference(
+            grp["ts_us"].tolist(), grp["event_id"].tolist(), grp["value"].tolist(),
+            timeseries.LTTB_B,
+        )
+        got = (
+            out[out["user_id"] == uid]
+            .sort_values("pos")[["pos", "rn", "x_off", "y_e2"]]
+            .itertuples(index=False)
+        )
+        assert [tuple(r) for r in got] == ref, uid
+
+
+def test_lttb_structure(spark):
+    """Per series: exactly B points, pos 0..B-1, strictly increasing ranks,
+    endpoints kept (rn=1 first; last rank equals the series length)."""
+    import pandas as pd
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from .conftest import SF_ORACLE
+
+    B = timeseries.LTTB_B
+    out = timeseries.ts_lttb(spark, SF_ORACLE).toPandas()
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    counts = ev.groupby("user_id").size()
+    for uid, grp in out.groupby("user_id"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(B))
+        assert grp["rn"].is_monotonic_increasing and grp["rn"].is_unique
+        assert grp["rn"].iloc[0] == 1
+        assert grp["rn"].iloc[-1] == counts[uid]
+    assert set(out["user_id"]) == set(counts[counts >= B].index)
