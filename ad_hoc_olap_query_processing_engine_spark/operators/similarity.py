@@ -1204,14 +1204,24 @@ def _pq_elems(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_argmin_code(ss: DataFrame) -> DataFrame:
-    """(vec_id, m, k): nearest centroid per subspace from (vec_id, m, k, ss),
-    deterministic tie-break via the packed key ss·K + k (k < K ⇒ the packed
-    MIN is lexicographic (ss, k))."""
+def _pq_nearest(joined: DataFrame) -> DataFrame:
+    """(vec_id, m, k): nearest centroid per subspace, from element-level
+    (vec_id, m, k, v, c) rows in ONE aggregation — K conditional partial
+    sums per (vec_id, m) instead of a (vec_id, m, k) shuffle followed by a
+    second (vec_id, m) argmin shuffle: one exchange on the encode path and
+    a K-fold smaller shuffled row count (the scale lever at 100 TB, where
+    the encode pass dominates).  The packed min ss·K + k keeps the
+    deterministic (ss, k) tie-break (k < K ⇒ lexicographic), and F.least
+    skips the NULL slots of empty clusters."""
+    d2 = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    sums = [
+        F.sum(F.when(F.col("k") == kk, d2)).alias(f"__ss{kk}") for kk in range(PQ_K)
+    ]
+    packed = [F.col(f"__ss{kk}") * PQ_K + kk for kk in range(PQ_K)]
     return (
-        ss.groupBy("vec_id", "m")
-        .agg(F.min(F.col("ss") * PQ_K + F.col("k")).alias("__p"))
-        .select("vec_id", "m", (F.col("__p") % PQ_K).alias("k"))
+        joined.groupBy("vec_id", "m")
+        .agg(*sums)
+        .select("vec_id", "m", (F.least(*packed) % PQ_K).alias("k"))
     )
 
 
@@ -1223,14 +1233,9 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         elems = _pq_elems(load_table(spark, "embeddings", sf_dir))
         seeds = elems.filter(
             (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-        ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("vc"))
+        ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("c"))
         train = elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-        ss = (
-            train.join(F.broadcast(seeds), "d")
-            .groupBy("vec_id", "m", "k")
-            .agg(F.sum((F.col("v") - F.col("vc")) * (F.col("v") - F.col("vc"))).alias("ss"))
-        )
-        assign = _pq_argmin_code(ss)
+        assign = _pq_nearest(train.join(F.broadcast(seeds), "d"))
         return (
             train.join(assign, ["vec_id", "m"])
             .groupBy("m", "k", "d")
@@ -1249,12 +1254,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     cb = pq_codebook(spark, sf_dir)
     elems = _pq_elems(e)
-    enc_ss = (
-        elems.join(F.broadcast(cb.drop("m")), "d")
-        .groupBy("vec_id", "m", "k")
-        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("ss"))
-    )
-    codes = _pq_argmin_code(enc_ss)
+    codes = _pq_nearest(elems.join(F.broadcast(cb.drop("m")), "d"))
     qd = (
         _pq_elems(e.filter(F.col("vec_id") < N_QUERIES))
         .join(F.broadcast(cb.drop("m")), "d")

@@ -1309,54 +1309,62 @@ register("rel_max_concurrency", rel_max_concurrency, REL_MAX_CONCURRENCY_SQL)
 LTTB_B = 12  # output points per series
 
 
-def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lttb_fold(pdf, B):
+    """Vectorized per-series LTTB fold; module-level so it is directly
+    property-testable against a naive sequential reference without Spark.
+    NOT passed to applyInPandas itself: a two-parameter function would be
+    dispatched with the (key, pdf) grouped-map signature — the single-arg
+    wrapper below is what Spark calls."""
     import numpy as np
     import pandas as pd
 
-    B = LTTB_B
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        n = len(pdf)
-        if n < B:
-            return pd.DataFrame(
-                {"user_id": [], "pos": [], "rn": [], "x_off": [], "y_e2": []}
-            ).astype(
-                {"user_id": "int64", "pos": "int32", "rn": "int64",
-                 "x_off": "int64", "y_e2": "int64"}
-            )
-        x = pdf["ts_us"].to_numpy() // 1_000_000
-        x = x - x.min()
-        y = pdf["y"].to_numpy()
-        rn = np.arange(1, n + 1, dtype=np.int64)
-        # bucket of middle points rn=2..n-1 (0-based positions 1..n-2)
-        b = (rn[1 : n - 1] - 2) * (B - 2) // (n - 2)
-        sel = [0]
-        a = 0
-        for bb in range(B - 2):
-            idx = np.nonzero(b == bb)[0] + 1  # 0-based positions in x/y
-            if bb < B - 3:
-                nxt = np.nonzero(b == bb + 1)[0] + 1
-                sx, sy, nn = int(x[nxt].sum()), int(y[nxt].sum()), len(nxt)
-            else:
-                sx, sy, nn = int(x[n - 1]), int(y[n - 1]), 1
-            score = np.abs(
-                (x[a] * nn - sx) * (y[idx] - y[a]) - (x[a] - x[idx]) * (sy - y[a] * nn)
-            )
-            a = int(idx[np.argmax(score)])  # first max ⇒ smallest rank
-            sel.append(a)
-        sel.append(n - 1)
-        sel_a = np.array(sel)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    n = len(pdf)
+    if n < B:
         return pd.DataFrame(
-            {
-                "user_id": np.repeat(pdf["user_id"].iloc[0], B).astype("int64"),
-                "pos": np.arange(B, dtype=np.int32),
-                "rn": rn[sel_a],
-                "x_off": x[sel_a],
-                "y_e2": y[sel_a],
-            }
+            {"user_id": [], "pos": [], "rn": [], "x_off": [], "y_e2": []}
+        ).astype(
+            {"user_id": "int64", "pos": "int32", "rn": "int64",
+             "x_off": "int64", "y_e2": "int64"}
         )
+    x = pdf["ts_us"].to_numpy() // 1_000_000
+    x = x - x.min()
+    y = pdf["y"].to_numpy()
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    # bucket of middle points rn=2..n-1 (0-based positions 1..n-2)
+    b = (rn[1 : n - 1] - 2) * (B - 2) // (n - 2)
+    sel = [0]
+    a = 0
+    for bb in range(B - 2):
+        idx = np.nonzero(b == bb)[0] + 1  # 0-based positions in x/y
+        if bb < B - 3:
+            nxt = np.nonzero(b == bb + 1)[0] + 1
+            sx, sy, nn = int(x[nxt].sum()), int(y[nxt].sum()), len(nxt)
+        else:
+            sx, sy, nn = int(x[n - 1]), int(y[n - 1]), 1
+        score = np.abs(
+            (x[a] * nn - sx) * (y[idx] - y[a]) - (x[a] - x[idx]) * (sy - y[a] * nn)
+        )
+        a = int(idx[np.argmax(score)])  # first max ⇒ smallest rank
+        sel.append(a)
+    sel.append(n - 1)
+    sel_a = np.array(sel)
+    return pd.DataFrame(
+        {
+            "user_id": np.repeat(pdf["user_id"].iloc[0], B).astype("int64"),
+            "pos": np.arange(B, dtype=np.int32),
+            "rn": rn[sel_a],
+            "x_off": x[sel_a],
+            "y_e2": y[sel_a],
+        }
+    )
 
+
+def _lttb_kernel(pdf):
+    return _lttb_fold(pdf, LTTB_B)
+
+
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -1364,7 +1372,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("y"),
     )
     return e.groupBy("user_id").applyInPandas(
-        kernel, "user_id bigint, pos int, rn bigint, x_off bigint, y_e2 bigint"
+        _lttb_kernel, "user_id bigint, pos int, rn bigint, x_off bigint, y_e2 bigint"
     )
 
 

@@ -1,0 +1,84 @@
+"""Property tests (no Spark) for the numeric kernels/identities two
+timeseries operators rely on:
+
+- ts_lttb's vectorized LTTB fold vs a naive sequential reference, over
+  adversarial series (duplicate timestamps, duplicate/constant values,
+  lengths straddling the B cutoff) — the argmax tie-break and bucket
+  edges are where a vectorized rewrite silently diverges;
+- ts_clamped_balance's closed form bal = S − min(0, running-min S) (and
+  clamp ⇔ strict new below-zero prefix minimum) vs the literal
+  sequential floor-at-zero fold the DuckDB oracle replays.  The operator
+  compiles the closed form to JVM window functions; THIS test is the
+  proof the closed form equals the fold (with a cap as well as a floor
+  it would not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ad_hoc_olap_query_processing_engine_spark.operators.timeseries import (
+    LTTB_B,
+    _lttb_fold,
+)
+
+from .test_pipeline_ops import _lttb_reference
+
+# series points: small ts range forces duplicate timestamps; values are
+# drawn coarse so quantized-y ties happen often
+_POINT = st.tuples(
+    st.integers(min_value=0, max_value=50) .map(lambda s: 1_700_000_000_000_000 + s * 37_000_000),
+    st.integers(min_value=0, max_value=10_000),  # event_id
+    st.floats(min_value=0.0, max_value=5.0, allow_nan=False, width=32).map(
+        lambda v: round(v, 1)
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_POINT, min_size=2, max_size=80, unique_by=lambda p: (p[0], p[1])))
+def test_lttb_kernel_matches_sequential_reference(points):
+    ts_us = [p[0] for p in points]
+    event_id = [p[1] for p in points]
+    value = [p[2] for p in points]
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.int64(7),
+            "ts_us": np.array(ts_us, dtype=np.int64),
+            "event_id": np.array(event_id, dtype=np.int64),
+            "y": np.floor(np.array(value) * 100).astype(np.int64),
+        }
+    )
+    got = _lttb_fold(pdf, LTTB_B)
+    ref = _lttb_reference(ts_us, event_id, value, LTTB_B)
+    got_rows = [
+        (int(r.pos), int(r.rn), int(r.x_off), int(r.y_e2))
+        for r in got.itertuples(index=False)
+    ]
+    assert got_rows == ref
+
+
+def _clamped_fold(deltas):
+    bal, clamps = 0, 0
+    for d in deltas:
+        nxt = bal + d
+        if nxt < 0:
+            bal, clamps = 0, clamps + 1
+        else:
+            bal = nxt
+    return bal, clamps
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=200))
+def test_clamped_balance_closed_form_equals_fold(deltas):
+    d = np.array(deltas, dtype=np.int64)
+    s = np.cumsum(d)
+    m = np.minimum.accumulate(s)
+    prior = np.concatenate(([np.int64(0)], np.minimum(m, 0)[:-1]))
+    bal = int(s[-1] - min(0, int(m[-1])))
+    clamps = int(np.sum(s < prior))
+    assert (bal, clamps) == _clamped_fold(deltas)

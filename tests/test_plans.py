@@ -596,3 +596,41 @@ def test_clamped_balance_compiles_to_single_exchange_jvm_plan(spark):
     assert len(exchanges) == 1, exchanges
     assert "user_id" in exchanges[0]
     assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_pq_ann_all_joins_broadcast(spark):
+    """sim_pq_ann's joins must ALL be broadcast (codebook, ADC lookup table,
+    query batch — every non-corpus side is tiny by construction); a
+    SortMergeJoin would mean a full corpus shuffle per lookup. The CORPUS
+    encode path's nearest-centroid step is a single conditional aggregation,
+    so at most ONE (vec_id, m, k)-grained exchange may appear — the ADC
+    lookup-table build, which is bounded to the N_QUERIES query vectors."""
+    import re
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import similarity
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = similarity.sim_pq_ann(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    fine_grained = [
+        args
+        for args in exchange_args(df)
+        if re.search(r"hashpartitioning\(vec_id#\d+L?, m#\d+, k#", args)
+    ]
+    assert len(fine_grained) <= 1, fine_grained
+
+
+def test_lttb_single_exchange_grouped_kernel(spark):
+    """ts_lttb is one shuffle on user_id feeding the grouped sequential
+    kernel — the only legitimate plan for a per-series order-dependent
+    fold."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = timeseries.ts_lttb(spark, SF_SMALL)
+    assert "FlatMapGroupsInPandas" in physical_plan(df)
+    ex = exchange_args(df)
+    assert len(ex) == 1 and "user_id" in ex[0], ex
