@@ -75,6 +75,9 @@ _CHECK_FIRST = (
     "sim_pq_ann",
     "text_trigram_lm",
     "ts_lttb",
+    "ts_stl_decompose",
+    "text_bpe_encode",
+    "sim_ivfpq_ann",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

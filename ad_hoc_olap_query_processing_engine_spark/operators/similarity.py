@@ -584,7 +584,10 @@ IVF_CLUSTERS = 2**IVF_BITS
 IVF_PROBES = 3  # own cell + the two least-confident single-bit flips
 
 
-def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, p0..p{B-1}, cell): deterministic SRP coarse-cell
+    assignment — persisted because it feeds the scan side AND the
+    probe/query side (and, for IVFPQ, the residual/codebook side)."""
     e = load_table(spark, "embeddings", sf_dir)
     proj = _projections(e, "ivf", IVF_BITS, _peek_dim(sf_dir))
     assigned = proj.groupBy("vec_id").agg(
@@ -597,12 +600,14 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(IVF_BITS)),
         F.lit(0),
     ).cast("int")
-    # cell assignments feed the scan side AND the probe/query side — persist
-    # so the projection pipeline runs once
-    assigned = assigned.withColumn("cell", cell).persist()
-    # multi-probe: flip the sign bits with the smallest |projection| (ties →
-    # lowest bit index) — the cells most likely to hold near-boundary
-    # neighbors. IVF_PROBES-1 single-bit flips in confidence order.
+    return assigned.withColumn("cell", cell).persist()
+
+
+def _ivf_probe_cells() -> Column:
+    """Array column of IVF_PROBES cells for a query row carrying p0..p{B-1}
+    and cell: own cell + single-bit flips of the least-confident sign bits
+    (smallest |projection|, ties → lowest bit index) — the classic LSH
+    multi-probe heuristic."""
     flip_order = F.array_sort(
         F.array(
             *[
@@ -619,19 +624,23 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(j == 0, F.lit(1)).when(j == 1, F.lit(2)).otherwise(F.lit(4))
         ).cast("int")
 
-    probe_cells = F.array(
+    return F.array(
         F.col("cell"),
         *[
             F.col("cell").bitwiseXOR(_mask(flip_order[k]["j"]))
             for k in range(IVF_PROBES - 1)
         ],
     )
+
+
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assignments(spark, sf_dir)
     queries = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(probe_cells).alias("cell"),
+            F.explode(_ivf_probe_cells()).alias("cell"),
         )
     )
     # join on the probe cell — candidates only from probed cells. No distinct
@@ -1225,29 +1234,37 @@ def _pq_nearest(joined: DataFrame) -> DataFrame:
     )
 
 
+def _pq_fit(elems: DataFrame) -> DataFrame:
+    """(m, k, d, c): one-Lloyd-step PQ codebook over ANY element table of
+    shape (vec_id, d, m, v) — raw quantized vectors (sim_pq_ann) or coarse
+    residuals (sim_ivfpq_ann). Seeds = subvectors of vec_ids
+    [N_QUERIES, N_QUERIES+PQ_K); fit sample = vec_id % PQ_TRAIN_MOD == 0."""
+    seeds = elems.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("c"))
+    train = elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    assign = _pq_nearest(train.join(F.broadcast(seeds), "d"))
+    return (
+        train.join(assign, ["vec_id", "m"])
+        .groupBy("m", "k", "d")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+
+
 def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, k, d, c): one-Lloyd-step PQ codebook, session-cached + persisted."""
     from .session_cache import session_cached
 
-    def build() -> DataFrame:
-        elems = _pq_elems(load_table(spark, "embeddings", sf_dir))
-        seeds = elems.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
-        ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("c"))
-        train = elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-        assign = _pq_nearest(train.join(F.broadcast(seeds), "d"))
-        return (
-            train.join(assign, ["vec_id", "m"])
-            .groupBy("m", "k", "d")
-            .agg(
-                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("c")
-            )
-            .persist()
-        )
-
-    return session_cached("pq_codebook", spark, sf_dir, build)
+    return session_cached(
+        "pq_codebook",
+        spark,
+        sf_dir,
+        lambda: _pq_fit(_pq_elems(load_table(spark, "embeddings", sf_dir))).persist(),
+    )
 
 
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,6 +1355,179 @@ cand AS (
 
 
 register("sim_pq_ann", sim_pq_ann, SIM_PQ_ANN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_ann — the full FAISS-IVFPQ composition: coarse quantizer →
+# residual PQ → ADC within probed lists, assembled from this module's two
+# deterministic halves (sim_ivf_ann's SRP coarse cells + multi-probe;
+# sim_pq_ann's one-Lloyd-step integer PQ fit via _pq_fit, here over
+# RESIDUALS v − centroid(cell)).  Exactly the production index layout:
+#
+#   1. every vector gets a coarse cell (8 SRP cells) and a floor-mean cell
+#      centroid (exact int64);
+#   2. the shared PQ codebook is fit on residuals — residual PQ is the part
+#      of IVFPQ that makes small codebooks work, since residual magnitudes
+#      are centered regardless of cell;
+#   3. each vector stores (cell, PQ_M residual codes) — at 100 TB the
+#      entire searchable state is the inverted file of a few bytes/vector;
+#   4. a query probes IVF_PROBES cells; for EACH probed cell it forms the
+#      cell-specific residual q − centroid(cell) and a per-cell ADC table
+#      (probes × M × K, broadcast), scores only vectors of probed cells via
+#      the (cell, m, k) lookup join, and exact-reranks the top candidates.
+#
+# All arithmetic is exact int64 (quantized elements, floor-mean centroids,
+# squared-L2 sums), so the DuckDB oracle replays the identical index build
+# and probe — empty probe cells drop out via the inner centroid join on
+# both sides.
+# ---------------------------------------------------------------------------
+
+
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    assigned = _ivf_assignments(spark, sf_dir)
+    celltab = assigned.select("vec_id", "cell")
+    celems = _pq_elems(e).join(celltab, "vec_id")  # vec_id, d, m, v, cell
+    ccent = celems.groupBy("cell", "d").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("cc")
+    )
+    relems = celems.join(F.broadcast(ccent), ["cell", "d"]).select(
+        "vec_id", "cell", "d", "m", (F.col("v") - F.col("cc")).alias("v")
+    )
+    # tiny codebook consumed by both the encode and the ADC-table branches —
+    # checkpoint so the residual fit doesn't re-execute per consumer
+    cb = _pq_fit(relems).localCheckpoint()
+    codes = _pq_nearest(relems.join(F.broadcast(cb.drop("m")), "d")).join(
+        celltab, "vec_id"
+    )
+    qprobe = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(_ivf_probe_cells()).alias("cell"),
+    )
+    qelems = _pq_elems(e.filter(F.col("vec_id") < N_QUERIES)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    qres = (
+        qprobe.join(qelems, "query_id")
+        .join(F.broadcast(ccent), ["cell", "d"])
+        .select("query_id", "cell", "d", "m", (F.col("v") - F.col("cc")).alias("v"))
+    )
+    qd = (
+        qres.join(F.broadcast(cb.drop("m")), "d")
+        .groupBy("query_id", "cell", "m", "k")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["cell", "m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= PQ_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        cand.join(F.broadcast(queries), F.col("query_id") == F.col("__qid"))
+        .join(e, "vec_id")
+        .select("query_id", "q_emb", "vec_id", "embedding")
+    )
+    return _exact_rerank(pairs)
+
+
+def _ivfpq_sql() -> str:
+    return f"""\
+WITH {_elems_proj_sql("ivf", IVF_BITS)},
+cells AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p >= 0 THEN 1 << bt ELSE 0 END) AS INT) AS cell
+  FROM proj GROUP BY vec_id),
+flips AS (
+  SELECT vec_id, CAST(bt AS INT) AS flip
+  FROM (SELECT vec_id, bt,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ABS(p), bt) AS rn
+        FROM proj)
+  WHERE rn <= {IVF_PROBES - 1}),
+probes AS (
+  SELECT c.vec_id AS query_id, c.cell AS probe
+  FROM cells c WHERE c.vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT c.vec_id, xor(c.cell, 1 << f.flip)
+  FROM cells c JOIN flips f USING (vec_id) WHERE c.vec_id < {N_QUERIES}),
+pelems AS (
+  SELECT vec_id, d,
+         CAST((d * {PQ_M}) // (SELECT MAX(d) + 1 FROM elems) AS INT) AS m,
+         v
+  FROM elems),
+ccent AS (
+  SELECT c.cell, e.d,
+         CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cc
+  FROM pelems e JOIN cells c USING (vec_id)
+  GROUP BY 1, 2),
+relems AS (
+  SELECT e.vec_id, c.cell, e.d, e.m, e.v - cc.cc AS v
+  FROM pelems e
+  JOIN cells c USING (vec_id)
+  JOIN ccent cc ON cc.cell = c.cell AND cc.d = e.d),
+seeds AS (
+  SELECT vec_id - {N_QUERIES} AS k, d, v AS vc FROM relems
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}),
+tss AS (
+  SELECT e.vec_id, e.m, s.k, SUM((e.v - s.vc) * (e.v - s.vc)) AS ss
+  FROM relems e JOIN seeds s ON e.d = s.d
+  WHERE e.vec_id % {PQ_TRAIN_MOD} = 0
+  GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, m, CAST(MIN(ss * {PQ_K} + k) % {PQ_K} AS INT) AS k
+  FROM tss GROUP BY vec_id, m),
+codebook AS (
+  SELECT e.m, a.k, e.d,
+         CAST(FLOOR(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM relems e JOIN assign a ON e.vec_id = a.vec_id AND e.m = a.m
+  WHERE e.vec_id % {PQ_TRAIN_MOD} = 0
+  GROUP BY 1, 2, 3),
+ess AS (
+  SELECT e.vec_id, e.m, cb.k, SUM((e.v - cb.c) * (e.v - cb.c)) AS ss
+  FROM relems e JOIN codebook cb ON e.d = cb.d
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, CAST(MIN(ss * {PQ_K} + k) % {PQ_K} AS INT) AS k
+  FROM ess GROUP BY vec_id, m),
+qres AS (
+  SELECT p.query_id, p.probe AS cell, e.d, e.m, e.v - cc.cc AS v
+  FROM probes p
+  JOIN pelems e ON e.vec_id = p.query_id
+  JOIN ccent cc ON cc.cell = p.probe AND cc.d = e.d),
+qd AS (
+  SELECT q.query_id, q.cell, q.m, cb.k,
+         SUM((q.v - cb.c) * (q.v - cb.c)) AS qd
+  FROM qres q JOIN codebook cb ON q.d = cb.d
+  GROUP BY 1, 2, 3, 4),
+adc AS (
+  SELECT q.query_id, co.vec_id, SUM(q.qd) AS adist
+  FROM codes co
+  JOIN cells ce ON ce.vec_id = co.vec_id
+  JOIN qd q ON q.cell = ce.cell AND q.m = co.m AND q.k = co.k
+  WHERE co.vec_id <> q.query_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, vec_id ASC) AS rn
+        FROM adc)
+  WHERE rn <= {PQ_CANDIDATES}),
+{_RERANK_SQL_TAIL}"""
+
+
+register("sim_ivfpq_ann", sim_ivfpq_ann, _ivfpq_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1603,6 +1793,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", sim_ivf_ann),
         ("sq8", sim_sq_ann),
         ("pq", sim_pq_ann),
+        ("ivfpq", sim_ivfpq_ann),
     ]
     total = brute.agg(F.count(F.lit(1)).alias("__n_total"))
     out = None
@@ -1632,6 +1823,7 @@ def _recall_report_sql() -> str:
         "ivf": _ivf_sql(),
         "sq8": SIM_SQ_ANN_SQL,
         "pq": SIM_PQ_ANN_SQL,
+        "ivfpq": _ivfpq_sql(),
     }
     rows = []
     for mname, msql in methods.items():

@@ -1073,7 +1073,11 @@ def _bpe_pairs_expr(spell_col: str) -> str:
     )
 
 
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE_ROUNDS training loop; returns (spelled vocabulary
+    DataFrame (word, wf, spell), list of one-row merge DataFrames).
+    Shared by text_bpe_merges (reports the vocabulary) and text_bpe_encode
+    (applies the trained tokenizer to the corpus)."""
     d = load_table(spark, "documents", sf_dir)
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1127,6 +1131,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
+    return cur, merges
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur, merges = _bpe_train(spark, sf_dir)
     tokens = (
         cur.select("wf", F.explode(F.split("spell", _BPE_SEP)).alias("token"))
         .groupBy("token")
@@ -1146,7 +1155,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rows.unionByName(tokens)
 
 
-def _bpe_sql() -> str:
+def _bpe_train_ctes() -> str:
     sep = _BPE_SEP
 
     def pairs(spell: str) -> str:
@@ -1192,10 +1201,15 @@ pc2 AS (
 m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair ASC LIMIT 1),
 s2 AS (
   SELECT word, wf, {apply_merge('s1.spell', 'm2.pair')} AS spell
-  FROM s1, m2),
+  FROM s1, m2)"""
+
+
+def _bpe_sql() -> str:
+    return f"""\
+{_bpe_train_ctes()},
 toks AS (
   SELECT t AS token, CAST(SUM(wf) AS BIGINT) AS freq
-  FROM (SELECT wf, unnest(string_split(spell, '{sep}')) AS t FROM s2)
+  FROM (SELECT wf, unnest(string_split(spell, '{_BPE_SEP}')) AS t FROM s2)
   GROUP BY t
   ORDER BY freq DESC, token ASC LIMIT {BPE_TOP_TOKENS})
 SELECT 'merge_1' AS kind, pair AS token, cnt AS freq FROM m1
@@ -1206,6 +1220,73 @@ SELECT 'token' AS kind, token, freq FROM toks"""
 
 
 register("text_bpe_merges", text_bpe_merges, _bpe_sql())
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_encode — tokenizer APPLICATION, the other half of the BPE story:
+# encode every document with the merges text_bpe_merges trained and report
+# per-document token economics (words, tokens, characters, exact
+# chars-per-token in basis points).  The key scale idiom: documents are
+# never re-spelled per occurrence — the trained vocabulary (word →
+# symbols-after-merges) is the broadcast small side, and encoding is a
+# per-doc word-count join against it, Σ n_occ·|symbols(word)| — exactly how
+# a 100 TB corpus is tokenizer-counted from a word-frequency table without
+# touching raw text twice.  All integer arithmetic; the ratio uses integer
+# DIV on non-negative operands (truncation agrees across engines there).
+# ---------------------------------------------------------------------------
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur, _merges = _bpe_train(spark, sf_dir)
+    vocab = cur.select(
+        "word", F.size(F.split("spell", _BPE_SEP)).alias("n_sym")
+    )
+    d = load_table(spark, "documents", sf_dir)
+    doc_words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_chars * 10000 DIV n_tokens").alias("chars_per_token_bps"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return f"""\
+{_bpe_train_ctes()},
+vocab AS (
+  SELECT word, len(string_split(spell, '{_BPE_SEP}')) AS n_sym FROM s2),
+dw AS (
+  SELECT doc_id, w AS word, COUNT(*) AS n_occ
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(n_occ * n_sym) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_occ * length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_occ * length(word)) AS BIGINT) * 10000
+         // CAST(SUM(n_occ * n_sym) AS BIGINT) AS chars_per_token_bps
+FROM dw JOIN vocab USING (word)
+GROUP BY doc_id"""
+
+
+register("text_bpe_encode", text_bpe_encode, _bpe_encode_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -1431,3 +1431,132 @@ FROM ({union})"""
 
 
 register("ts_lttb", ts_lttb, _lttb_sql())
+
+
+# ---------------------------------------------------------------------------
+# ts_stl_decompose — classical additive seasonal decomposition by moving
+# averages (the statsmodels `seasonal_decompose` shape, the moving-average
+# core STL builds on): per event_type daily series,
+#     trend    = centered period-7 moving average,
+#     seasonal = day-of-week mean of the detrended series, grand-centered,
+#     remainder= value − trend − seasonal.
+# All arithmetic is EXACT until a final deterministic floor: daily values are
+# DECIMAL-summed 1e-4 fixed point; the centered MA is kept ×7 as a window
+# SUM (full 7-day frames only — edges NULL like statsmodels); per-dow means
+# and the grand seasonal mean use FLOOR(int64 / int) computed via one IEEE
+# double division — identical operands give identical doubles in both
+# engines, so the floor is bit-stable (Spark DIV truncates while DuckDB //
+# floors, which differ on the negative detrended values — that pair is
+# deliberately avoided).  Every window runs over the AGGREGATED panel
+# (|event_types| × |days| rows), never the facts: at 100 TB the only
+# fact-sized operation is the one map-side-combined daily aggregate.
+# ---------------------------------------------------------------------------
+
+STL_PERIOD = 7
+
+
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("bigint")
+            .alias("value_e4")
+        )
+    )
+    half = STL_PERIOD // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    with_trend = daily.withColumn(
+        "trend_x7",
+        F.when(
+            F.count(F.lit(1)).over(w) == STL_PERIOD, F.sum("value_e4").over(w)
+        ),
+    ).withColumn("dow", (F.col("day") % STL_PERIOD).cast("int"))
+    # detrended ×7 keeps exactness: d7 = 7·value − trend_x7
+    detr = with_trend.withColumn(
+        "d7", F.lit(STL_PERIOD) * F.col("value_e4") - F.col("trend_x7")
+    )
+    seas = (
+        detr.filter(F.col("d7").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.floor(
+                F.sum("d7").cast("double") / (F.count(F.lit(1)) * STL_PERIOD)
+            )
+            .cast("bigint")
+            .alias("seasonal_raw")
+        )
+    )
+    grand = seas.groupBy("event_type").agg(
+        F.floor(F.sum("seasonal_raw").cast("double") / STL_PERIOD)
+        .cast("bigint")
+        .alias("grand_mean")
+    )
+    out = (
+        detr.join(F.broadcast(seas), ["event_type", "dow"])
+        .join(F.broadcast(grand), ["event_type"])
+        .select(
+            "event_type",
+            "day",
+            "value_e4",
+            F.floor(F.col("trend_x7").cast("double") / STL_PERIOD)
+            .cast("bigint")
+            .alias("trend_e4"),
+            (F.col("seasonal_raw") - F.col("grand_mean")).alias("seasonal_e4"),
+            (
+                F.col("value_e4")
+                - F.floor(F.col("trend_x7").cast("double") / STL_PERIOD).cast("bigint")
+                - (F.col("seasonal_raw") - F.col("grand_mean"))
+            ).alias("remainder_e4"),
+        )
+    )
+    return out
+
+
+TS_STL_DECOMPOSE_SQL = f"""\
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS value_e4
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, day, value_e4,
+         CASE WHEN COUNT(*) OVER w = {STL_PERIOD}
+              THEN CAST(SUM(value_e4) OVER w AS BIGINT) END AS trend_x7,
+         CAST(day % {STL_PERIOD} AS INT) AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {STL_PERIOD // 2} PRECEDING
+                        AND {STL_PERIOD // 2} FOLLOWING)),
+detr AS (
+  SELECT *, {STL_PERIOD} * value_e4 - trend_x7 AS d7 FROM t),
+seas AS (
+  SELECT event_type, dow,
+         CAST(FLOOR(CAST(SUM(d7) AS DOUBLE) / (COUNT(*) * {STL_PERIOD}))
+              AS BIGINT) AS seasonal_raw
+  FROM detr WHERE d7 IS NOT NULL GROUP BY 1, 2),
+grand AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(SUM(seasonal_raw) AS DOUBLE) / {STL_PERIOD})
+              AS BIGINT) AS grand_mean
+  FROM seas GROUP BY 1)
+SELECT d.event_type, d.day, d.value_e4,
+       CAST(FLOOR(CAST(d.trend_x7 AS DOUBLE) / {STL_PERIOD}) AS BIGINT) AS trend_e4,
+       s.seasonal_raw - g.grand_mean AS seasonal_e4,
+       d.value_e4
+         - CAST(FLOOR(CAST(d.trend_x7 AS DOUBLE) / {STL_PERIOD}) AS BIGINT)
+         - (s.seasonal_raw - g.grand_mean) AS remainder_e4
+FROM detr d
+JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+JOIN grand g ON d.event_type = g.event_type"""
+
+
+register("ts_stl_decompose", ts_stl_decompose, TS_STL_DECOMPOSE_SQL)

@@ -703,3 +703,19 @@ def test_lttb_structure(spark):
         assert grp["rn"].iloc[0] == 1
         assert grp["rn"].iloc[-1] == counts[uid]
     assert set(out["user_id"]) == set(counts[counts >= B].index)
+
+
+def test_ivfpq_ann_scores_match_brute(spark):
+    """IVFPQ (coarse cells → residual PQ → ADC in probed lists) returns
+    TOP_K exact-reranked rows per query, and any hit shared with brute
+    force carries the identical exact score."""
+    brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
+    ivfpq = similarity.sim_ivfpq_ann(spark, SF_SMALL).toPandas()
+    assert len(ivfpq) == similarity.N_QUERIES * similarity.TOP_K
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
+    checked = 0
+    for r in ivfpq.itertuples():
+        if (r.query_id, r.vec_id) in brute_scores:
+            assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
+            checked += 1
+    assert checked > 0
