@@ -78,6 +78,7 @@ _CHECK_FIRST = (
     "ts_stl_decompose",
     "text_bpe_encode",
     "sim_ivfpq_ann",
+    "func_quantile_rollup",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

@@ -1392,7 +1392,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
         .cast("bigint")
         .alias("cc")
-    )
+    ).localCheckpoint()  # cells×D rows; consumed by residual AND query branches
     relems = celems.join(F.broadcast(ccent), ["cell", "d"]).select(
         "vec_id", "cell", "d", "m", (F.col("v") - F.col("cc")).alias("v")
     )

@@ -78,3 +78,133 @@ GROUP BY h.day, e.exact_users"""
 
 register("func_sketch_rollup", func_sketch_rollup, FUNC_SKETCH_ROLLUP_SQL)
 
+
+
+# ---------------------------------------------------------------------------
+# func_quantile_rollup — the quantile analogue of func_sketch_rollup:
+# percentiles don't re-roll (a day's p90 is not derivable from hourly p90s),
+# but an equi-width HISTOGRAM merges losslessly — hourly (day, hr, bucket,
+# cnt) rows sum into the daily histogram, and any percentile is answered
+# from the merged tier by cumulative-rank lookup with a provable ±bucket
+# error bound.  At 100 TB only the hourly tier scans facts; daily (and any
+# coarser) percentiles are bucket-count merges, bytes per group.
+#
+# Contract (same shape as the HLL rollup): hash-matched columns are the day,
+# the exact disc-percentile (rank ceil(p·n), the proven func_percentile_disc
+# formulation), the histogram bucket's [lo, hi] answer interval, and the
+# boolean pinning the exact value inside it — a wrong cumulative-rank lookup
+# flips the boolean/interval and the hash.  Buckets are exact integer math
+# on 1e-2 fixed-point values (non-negative, so DIV/​// agree).
+# ---------------------------------------------------------------------------
+
+QR_W = 500  # bucket width in 1e-2 units (5.00) → ≤ ±2.5 absolute error
+_QR_PCTS = [(1, 2, "p50"), (9, 10, "p90")]
+
+
+def func_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        "event_id",
+    )
+    hourly = e.groupBy("day", "hr", F.expr(f"v DIV {QR_W}").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    daily = hourly.groupBy("day", "bkt").agg(F.sum("cnt").alias("cnt"))
+    wcum = W.partitionBy("day").orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+    hist = daily.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("day"))
+    )
+    picks = [F.max("n").alias("n_events")]
+    for num, den, lbl in _QR_PCTS:
+        target = F.expr(f"({num} * n + {den} - 1) DIV {den}")
+        picks.append(
+            F.min(F.when(F.col("cum") >= target, F.col("bkt"))).alias(f"__b_{lbl}")
+        )
+    hsel = hist.groupBy("day").agg(*picks)
+
+    we = W.partitionBy("day").orderBy(F.asc("v"), F.asc("event_id"))
+    ranked = e.select(
+        "day",
+        "v",
+        F.row_number().over(we).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("day")).alias("n"),
+    )
+    eaggs = []
+    for num, den, lbl in _QR_PCTS:
+        target = F.expr(f"({num} * n + {den} - 1) DIV {den}")
+        eaggs.append(
+            F.min(F.when(F.col("rk") == target, F.col("v"))).alias(f"{lbl}_exact_e2")
+        )
+    exact = ranked.groupBy("day").agg(*eaggs)
+
+    cols = ["day", "n_events"]
+    for _num, _den, lbl in _QR_PCTS:
+        lo = F.col(f"__b_{lbl}") * QR_W
+        hi = lo + (QR_W - 1)
+        cols += [
+            F.col(f"{lbl}_exact_e2"),
+            lo.alias(f"{lbl}_lo_e2"),
+            hi.alias(f"{lbl}_hi_e2"),
+            F.col(f"{lbl}_exact_e2").between(lo, hi).alias(f"{lbl}_in_bucket"),
+        ]
+    return hsel.join(exact, "day").select(*cols)
+
+
+def _quantile_rollup_sql() -> str:
+    hcols, ecols, ocols = [], [], []
+    for num, den, lbl in _QR_PCTS:
+        hcols.append(
+            f"MIN(CASE WHEN cum >= ({num} * n + {den} - 1) // {den} "
+            f"THEN bkt END) AS b_{lbl}"
+        )
+        ecols.append(
+            f"MIN(CASE WHEN rk = ({num} * n + {den} - 1) // {den} "
+            f"THEN v END) AS {lbl}_exact_e2"
+        )
+        ocols.append(
+            f"e.{lbl}_exact_e2,\n"
+            f"       b_{lbl} * {QR_W} AS {lbl}_lo_e2,\n"
+            f"       b_{lbl} * {QR_W} + {QR_W - 1} AS {lbl}_hi_e2,\n"
+            f"       e.{lbl}_exact_e2 BETWEEN b_{lbl} * {QR_W} "
+            f"AND b_{lbl} * {QR_W} + {QR_W - 1} AS {lbl}_in_bucket"
+        )
+    return f"""\
+WITH e AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         hour(ts) AS hr,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         event_id
+  FROM events),
+hourly AS (
+  SELECT day, hr, v // {QR_W} AS bkt, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
+daily AS (
+  SELECT day, bkt, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hourly GROUP BY 1, 2),
+hist AS (
+  SELECT day, bkt, cnt,
+         SUM(cnt) OVER (PARTITION BY day ORDER BY bkt
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY day) AS n
+  FROM daily),
+hsel AS (
+  SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+         {(',' + chr(10) + '         ').join(hcols)}
+  FROM hist GROUP BY day),
+ranked AS (
+  SELECT day, v,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY v, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY day) AS n
+  FROM e),
+exact AS (
+  SELECT day,
+         {(',' + chr(10) + '         ').join(ecols)}
+  FROM ranked GROUP BY day)
+SELECT h.day, h.n_events,
+       {(',' + chr(10) + '       ').join(ocols)}
+FROM hsel h JOIN exact e USING (day)"""
+
+
+register("func_quantile_rollup", func_quantile_rollup, _quantile_rollup_sql())

@@ -1467,6 +1467,10 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("value_e4")
         )
+        # the tiny (|types| × |days|) panel feeds the trend window, the
+        # seasonal aggregate AND the final select — checkpoint it so the
+        # fact scan runs once, not once per re-inlined consumer
+        .localCheckpoint()
     )
     half = STL_PERIOD // 2
     w = (

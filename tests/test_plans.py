@@ -634,3 +634,57 @@ def test_lttb_single_exchange_grouped_kernel(spark):
     assert "FlatMapGroupsInPandas" in physical_plan(df)
     ex = exchange_args(df)
     assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+def test_stl_windows_run_over_aggregated_panel(spark):
+    """ts_stl_decompose: every Window partitions by event_type and runs over
+    the checkpointed daily panel — the plan contains NO events scan (the one
+    fact pass happens at panel materialization) and no unpartitioned
+    window."""
+    import re
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+
+    df = timeseries.ts_stl_decompose(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert table_scan_count(df, "events.parquet") == 0
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan):
+        assert "event_type" in m.group(1)
+
+
+def test_quantile_rollup_two_fact_passes(spark):
+    """func_quantile_rollup: the hourly histogram tier is one fact pass and
+    the exact-percentile verification is the second — nothing else may touch
+    events, and no quadratic join appears."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import sketches
+
+    df = sketches.func_quantile_rollup(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert table_scan_count(df, "events.parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_encode_single_corpus_scan_broadcast_vocab(spark):
+    """text_bpe_encode: the trained vocabulary joins BROADCAST against the
+    per-doc word counts, and the query plan scans documents exactly once
+    (training is materialized behind checkpoints)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import text
+
+    df = text.text_bpe_encode(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert table_scan_count(df, "documents.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_all_joins_broadcast(spark):
+    """sim_ivfpq_ann: like sim_pq_ann, every join must broadcast (cells,
+    centroids, codebook, ADC tables, query batch) — the corpus side is never
+    shuffled into a SortMergeJoin and no nested-loop join appears."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import similarity
+
+    plan = physical_plan(similarity.sim_ivfpq_ann(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
