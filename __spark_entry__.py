@@ -61,10 +61,13 @@ _CHECK_FIRST = (
     # (b) latent 7th HUGEINT oracle, never driver-checked
     "rel_priority_lateness",
     # (c) round-2 NTZ fails — fix live since round 3, still red-on-record
+    # (rel_asof_join's r1 green predates the r2 error record, so it needs a
+    # fresh row too)
     "rel_latest_event",
     "rel_moving_window",
     "rel_range_bucket_join",
     "rel_sessionize",
+    "rel_asof_join",
     # (d) Phi goldens lacking a fresh driver row
     "phi_q10",
     "phi_q6",
@@ -134,7 +137,6 @@ _CHECK_FIRST = (
     "embed_outlier_score",
     "graph_pagerank",
     # ever-green tail (latest green row round 2/3/5); kept for determinism
-    "rel_asof_join",
     "rel_status_transitions",
     "text_charset_profile",
     "rel_max_concurrency",

@@ -586,21 +586,31 @@ IVF_PROBES = 3  # own cell + the two least-confident single-bit flips
 
 def _ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, p0..p{B-1}, cell): deterministic SRP coarse-cell
-    assignment — persisted because it feeds the scan side AND the
-    probe/query side (and, for IVFPQ, the residual/codebook side)."""
-    e = load_table(spark, "embeddings", sf_dir)
-    proj = _projections(e, "ivf", IVF_BITS, _peek_dim(sf_dir))
-    assigned = proj.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("bt") == b, F.col("p"))).alias(f"p{b}")
-            for b in range(IVF_BITS)
-        ]
-    ).join(e.select("vec_id", "embedding"), "vec_id")
-    cell = sum(
-        (F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(IVF_BITS)),
-        F.lit(0),
-    ).cast("int")
-    return assigned.withColumn("cell", cell).persist()
+    assignment — SESSION-CACHED (not persisted per call) because it feeds
+    the scan side AND the probe/query side of sim_ivf_ann, plus the
+    residual/codebook side of sim_ivfpq_ann, and sim_recall_report invokes
+    both: a per-call persist would leak one identical copy per invocation."""
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        e = load_table(spark, "embeddings", sf_dir)
+        proj = _projections(e, "ivf", IVF_BITS, _peek_dim(sf_dir))
+        assigned = proj.groupBy("vec_id").agg(
+            *[
+                F.max(F.when(F.col("bt") == b, F.col("p"))).alias(f"p{b}")
+                for b in range(IVF_BITS)
+            ]
+        ).join(e.select("vec_id", "embedding"), "vec_id")
+        cell = sum(
+            (
+                F.when(F.col(f"p{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(IVF_BITS)
+            ),
+            F.lit(0),
+        ).cast("int")
+        return assigned.withColumn("cell", cell).persist()
+
+    return session_cached("ivf_assignments", spark, sf_dir, build)
 
 
 def _ivf_probe_cells() -> Column:

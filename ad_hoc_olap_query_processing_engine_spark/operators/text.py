@@ -700,13 +700,18 @@ register("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL)
 # ML components are mutually consistent and the whole model is five
 # vocab-bounded aggregates over a single shuffle-free zip_with explode —
 # at 100 TB the count tables are the only shuffled relations, AQE broadcasts
-# them when small, and the corpus is scanned once.  The interpolation weights
-# are applied in a FIXED left-to-right arithmetic order and per-doc scores
-# round to 4 dp (the same cross-engine float policy as text_bigram_lm and
-# the cosine scores).  N is a one-row broadcast (allowlisted BNLJ).  Scoring
-# the training corpus itself means no component is ever zero — the mixture
-# grades fluency rather than gating OOV, which is the actual quality-filter
-# use (unseen-event smoothing only matters when scoring held-out text).
+# them when small, and the corpus is scanned once.  N is a one-row broadcast
+# (allowlisted BNLJ).  Scoring the training corpus itself means no component
+# is ever zero — the mixture grades fluency rather than gating OOV, which is
+# the actual quality-filter use.
+#
+# Hashed-output determinism: each PER-TOKEN mixture p is one fixed
+# left-to-right IEEE expression over identical integer operands (bit-stable
+# cross-engine), immediately quantized to FLOOR(p·10⁶) BIGINT; the per-doc
+# rollup then SUMS INTEGERS — order-independent, unlike an AVG of doubles
+# whose partial-aggregation order differs between Spark and DuckDB (the
+# determinism-playbook hazard a ROUND(AVG(ln ...), 4) formulation would
+# carry).  avg_p is the integer quotient of non-negatives (DIV == //).
 # ---------------------------------------------------------------------------
 
 TRIGRAM_L3, TRIGRAM_L2, TRIGRAM_L1 = 0.6, 0.3, 0.1
@@ -741,6 +746,7 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(TRIGRAM_L2) * (F.col("c23") / F.col("cu2"))
         + F.lit(TRIGRAM_L1) * (F.col("cu3") / F.col("n"))
     )
+    p_e6 = F.floor(p * 1_000_000).cast("bigint")
     return (
         tri.join(c3, ["w1", "w2", "w3"])
         .join(c2ctx, ["w1", "w2"])
@@ -751,8 +757,13 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(F.avg(F.log(p)), 4).alias("avg_logp"),
-            F.round(F.exp(-F.avg(F.log(p))), 4).alias("ppl"),
+            F.sum(p_e6).alias("sum_p_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "sum_p_e6",
+            F.expr("sum_p_e6 DIV n_trigrams").alias("avg_p_e6"),
         )
     )
 
@@ -767,20 +778,24 @@ c2ctx AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri GROUP BY 1, 2),
 c23   AS (SELECT w2, w3, COUNT(*) AS c23 FROM tri GROUP BY 1, 2),
 c2u   AS (SELECT w2, COUNT(*) AS cu2 FROM tri GROUP BY 1),
 c3u   AS (SELECT w3, COUNT(*) AS cu3 FROM tri GROUP BY 1),
-nn    AS (SELECT COUNT(*) AS n FROM tri)
-SELECT t.doc_id, COUNT(*) AS n_trigrams,
-       ROUND(AVG(ln({TRIGRAM_L3} * (c3 / c2) + {TRIGRAM_L2} * (c23 / cu2)
-                    + {TRIGRAM_L1} * (cu3 / n))), 4) AS avg_logp,
-       ROUND(exp(-AVG(ln({TRIGRAM_L3} * (c3 / c2) + {TRIGRAM_L2} * (c23 / cu2)
-                         + {TRIGRAM_L1} * (cu3 / n)))), 4) AS ppl
-FROM tri t
-JOIN c3 USING (w1, w2, w3)
-JOIN c2ctx USING (w1, w2)
-JOIN c23 USING (w2, w3)
-JOIN c2u USING (w2)
-JOIN c3u USING (w3)
-CROSS JOIN nn
-GROUP BY t.doc_id"""
+nn    AS (SELECT COUNT(*) AS n FROM tri),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(({TRIGRAM_L3} * (c3 / c2) + {TRIGRAM_L2} * (c23 / cu2)
+                     + {TRIGRAM_L1} * (cu3 / n)) * 1000000) AS BIGINT) AS p_e6
+  FROM tri t
+  JOIN c3 USING (w1, w2, w3)
+  JOIN c2ctx USING (w1, w2)
+  JOIN c23 USING (w2, w3)
+  JOIN c2u USING (w2)
+  JOIN c3u USING (w3)
+  CROSS JOIN nn)
+SELECT doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(p_e6) AS BIGINT) AS sum_p_e6,
+       CAST(SUM(p_e6) AS BIGINT) // COUNT(*) AS avg_p_e6
+FROM scored
+GROUP BY doc_id"""
 
 
 register("text_trigram_lm", text_trigram_lm, TEXT_TRIGRAM_LM_SQL)

@@ -1473,10 +1473,14 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     half = STL_PERIOD // 2
+    # RANGE (not ROWS) on the numeric day: with a gapped panel a ROWS frame
+    # would silently span more than 7 calendar days and still pass the
+    # completeness check — RANGE + COUNT==7 means "a full calendar week of
+    # data or no trend at all", the statsmodels contract
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
-        .rowsBetween(-half, half)
+        .rangeBetween(-half, half)
     )
     with_trend = daily.withColumn(
         "trend_x7",
@@ -1538,8 +1542,8 @@ t AS (
          CAST(day % {STL_PERIOD} AS INT) AS dow
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN {STL_PERIOD // 2} PRECEDING
-                        AND {STL_PERIOD // 2} FOLLOWING)),
+               RANGE BETWEEN {STL_PERIOD // 2} PRECEDING
+                         AND {STL_PERIOD // 2} FOLLOWING)),
 detr AS (
   SELECT *, {STL_PERIOD} * value_e4 - trend_x7 AS d7 FROM t),
 seas AS (

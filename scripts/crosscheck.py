@@ -13,31 +13,16 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from ad_hoc_olap_query_processing_engine_spark.oracle_lint import TABLES, bad_columns
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-# Driver-hash-safe DuckDB output types (see tests/test_oracle_types.py).
-# HUGEINT/DECIMAL silently coerce to float64/object in .df(), so a pandas
-# value-compare alone is structurally blind to them — lint the relation's
-# declared types BEFORE comparing values.
-ALLOWED_TYPES = {
-    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
-    "DOUBLE", "FLOAT",
-    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
-}
 
 
 def lint_oracle_types(con, sql: str) -> None:
-    rel = con.sql(sql)
-    bad = [
-        (col, str(typ))
-        for col, typ in zip(rel.columns, rel.types)
-        if str(typ) not in ALLOWED_TYPES
-    ]
+    # shared bind-time type lint (ad_hoc_olap_query_processing_engine_spark/oracle_lint.py):
+    # HUGEINT/DECIMAL silently coerce to float64/object in .df(), so the
+    # pandas value-compare below is structurally blind to them
+    bad = bad_columns(con, sql)
     if bad:
         raise AssertionError(
             f"oracle outputs driver-hash-unsafe DuckDB types {bad}; CAST to BIGINT/DOUBLE/..."

@@ -1,16 +1,11 @@
-"""Oracle result-type lint.
+"""Oracle result-type lint (pytest gate).
 
-The driver hash-matches Spark results against DuckDB oracle results. DuckDB
-types an uncast ``SUM(int)`` / ``list_sum(int)`` as HUGEINT (int128) and an
-uncast DECIMAL stays DECIMAL — both serialize differently from Spark's
-BIGINT/DOUBLE in the driver's value-hash, flipping hash_match false even when
-every value is identical (round-5 postmortem: 6/50 driver rows red purely for
-this; see VERDICT.md round 5 "What's wrong" #1).
-
-This lint binds every registered oracle against the sf0.001 views and asserts
-every output column's declared DuckDB type is in the closed allow-set that is
-known to hash identically to the matching Spark type. Binding only (no
-execution) — the whole sweep is sub-second.
+See ad_hoc_olap_query_processing_engine_spark/oracle_lint.py — the shared
+single-source-of-truth allow-set and bind-time column lint — for why this
+exists (round-5 postmortem: 6/50 driver rows hash-red purely because uncast
+``SUM(int)`` oracles typed as HUGEINT). This file parametrizes that lint
+over every registered oracle against the sf0.001 views; binding only, the
+whole sweep is sub-second.
 """
 
 from __future__ import annotations
@@ -20,21 +15,13 @@ import os
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from ad_hoc_olap_query_processing_engine_spark.oracle_lint import (
+    ALLOWED_TYPES,
+    TABLES,
+    bad_columns,
+)
 
-# Closed allow-set: these DuckDB types hash identically to their Spark
-# counterparts under the driver's canonicalization. Anything else (HUGEINT,
-# DECIMAL, TIMESTAMP WITH TIME ZONE, nested types, ...) must be CAST in the
-# oracle SQL to one of these.
-ALLOWED = {
-    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
-    "DOUBLE", "FLOAT",
-    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
-}
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _oracles() -> dict[str, str]:
@@ -51,19 +38,10 @@ def con():
     return c
 
 
-def _bad_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str]]:
-    rel = con.sql(sql)
-    return [
-        (col, str(typ))
-        for col, typ in zip(rel.columns, rel.types)
-        if str(typ) not in ALLOWED
-    ]
-
-
 @pytest.mark.parametrize("name", sorted(_oracles()))
 def test_oracle_result_types_in_allow_set(con, name):
-    bad = _bad_columns(con, _oracles()[name])
+    bad = bad_columns(con, _oracles()[name])
     assert not bad, (
         f"oracle '{name}' outputs driver-hash-unsafe DuckDB types {bad}; "
-        f"CAST them to one of {sorted(ALLOWED)} in the oracle SQL"
+        f"CAST them to one of {sorted(ALLOWED_TYPES)} in the oracle SQL"
     )

@@ -609,15 +609,18 @@ def test_pq_codebook_well_formed(spark):
 
 
 def test_trigram_lm_probabilities_are_probabilities(spark):
-    """Interpolated mixture of ML components each ≤ 1 ⇒ per-token p ≤ 1 ⇒
-    avg log-prob ≤ 0 and perplexity ≥ 1 for every document."""
+    """Interpolated mixture of ML components each ≤ 1 ⇒ per-token p ∈ (0, 1]
+    ⇒ the fixed-point per-doc aggregates are bounded: 0 ≤ avg_p_e6 ≤ 10⁶ and
+    sum_p_e6 ≤ n_trigrams·10⁶, with the quotient identity holding."""
     from ad_hoc_olap_query_processing_engine_spark.operators import text
 
     out = text.text_trigram_lm(spark, SF_SMALL).toPandas()
     assert len(out) > 0
-    assert (out["avg_logp"] <= 0).all()
-    assert (out["ppl"] >= 1).all()
     assert (out["n_trigrams"] > 0).all()
+    assert (out["sum_p_e6"] > 0).all()
+    assert (out["sum_p_e6"] <= out["n_trigrams"] * 1_000_000).all()
+    assert (out["avg_p_e6"] == out["sum_p_e6"] // out["n_trigrams"]).all()
+    assert out["avg_p_e6"].between(0, 1_000_000).all()
 
 
 def _lttb_reference(ts_us, event_id, value, B):
