@@ -82,6 +82,8 @@ _CHECK_FIRST = (
     "text_bpe_encode",
     "sim_ivfpq_ann",
     "func_quantile_rollup",
+    "rel_interval_coverage",
+    "text_rake_keywords",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

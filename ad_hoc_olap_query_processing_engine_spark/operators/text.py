@@ -13,7 +13,7 @@ fingerprint is md5 — all bit-identical in Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1480,3 +1480,117 @@ FROM t GROUP BY lang"""
 
 
 register("text_charset_profile", text_charset_profile, TEXT_CHARSET_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords — RAKE keyword extraction (Rapid Automatic Keyword
+# Extraction, Rose et al. 2010): candidate phrases are the maximal stopword-
+# free token runs, each word scores degree/frequency over the candidate
+# corpus (degree = Σ length of the phrases it appears in — co-occurrence
+# incl. itself), and a phrase scores the sum of its words' scores.  The
+# run-splitting is the gaps-and-islands trick (island id = running count of
+# stopword/empty positions per document), so candidate extraction is pure
+# windowed columnar work — no UDF, no per-row Python.
+#
+# Determinism: word scores are quantized FIRST — s_w = (degree·10⁶) DIV
+# freq, exact integer division of non-negatives — and a phrase sums those
+# INTEGERS, so no float aggregate whose order could differ across engines
+# ever reaches the hashed output (same policy as text_trigram_lm).  Top-20
+# phrases break ties lexicographically.  Phrases are capped at 4 tokens
+# (RAKE's practical cap); the word-stat and phrase tables are vocabulary-
+# bounded, the corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 20
+RAKE_MAX_LEN = 4
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    stop = F.col("tok").isin(*_STOPWORDS) | (F.length("tok") == 0)
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = toks.withColumn("brk", stop.cast("int")).withColumn(
+        "island", F.sum("brk").over(w_run)
+    )
+    inst = (
+        islands.filter(~stop)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("len"),
+        )
+        .filter(F.col("len") <= RAKE_MAX_LEN)
+    )
+    wstats = (
+        inst.select(F.explode(F.split("phrase", " ")).alias("word"), "len")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("len").alias("degree"),
+        )
+        .select("word", F.expr("degree * 1000000 DIV freq").alias("s_e6"))
+    )
+    dphrase = inst.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        dphrase.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(wstats, "word")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("s_e6").alias("score_e6"))
+    )
+    return (
+        scored.orderBy(F.desc("score_e6"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+        .select("phrase", "n_occ", "score_e6")
+    )
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""\
+WITH toks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)),
+islands AS (
+  SELECT doc_id, pos, tok,
+         (tok IN ({stops}) OR length(tok) = 0) AS brk,
+         SUM(CASE WHEN tok IN ({stops}) OR length(tok) = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM toks),
+inst AS (
+  SELECT doc_id, island,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(p := pos, t := tok))), r -> r.t), ' ') AS phrase,
+         COUNT(*) AS len
+  FROM islands WHERE NOT brk
+  GROUP BY doc_id, island
+  HAVING COUNT(*) <= {RAKE_MAX_LEN}),
+wstats AS (
+  SELECT w AS word,
+         (CAST(SUM(len) AS BIGINT) * 1000000) // COUNT(*) AS s_e6
+  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM inst)
+  GROUP BY w),
+dphrase AS (
+  SELECT phrase, COUNT(*) AS n_occ FROM inst GROUP BY phrase),
+scored AS (
+  SELECT p.phrase, p.n_occ, CAST(SUM(ws.s_e6) AS BIGINT) AS score_e6
+  FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS word
+        FROM dphrase) p
+  JOIN wstats ws ON ws.word = p.word
+  GROUP BY p.phrase, p.n_occ)
+SELECT phrase, n_occ, score_e6
+FROM scored
+ORDER BY score_e6 DESC, phrase ASC
+LIMIT {RAKE_TOP_K}"""
+
+
+register("text_rake_keywords", text_rake_keywords, _rake_sql())

@@ -1568,3 +1568,81 @@ JOIN grand g ON d.event_type = g.event_type"""
 
 
 register("ts_stl_decompose", ts_stl_decompose, TS_STL_DECOMPOSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_interval_coverage — merged-interval time coverage per user: each event
+# opens a CONC_INTERVAL_US activity window (same convention as
+# rel_max_concurrency); overlapping windows union, and the query reports how
+# much wall-clock each user was "active" plus how many disjoint activity
+# islands that is.  The classic gaps-and-islands sweep, fully windowed:
+# order intervals by start per user, carry the running MAX(end) over
+# PRECEDING rows, mark an island start whenever start > that carry, number
+# islands by a cumulative sum of the marks, then one aggregate per island
+# and one per user.  Two partition-aligned exchanges total (user_id, then
+# user_id ∪ island — the second reuses the first's partitioning), never a
+# self-join: the O(n²) interval-overlap formulation this replaces is the
+# thing that dies at 100 TB.  Pure epoch-µs int64 arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+
+def rel_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + CONC_INTERVAL_US).alias("t"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = e.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("t").over(w_prev), F.lit(-1)), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("t").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo")).alias("covered_us"),
+    )
+
+
+REL_INTERVAL_COVERAGE_SQL = f"""\
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {CONC_INTERVAL_US} AS t,
+         event_id
+  FROM events),
+marked AS (
+  SELECT user_id, s, t,
+         CASE WHEN s > COALESCE(MAX(t) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv),
+numbered AS (
+  SELECT user_id, s, t,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked),
+islands AS (
+  SELECT user_id, island, MIN(s) AS lo, MAX(t) AS hi, COUNT(*) AS n
+  FROM numbered GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands,
+       CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+FROM islands
+GROUP BY user_id"""
+
+
+register("rel_interval_coverage", rel_interval_coverage, REL_INTERVAL_COVERAGE_SQL)

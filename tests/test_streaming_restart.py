@@ -226,3 +226,63 @@ def test_update_mode_emits_only_changed_keys(spark):
                     assert ns == [1], (key, ns)
         finally:
             q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): duplicates of a key whose
+    event times fall within the watermark delay are suppressed, but once the
+    watermark passes the first event's horizon the key's state is evicted
+    and a LATER duplicate re-emits — the bounded-state streaming dedup that
+    plain dropDuplicates (unbounded state per key) cannot provide. Batches
+    are driven one file per trigger so watermark advancement between
+    duplicates is deterministic."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # batch 1: user 0 at t+0 and a SAME-KEY duplicate at t+9min (9 % 3
+        # == 0; inside the 30-min delay) → one emission for user 0, plus
+        # user 1 at t+10
+        _write(spark, src, [0, 9, 10])
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        deduped = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .select("user_id", F.col("ts").cast("long").alias("t"))
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ddww_test")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+            first = {(r.user_id, r.t) for r in spark.table("ddww_test").collect()}
+            # the t+9 duplicate of user 0 is suppressed; distinct keys emit
+            assert first == {(0, t0), (1, t0 + 600)}, first
+            # batch 2: user 0 again at t+6h. The watermark only advances
+            # AFTER a batch (to batch-1's max − delay = t−20min), so user 0's
+            # state is still live AT ARRIVAL and this event is SUPPRESSED —
+            # even though it is hours past the 30-min delay. Completing the
+            # batch then moves the watermark to t+5h30, evicting the state.
+            _write(spark, src, [360])
+            q.processAllAvailable()
+            # batch 3: user 0 at t+7h finds no state → must RE-emit.
+            _write(spark, src, [420])
+            q.processAllAvailable()
+            rows = [(r.user_id, r.t) for r in spark.table("ddww_test").collect()]
+            user0 = sorted(t for u, t in rows if u == 0)
+            assert user0 == [t0, t0 + 420 * 60], rows
+        finally:
+            q.stop()
