@@ -84,6 +84,8 @@ _CHECK_FIRST = (
     "func_quantile_rollup",
     "rel_interval_coverage",
     "text_rake_keywords",
+    "graph_kcore",
+    "sim_pq_distortion",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

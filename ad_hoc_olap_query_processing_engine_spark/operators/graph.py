@@ -226,8 +226,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAPH_TRIANGLES_SQL = f"""\
-WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+# shared oracle CTEs for the degree-capped kNN co-purchase graph (consumed
+# by graph_triangles and graph_kcore)
+_KNN_EDGES_CTES = f"""\
+items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
 pairs AS (
   SELECT i1.pk AS a, i2.pk AS b, COUNT(*) AS cnt
   FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
@@ -239,7 +241,10 @@ edges AS (
   SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, y ASC) AS rn
         FROM nbrs)
-  WHERE rn <= {TRI_KNN}),
+  WHERE rn <= {TRI_KNN})"""
+
+GRAPH_TRIANGLES_SQL = f"""\
+WITH {_KNN_EDGES_CTES},
 tris AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM edges e1
@@ -392,3 +397,91 @@ GROUP BY 1, 2"""
 
 
 register("graph_degree_histogram", graph_degree_histogram, GRAPH_DEGREE_HISTOGRAM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — k-core decomposition by iterative peeling over the shared
+# degree-capped kNN co-purchase graph: each round removes every node whose
+# symmetric degree is below KCORE_K, reports (round, n_removed,
+# n_remaining), and re-derives degrees over the surviving edges.  The
+# output is the peel TRACE — a final round with n_removed = 0 certifies
+# convergence to the k-core on this data; a non-zero last row documents the
+# bound honestly.  Counting convention: a node whose every incident edge
+# dies with a removed neighbor leaves the degree table implicitly (the
+# trace counts nodes with ≥1 surviving edge) — the DuckDB oracle replays
+# the identical rule round by round as unrolled CTEs.
+#
+# Scale shape: per round one map-side-combined degree aggregate + two
+# anti-joins against the (small) weak-node set, with a localCheckpoint
+# barrier so the shrinking edge table doesn't re-derive per round — the
+# same bounded-iteration discipline as graph_bfs_layers / graph_pagerank.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_copurchase_edges(spark, sf_dir)
+    cur = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    trace = None
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        row = deg.agg(
+            F.sum(F.when(F.col("deg") < KCORE_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("deg") >= KCORE_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_remaining"),
+        ).select(F.lit(r).cast("int").alias("round"), "n_removed", "n_remaining")
+        trace = row if trace is None else trace.unionByName(row)
+        if r < KCORE_ROUNDS:
+            # no broadcast hint: the weak set is node-sized and round-1 can
+            # remove a large fraction of a real graph — AQE broadcasts it
+            # when it measures small and shuffles it when it isn't
+            weak = deg.filter(F.col("deg") < KCORE_K).select(F.col("a").alias("w"))
+            cur = (
+                cur.join(weak, cur.a == F.col("w"), "left_anti")
+                .join(weak, cur.b == F.col("w"), "left_anti")
+                .localCheckpoint()
+            )
+    return trace
+
+
+def _kcore_sql() -> str:
+    k = KCORE_K
+    parts = [f"WITH {_KNN_EDGES_CTES},"]
+    parts.append("sym0 AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),")
+    rows = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        i = r - 1
+        parts.append(
+            f"deg{r} AS (SELECT a, COUNT(*) AS d FROM sym{i} GROUP BY a),"
+        )
+        parts.append(
+            f"r{r} AS (SELECT {r} AS round,\n"
+            f"  CAST(SUM(CASE WHEN d < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,\n"
+            f"  CAST(SUM(CASE WHEN d >= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining\n"
+            f"  FROM deg{r}),"
+        )
+        if r < KCORE_ROUNDS:
+            parts.append(
+                f"weak{r} AS (SELECT a AS w FROM deg{r} WHERE d < {k}),"
+            )
+            parts.append(
+                f"sym{r} AS (SELECT s.a, s.b FROM sym{i} s\n"
+                f"  WHERE s.a NOT IN (SELECT w FROM weak{r})\n"
+                f"    AND s.b NOT IN (SELECT w FROM weak{r})),"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(round AS INT) AS round, n_removed, n_remaining FROM r{r}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    body = "\n".join(parts)
+    return f"{body[:-1]}\n{union}" if body.endswith(",") else f"{body}\n{union}"
+
+
+register("graph_kcore", graph_kcore, _kcore_sql())

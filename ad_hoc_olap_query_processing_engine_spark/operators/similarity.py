@@ -1327,8 +1327,10 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(pairs)
 
 
-SIM_PQ_ANN_SQL = f"""\
-WITH elems AS (
+# shared oracle CTEs: quantized elements -> deterministic one-Lloyd-step
+# codebook -> PQ codes (consumed by sim_pq_ann and sim_pq_distortion)
+_PQ_INDEX_CTES = f"""\
+elems AS (
   SELECT vec_id,
          CAST(i AS INT) - 1 AS d,
          CAST(((CAST(i AS INT) - 1) * {PQ_M}) // len(embedding) AS INT) AS m,
@@ -1358,7 +1360,10 @@ ess AS (
   GROUP BY 1, 2, 3),
 codes AS (
   SELECT vec_id, m, CAST(MIN(ss * {PQ_K} + k) % {PQ_K} AS INT) AS k
-  FROM ess GROUP BY vec_id, m),
+  FROM ess GROUP BY vec_id, m)"""
+
+SIM_PQ_ANN_SQL = f"""\
+WITH {_PQ_INDEX_CTES},
 qd AS (
   SELECT e.vec_id AS query_id, e.m, cb.k,
          SUM((e.v - cb.c) * (e.v - cb.c)) AS qd
@@ -1381,6 +1386,62 @@ cand AS (
 
 
 register("sim_pq_ann", sim_pq_ann, SIM_PQ_ANN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_distortion — the PQ index-quality report every production vector
+# store ships next to its codebook: per subspace, the exact reconstruction
+# error of the encoded corpus (L2² between each subvector and its assigned
+# centroid) plus codebook utilization.  This is the number that tells an
+# operator whether PQ_K/PQ_M are adequate BEFORE recall degrades — rising
+# distortion in one subspace means its value distribution outgrew the
+# codebook.  All int64 (quantized elements, integer centroids), so the
+# report hash-matches the oracle bit-for-bit: n_vectors, used centroids,
+# total / mean (×10⁴, integer DIV) / max per-vector error per subspace.
+# One pass over the encoded corpus joined to the broadcast codebook.
+# ---------------------------------------------------------------------------
+
+
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = pq_codebook(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    per_vec = (
+        _pq_elems(e)
+        .join(codes, ["vec_id", "m"])
+        .join(F.broadcast(cb), ["m", "k", "d"])
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("err"))
+    )
+    return per_vec.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("k").cast("bigint").alias("n_used_centroids"),
+        F.sum("err").alias("total_err"),
+        F.expr("SUM(err) * 10000 DIV COUNT(*)").alias("mean_err_e4"),
+        F.max("err").alias("max_err"),
+    )
+
+
+SIM_PQ_DISTORTION_SQL = f"""\
+WITH {_PQ_INDEX_CTES},
+per_vec AS (
+  SELECT e.vec_id, e.m, co.k,
+         SUM((e.v - cb.c) * (e.v - cb.c)) AS err
+  FROM elems e
+  JOIN codes co ON co.vec_id = e.vec_id AND co.m = e.m
+  JOIN codebook cb ON cb.m = e.m AND cb.k = co.k AND cb.d = e.d
+  GROUP BY 1, 2, 3)
+SELECT m,
+       COUNT(*) AS n_vectors,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_used_centroids,
+       CAST(SUM(err) AS BIGINT) AS total_err,
+       CAST(SUM(err) AS BIGINT) * 10000 // COUNT(*) AS mean_err_e4,
+       CAST(MAX(err) AS BIGINT) AS max_err
+FROM per_vec
+GROUP BY m"""
+
+
+register("sim_pq_distortion", sim_pq_distortion, SIM_PQ_DISTORTION_SQL)
 
 
 # ---------------------------------------------------------------------------
