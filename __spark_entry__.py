@@ -86,6 +86,9 @@ _CHECK_FIRST = (
     "text_rake_keywords",
     "graph_kcore",
     "sim_pq_distortion",
+    "func_bitmap_rollup",
+    "rel_bitmap_set_algebra",
+    "embed_drift_report",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

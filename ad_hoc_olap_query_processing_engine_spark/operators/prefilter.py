@@ -148,3 +148,93 @@ GROUP BY 1, 2"""
 
 
 register("rel_bitmap_distinct", rel_bitmap_distinct, REL_BITMAP_DISTINCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_bitmap_set_algebra — audience set EXPRESSIONS over the same 64-key
+# block-bitmap encoding rel_bitmap_distinct builds: per customer segment the
+# buyer bitmaps of three years are combined word-wise — retained = Y1 AND
+# Y2, churned = Y1 AND NOT Y2, resurrected = (Y1 AND NOT Y2) AND Y3 — and
+# each audience size is Σ popcount of the combined words.  This is the
+# bitmap-index query pattern (roaring-bitmap audience engines, Druid/Pinot
+# set filters): the fact table is scanned ONCE to build the per-year tier;
+# every audience after that is pure word algebra over (segment × blocks)
+# rows — bytes per group, no re-scan, no distinct re-shuffle.  The DuckDB
+# oracle computes the same audiences as direct INTERSECT/EXCEPT-style
+# distinct sets — a deliberately different formulation, so agreement proves
+# the AND/AND-NOT word algebra and the block alignment (a FULL OUTER merge
+# of the per-year block tables, since a block can exist in one year only).
+# ---------------------------------------------------------------------------
+
+_BSA_YEARS = (1996, 1997, 1998)
+
+
+def rel_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    y1, y2, y3 = _BSA_YEARS
+    blk = F.expr("CAST(FLOOR(o_custkey / 64) AS BIGINT)")
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey - 64 * FLOOR(o_custkey / 64) AS INT))"
+    )
+    base = (
+        o.filter(F.year("o_orderdate").isin(*_BSA_YEARS))
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            blk.alias("blk"),
+            bit.alias("bit"),
+        )
+    )
+    words = base.groupBy("c_mktsegment", "yr", "blk").agg(
+        F.bit_or("bit").alias("w")
+    )
+    # pivot the tiny tier to one row per (segment, block) with a word per
+    # year; blocks missing a year get 0 (FULL-merge semantics)
+    tier = (
+        words.groupBy("c_mktsegment", "blk")
+        .pivot("yr", list(_BSA_YEARS))
+        .agg(F.first("w"))
+        .na.fill(0)
+        .withColumnRenamed(str(y1), "w1")
+        .withColumnRenamed(str(y2), "w2")
+        .withColumnRenamed(str(y3), "w3")
+    )
+    retained = F.col("w1").bitwiseAND(F.col("w2"))
+    churned = F.col("w1").bitwiseAND(F.bitwise_not(F.col("w2")))
+    resurrected = churned.bitwiseAND(F.col("w3"))
+    return tier.groupBy("c_mktsegment").agg(
+        F.sum(F.bit_count(retained)).cast("bigint").alias("n_retained"),
+        F.sum(F.bit_count(churned)).cast("bigint").alias("n_churned"),
+        F.sum(F.bit_count(resurrected)).cast("bigint").alias("n_resurrected"),
+    )
+
+
+REL_BITMAP_SET_ALGEBRA_SQL = f"""\
+WITH buyers AS (
+  SELECT DISTINCT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, o_custkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN {_BSA_YEARS}),
+y1 AS (SELECT c_mktsegment, o_custkey FROM buyers WHERE yr = {_BSA_YEARS[0]}),
+y2 AS (SELECT c_mktsegment, o_custkey FROM buyers WHERE yr = {_BSA_YEARS[1]}),
+y3 AS (SELECT c_mktsegment, o_custkey FROM buyers WHERE yr = {_BSA_YEARS[2]}),
+seg AS (SELECT DISTINCT c_mktsegment FROM buyers)
+SELECT s.c_mktsegment,
+       CAST((SELECT COUNT(*) FROM y1 JOIN y2 USING (c_mktsegment, o_custkey)
+             WHERE y1.c_mktsegment = s.c_mktsegment) AS BIGINT) AS n_retained,
+       CAST((SELECT COUNT(*) FROM y1
+             WHERE y1.c_mktsegment = s.c_mktsegment
+               AND NOT EXISTS (SELECT 1 FROM y2
+                               WHERE y2.c_mktsegment = y1.c_mktsegment
+                                 AND y2.o_custkey = y1.o_custkey)) AS BIGINT) AS n_churned,
+       CAST((SELECT COUNT(*) FROM y1 JOIN y3 USING (c_mktsegment, o_custkey)
+             WHERE y1.c_mktsegment = s.c_mktsegment
+               AND NOT EXISTS (SELECT 1 FROM y2
+                               WHERE y2.c_mktsegment = y1.c_mktsegment
+                                 AND y2.o_custkey = y1.o_custkey)) AS BIGINT) AS n_resurrected
+FROM seg s"""
+
+
+register("rel_bitmap_set_algebra", rel_bitmap_set_algebra, REL_BITMAP_SET_ALGEBRA_SQL)

@@ -1996,3 +1996,72 @@ FROM ({unions})"""
 
 
 register("sim_recall_report", sim_recall_report, _recall_report_sql())
+
+
+# ---------------------------------------------------------------------------
+# embed_drift_report — embedding distribution drift between a reference and
+# a candidate split of the corpus (here the deterministic even/odd vec_id
+# halves; in production, last week's corpus vs this week's): per dimension,
+# exact quantized means of both splits, the absolute shift, and a flag when
+# the shift exceeds DRIFT_T — the monitoring table an embedding pipeline
+# alerts on before a drifted encoder silently degrades every downstream ANN
+# query.  One pass over the exploded elements, map-side combined per
+# (split, dim); means use the bit-stable FLOOR(int64-sum / count) idiom, so
+# every hashed column is integer-exact.
+# ---------------------------------------------------------------------------
+
+DRIFT_T = 20  # 1e-3-quantized units; |mean shift| above this flags the dim
+
+
+def embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elems = _pq_elems(load_table(spark, "embeddings", sf_dir))
+    stats = (
+        elems.withColumn("split", (F.col("vec_id") % 2).cast("int"))
+        .groupBy("d", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_q"),
+        )
+    )
+    ref = stats.filter(F.col("split") == 0).select(
+        "d", F.col("n").alias("n_ref"), F.col("mean_q").alias("mean_ref_q")
+    )
+    cand = stats.filter(F.col("split") == 1).select(
+        "d", F.col("n").alias("n_cand"), F.col("mean_q").alias("mean_cand_q")
+    )
+    shift = F.abs(F.col("mean_cand_q") - F.col("mean_ref_q"))
+    return ref.join(cand, "d").select(
+        "d",
+        "n_ref",
+        "n_cand",
+        "mean_ref_q",
+        "mean_cand_q",
+        shift.alias("abs_shift_q"),
+        (shift > DRIFT_T).alias("drifted"),
+    )
+
+
+EMBED_DRIFT_REPORT_SQL = f"""\
+WITH elems AS (
+  SELECT vec_id,
+         CAST(i AS INT) - 1 AS d,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+stats AS (
+  SELECT d, CAST(vec_id % 2 AS INT) AS split, COUNT(*) AS n,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q
+  FROM elems GROUP BY 1, 2)
+SELECT r.d,
+       r.n AS n_ref,
+       c.n AS n_cand,
+       r.mean_q AS mean_ref_q,
+       c.mean_q AS mean_cand_q,
+       ABS(c.mean_q - r.mean_q) AS abs_shift_q,
+       ABS(c.mean_q - r.mean_q) > {DRIFT_T} AS drifted
+FROM (SELECT * FROM stats WHERE split = 0) r
+JOIN (SELECT * FROM stats WHERE split = 1) c USING (d)"""
+
+
+register("embed_drift_report", embed_drift_report, EMBED_DRIFT_REPORT_SQL)

@@ -208,3 +208,58 @@ FROM hsel h JOIN exact e USING (day)"""
 
 
 register("func_quantile_rollup", func_quantile_rollup, _quantile_rollup_sql())
+
+
+# ---------------------------------------------------------------------------
+# func_bitmap_rollup — the EXACT member of the mergeable-rollup family
+# (HLL rollup ≈ NDV with an envelope; quantile rollup = percentile with a
+# bucket envelope; THIS tier is exact): hourly 64-key-block user bitmaps
+# (one BIGINT word per block, the prefilter.py encoding) OR-merge into the
+# daily tier losslessly, and the daily distinct count is Σ popcount(word).
+# Distinct counts don't re-roll, bitmaps do — the roaring-bitmap warehouse
+# pattern in its flat-word form.  At 100 TB only the hourly tier scans
+# facts; the daily merge moves (day × blocks) words, bytes per group.
+# The DuckDB oracle computes the same numbers as a direct per-day
+# COUNT(DISTINCT) — a deliberately different formulation, so agreement
+# proves the bitmap algebra (a dropped OR or a mis-shifted bit changes the
+# count).
+# ---------------------------------------------------------------------------
+
+
+def func_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    blk = F.expr("CAST(FLOOR(user_id / 64) AS BIGINT)")
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id - 64 * FLOOR(user_id / 64) AS INT))"
+    )
+    hourly = (
+        e.select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hr"),
+            blk.alias("__blk"),
+            bit.alias("__bit"),
+        )
+        .groupBy("day", "hr", "__blk")
+        .agg(F.bit_or("__bit").alias("__word"))
+    )
+    daily_words = hourly.groupBy("day", "__blk").agg(
+        F.bit_or("__word").alias("__word"),
+    )
+    n_hours = hourly.select("day", "hr").distinct().groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    daily = daily_words.groupBy("day").agg(
+        F.sum(F.bit_count("__word")).cast("bigint").alias("n_users")
+    )
+    return daily.join(n_hours, "day").select("day", "n_hours", "n_users")
+
+
+FUNC_BITMAP_ROLLUP_SQL = """\
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT hour(ts)) AS BIGINT) AS n_hours,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1"""
+
+
+register("func_bitmap_rollup", func_bitmap_rollup, FUNC_BITMAP_ROLLUP_SQL)
