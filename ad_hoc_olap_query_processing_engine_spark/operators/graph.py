@@ -429,11 +429,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = None
     for r in range(1, KCORE_ROUNDS + 1):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        # COALESCE: once the graph peels empty, SUM over the empty degree
+        # table is NULL — the trace contract promises 0 rows, not NULLs
         row = deg.agg(
-            F.sum(F.when(F.col("deg") < KCORE_K, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("deg") < KCORE_K, 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_removed"),
-            F.sum(F.when(F.col("deg") >= KCORE_K, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("deg") >= KCORE_K, 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_remaining"),
         ).select(F.lit(r).cast("int").alias("round"), "n_removed", "n_remaining")
@@ -463,8 +469,8 @@ def _kcore_sql() -> str:
         )
         parts.append(
             f"r{r} AS (SELECT {r} AS round,\n"
-            f"  CAST(SUM(CASE WHEN d < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,\n"
-            f"  CAST(SUM(CASE WHEN d >= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining\n"
+            f"  CAST(COALESCE(SUM(CASE WHEN d < {k} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,\n"
+            f"  CAST(COALESCE(SUM(CASE WHEN d >= {k} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_remaining\n"
             f"  FROM deg{r}),"
         )
         if r < KCORE_ROUNDS:

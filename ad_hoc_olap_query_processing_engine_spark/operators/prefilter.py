@@ -35,30 +35,43 @@ from .registry import register
 from .relational import _dec
 
 
+def bitmap_blk_bit(key_col: str):
+    """(block, bit-mask) columns of the 64-key block-bitmap encoding, exact
+    for ANY int64 key: arithmetic ``shiftright(key, 6)`` IS floor-division
+    by 64 at full 64-bit precision, and ``key & 63`` is the matching
+    non-negative bit index (two's complement: -1 & 63 = 63).  The
+    alternatives both break: double-based FLOOR(key/64) loses exactness at
+    |key| >= 2^53, and truncating div/% map a negative key to a negative
+    shift count, which the JVM masks to its low 6 bits — key -1 would
+    collide with key 63.  Single definition shared by every bitmap
+    operator (semi join, distinct, set algebra, rollup) so the encoding
+    cannot drift between tiers."""
+    blk = F.expr(f"shiftright({key_col}, 6)")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({key_col} & 63) AS INT))")
+    return blk, bit
+
+
+def bitmap_bit_index(key_col: str):
+    """The in-word bit index of ``key_col`` (0..63, any int64 key)."""
+    return F.expr(f"CAST(({key_col} & 63) AS INT)")
+
+
 def bitmap_semi_join(fact: DataFrame, keys: DataFrame, fact_key: str, key_col: str) -> DataFrame:
     """Exact semi join of ``fact`` against the integer key set ``keys``,
-    transported as a blocked bitmap (8 bytes per 64-key block).  Block and
-    bit use FLOOR division/modulus, not ``div``/``%``: the truncating forms
-    map a negative key to a negative shift count, which the JVM masks to
-    its low 6 bits — key -1 would collide with key 63.  With floor math the
-    bit index is always in [0, 63], so negative keys are exact too."""
-
-    def blk(col: str):
-        return F.floor(F.col(col) / F.lit(64)).cast("bigint")
-
+    transported as a blocked bitmap (8 bytes per 64-key block); see
+    bitmap_blk_bit for why the encoding is shift/mask based."""
+    kblk, kbit = bitmap_blk_bit(key_col)
+    fblk, _ = bitmap_blk_bit(fact_key)
     bitmap = (
-        keys.select(
-            blk(key_col).alias("__blk"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({key_col} - 64 * FLOOR({key_col} / 64) AS INT))").alias("__bit"),
-        )
+        keys.select(kblk.alias("__blk"), kbit.alias("__bit"))
         .groupBy("__blk")
         .agg(F.bit_or("__bit").alias("__word"))
     )
     return (
-        fact.join(F.broadcast(bitmap), blk(fact_key) == F.col("__blk"))
+        fact.join(F.broadcast(bitmap), fblk == F.col("__blk"))
         .filter(
             F.expr(
-                f"(shiftright(__word, CAST({fact_key} - 64 * FLOOR({fact_key} / 64) AS INT)) & CAST(1 AS BIGINT)) = 1"
+                f"(shiftright(__word, CAST(({fact_key} & 63) AS INT)) & CAST(1 AS BIGINT)) = 1"
             )
         )
         .drop("__blk", "__word")
@@ -120,10 +133,7 @@ register("rel_bitmap_semi_join", rel_bitmap_semi_join, REL_BITMAP_SEMI_JOIN_SQL)
 
 def rel_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
-    blk = F.expr("CAST(FLOOR(o_custkey / 64) AS BIGINT)")
-    bit = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey - 64 * FLOOR(o_custkey / 64) AS INT))"
-    )
+    blk, bit = bitmap_blk_bit("o_custkey")
     words = (
         o.select(
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
@@ -173,10 +183,7 @@ def rel_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
     y1, y2, y3 = _BSA_YEARS
-    blk = F.expr("CAST(FLOOR(o_custkey / 64) AS BIGINT)")
-    bit = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey - 64 * FLOOR(o_custkey / 64) AS INT))"
-    )
+    blk, bit = bitmap_blk_bit("o_custkey")
     base = (
         o.filter(F.year("o_orderdate").isin(*_BSA_YEARS))
         .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),

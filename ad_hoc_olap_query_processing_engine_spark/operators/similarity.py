@@ -1280,8 +1280,9 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, k): the PQ-encoded corpus, session-cached — the encode
     pass is the expensive corpus scan of the PQ index build, and both
-    sim_pq_ann and sim_recall_report read it; a warehouse stores exactly
-    this table next to the codebook."""
+    sim_pq_ann and sim_pq_distortion read it (sim_recall_report reaches it
+    through sim_pq_ann); a warehouse stores exactly this table next to the
+    codebook."""
     from .session_cache import session_cached
 
     def build() -> DataFrame:
@@ -1470,19 +1471,27 @@ register("sim_pq_distortion", sim_pq_distortion, SIM_PQ_DISTORTION_SQL)
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_residual_elems(spark: SparkSession, sf_dir: str):
-    """(ccent, relems): coarse-cell centroids (checkpointed tiny table) and
-    per-element residuals v − centroid(cell) for the whole corpus."""
+def _ivfpq_residual_elems(
+    spark: SparkSession, sf_dir: str, fit_slice_only: bool = False
+) -> DataFrame:
+    """Per-element residuals v − centroid(cell).  ``fit_slice_only``
+    restricts the derivation to the rows _pq_fit consumes (seed vec_ids +
+    the PQ_TRAIN_MOD sample) — the codebook build then never derives
+    residuals for the full corpus, which the encode pass does exactly once
+    in ivfpq_codes."""
     assigned = _ivf_assignments(spark, sf_dir)
     celltab = assigned.select("vec_id", "cell")
-    celems = _pq_elems(load_table(spark, "embeddings", sf_dir)).join(
-        celltab, "vec_id"
-    )
+    e = load_table(spark, "embeddings", sf_dir)
+    if fit_slice_only:
+        e = e.filter(
+            (F.col("vec_id") % PQ_TRAIN_MOD == 0)
+            | ((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K))
+        )
+    celems = _pq_elems(e).join(celltab, "vec_id")
     ccent = _ivfpq_ccent(spark, sf_dir)
-    relems = celems.join(F.broadcast(ccent), ["cell", "d"]).select(
+    return celems.join(F.broadcast(ccent), ["cell", "d"]).select(
         "vec_id", "cell", "d", "m", (F.col("v") - F.col("cc")).alias("v")
     )
-    return ccent, relems
 
 
 def _ivfpq_ccent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,7 +1522,7 @@ def _ivfpq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session_cache import session_cached
 
     def build() -> DataFrame:
-        _ccent, relems = _ivfpq_residual_elems(spark, sf_dir)
+        relems = _ivfpq_residual_elems(spark, sf_dir, fit_slice_only=True)
         return _pq_fit(relems).localCheckpoint()
 
     return session_cached("ivfpq_codebook", spark, sf_dir, build)
@@ -1527,7 +1536,7 @@ def ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         assigned = _ivf_assignments(spark, sf_dir)
-        _ccent, relems = _ivfpq_residual_elems(spark, sf_dir)
+        relems = _ivfpq_residual_elems(spark, sf_dir)
         cb = _ivfpq_codebook(spark, sf_dir)
         # the inverted-file build joins two corpus-sized tables — a shuffle
         # join is CORRECT there (an index-build job, not the query path);

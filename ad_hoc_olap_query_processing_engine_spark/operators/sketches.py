@@ -227,11 +227,10 @@ register("func_quantile_rollup", func_quantile_rollup, _quantile_rollup_sql())
 
 
 def func_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .prefilter import bitmap_blk_bit
+
     e = load_table(spark, "events", sf_dir)
-    blk = F.expr("CAST(FLOOR(user_id / 64) AS BIGINT)")
-    bit = F.expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(user_id - 64 * FLOOR(user_id / 64) AS INT))"
-    )
+    blk, bit = bitmap_blk_bit("user_id")
     hourly = (
         e.select(
             F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),

@@ -69,3 +69,25 @@ def test_bitmap_membership_exact_for_negative_keys(spark):
         r.fk for r in bitmap_semi_join(fact, keys, "fk", "k").select("fk").collect()
     )
     assert got == [-130, -65, -64, -1, 0, 63]
+
+
+def test_bitmap_encoding_exact_at_extreme_keys(spark):
+    """The shared 64-key block/bit encoding must match Python floor-div
+    semantics for ANY int64 key — including ±2^53 (where a double-based
+    FLOOR(key/64) loses exactness) and negative keys (where truncating
+    div would produce a negative shift count the JVM masks)."""
+    from pyspark.sql import functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.operators.prefilter import (
+        bitmap_blk_bit,
+    )
+
+    keys = [0, 1, 63, 64, -1, -64, -65, 2**53, 2**53 + 1, 2**62 - 1, -(2**62)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    blk, bit = bitmap_blk_bit("k")
+    rows = df.select(
+        "k", blk.alias("blk"), F.expr("CAST((k & 63) AS INT)").alias("bi"), bit.alias("mask")
+    ).collect()
+    for r in rows:
+        assert (r.blk, r.bi) == (r.k // 64, r.k % 64), r
+        assert r.mask == 1 << (r.k % 64) if r.k % 64 < 63 else True
