@@ -417,7 +417,12 @@ register("graph_degree_histogram", graph_degree_histogram, GRAPH_DEGREE_HISTOGRA
 # same bounded-iteration discipline as graph_bfs_layers / graph_pagerank.
 # ---------------------------------------------------------------------------
 
-KCORE_K = 3
+# K must exceed the kNN degree floor or the peel is vacuous: every node of
+# the top-8 union graph has symmetric degree >= 8, so a 3-core removes
+# nothing. K = 12 sits between the floor (8) and the cap region (~16), so
+# round 1 peels the low-overlap nodes and the cascade is visible in the
+# trace.
+KCORE_K = 12
 KCORE_ROUNDS = 4
 
 
