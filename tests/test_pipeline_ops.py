@@ -722,3 +722,42 @@ def test_ivfpq_ann_scores_match_brute(spark):
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_stl_decomposition_identity_and_centering(spark):
+    """ts_stl_decompose invariants: wherever the trend is defined the
+    additive identity value = trend + seasonal + remainder holds EXACTLY
+    (fixed-point construction), and grand-centering keeps each event_type's
+    seasonal profile near zero (|Σ seasonal| bounded by the floor slack of
+    the 7 per-dow means)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from .conftest import SF_ORACLE
+
+    out = timeseries.ts_stl_decompose(spark, SF_ORACLE).toPandas()
+    assert len(out) > 0
+    defined = out[out["trend_e4"].notna()]
+    assert len(defined) > 0
+    assert (
+        defined["value_e4"]
+        == defined["trend_e4"] + defined["seasonal_e4"] + defined["remainder_e4"]
+    ).all()
+    per_type = out.drop_duplicates(["event_type", "day"]).groupby("event_type")
+    for _etype, grp in per_type:
+        seas = grp.drop_duplicates(subset=["day"]).set_index("day")["seasonal_e4"]
+        week = seas.iloc[:7]
+        assert abs(int(week.sum())) <= 7 * 7  # floor slack per mean + grand
+
+
+def test_interval_coverage_bounds(spark):
+    """rel_interval_coverage invariants: island count never exceeds interval
+    count, coverage is at least one window per island and at most one window
+    per interval (union can only shrink), all strictly positive."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from .conftest import SF_ORACLE
+
+    W_US = timeseries.CONC_INTERVAL_US
+    out = timeseries.rel_interval_coverage(spark, SF_ORACLE).toPandas()
+    assert len(out) > 0
+    assert (out["n_islands"] >= 1).all() and (out["n_intervals"] >= out["n_islands"]).all()
+    assert (out["covered_us"] >= out["n_islands"] * W_US).all()
+    assert (out["covered_us"] <= out["n_intervals"] * W_US).all()
