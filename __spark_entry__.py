@@ -89,6 +89,7 @@ _CHECK_FIRST = (
     "func_bitmap_rollup",
     "rel_bitmap_set_algebra",
     "embed_drift_report",
+    "pipe_corpus_manifest",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

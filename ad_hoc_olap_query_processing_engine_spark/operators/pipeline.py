@@ -572,3 +572,87 @@ FROM ({stage_rows})"""
 
 
 register("pipe_attrition_report", pipe_attrition_report, _attrition_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_corpus_manifest — the END-TO-END training-corpus build in ONE query,
+# composing the pipeline stages this module ships separately: quality
+# filter + near-dup representative selection (pipe_corpus_filter) →
+# benchmark decontamination (anti-join of pipe_decontaminate's contaminated
+# set) → domain-mixture weights recomputed over the SURVIVING corpus (the
+# weights a sampler multiplies in must reflect the post-filter mixture, not
+# the raw one) → deterministic shard assignment (the md5 recipe of
+# pipe_shard_shuffle).  The output is the manifest a trainer consumes: one
+# row per surviving document with its language, source, token count,
+# resampling weight and shard.  Every stage keeps its scale shape (postings
+# joins, AQE-decided anti-joins, broadcast stratum/total tables); the final
+# weight is a single double division (bit-stable) and the shard hash the
+# proven cross-engine md5→48-bit-int recipe.  The DuckDB oracle nests the
+# component oracles verbatim as subqueries — agreement certifies the whole
+# composition, not just the pieces.
+# ---------------------------------------------------------------------------
+
+
+def pipe_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    base = pipe_corpus_filter(spark, sf_dir)
+    contaminated = pipe_decontaminate(spark, sf_dir).select("doc_id")
+    clean = (
+        base.join(contaminated, "doc_id", "left_anti")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    strata = clean.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("__n_str"))
+    tot = strata.agg(
+        F.sum("__n_str").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("manifest|"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        clean.join(F.broadcast(strata), ["lang", "source"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            (
+                F.col("__total").cast("double")
+                / (F.col("__k") * F.col("__n_str")).cast("double")
+            ).alias("weight"),
+            (h % NUM_SHARDS).cast("int").alias("shard"),
+        )
+    )
+
+
+def _corpus_manifest_sql() -> str:
+    return f"""\
+WITH base AS (
+{_corpus_filter_sql()}
+),
+contaminated AS (
+  SELECT doc_id FROM (
+{PIPE_DECONTAMINATE_SQL}
+  )),
+clean AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, d.source
+  FROM base b JOIN documents d USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = b.doc_id)),
+strata AS (
+  SELECT lang, source, COUNT(*) AS n_str FROM clean GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(n_str) AS BIGINT) AS total, COUNT(*) AS k FROM strata)
+SELECT c.doc_id, c.lang, c.source, c.n_tokens,
+       CAST(t.total AS DOUBLE) / CAST(t.k * s.n_str AS DOUBLE) AS weight,
+       CAST((('0x' || substr(md5('manifest|' || CAST(c.doc_id AS VARCHAR)), 1, 12))::BIGINT)
+            % {NUM_SHARDS} AS INT) AS shard
+FROM clean c
+JOIN strata s USING (lang, source)
+CROSS JOIN tot t"""
+
+
+register("pipe_corpus_manifest", pipe_corpus_manifest, _corpus_manifest_sql())

@@ -539,6 +539,7 @@ _BNLJ_ALLOWED = {
     "func_timebucket",
     "phi_q7",
     "pipe_ccnet_buckets",
+    "pipe_corpus_manifest",
     "pipe_doc_mixture",
     "rel_decile_spend",
     "rel_important_parts",
