@@ -90,6 +90,7 @@ _CHECK_FIRST = (
     "rel_bitmap_set_algebra",
     "embed_drift_report",
     "pipe_corpus_manifest",
+    "rel_share_of_parent",
     # never driver-checked (sim_ivf_kmeans rows-only by contract)
     "stream_chained_windows",
     "rel_min_cost_supply",

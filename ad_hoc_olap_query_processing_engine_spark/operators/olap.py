@@ -486,3 +486,84 @@ register("rel_promo_revenue", rel_promo_revenue, REL_PROMO_REVENUE_SQL)
 register("rel_mode_median", rel_mode_median, REL_MODE_MEDIAN_SQL)
 register("rel_gaps_islands", rel_gaps_islands, REL_GAPS_ISLANDS_SQL)
 register("rel_decile_spend", rel_decile_spend, REL_DECILE_SPEND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_share_of_parent — the hierarchical share report every OLAP frontend
+# renders next to a rollup: revenue per region → nation → customer-segment
+# leaf, each level carrying its share OF ITS PARENT in exact basis points.
+# One aggregate at the leaf grain; every parent total is a window SUM over
+# the (tiny) aggregate — never a second fact pass, never a self-join of the
+# rollup.  Shares are (child·10⁴) DIV parent on scale-4 fixed-point integer
+# revenue (both engines truncate non-negative integer division
+# identically), so the whole report hash-matches bit-for-bit — the
+# float-ratio formulation every BI tool uses could not.
+# ---------------------------------------------------------------------------
+
+
+def rel_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _with_revenue(load_table(spark, "lineitem", sf_dir))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    leaf = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name", "c_mktsegment")
+        .agg((F.sum(_REV) * 10000).cast("bigint").alias("rev_e4"))
+    )
+    # every share is INTEGER division (DIV // on non-negative fixed-point) —
+    # a double division + cast would round differently past 2^53
+    return leaf.select(
+        "r_name",
+        "n_name",
+        "c_mktsegment",
+        (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+        F.expr(
+            "CAST(rev_e4 * 10000 DIV SUM(rev_e4) OVER "
+            "(PARTITION BY r_name, n_name) AS BIGINT)"
+        ).alias("share_of_nation_bps"),
+        F.expr(
+            "CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) * 10000 "
+            "DIV SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)"
+        ).alias("nation_share_of_region_bps"),
+        F.expr(
+            "CAST(SUM(rev_e4) OVER (PARTITION BY r_name) * 10000 "
+            "DIV SUM(rev_e4) OVER () AS BIGINT)"
+        ).alias("region_share_of_total_bps"),
+    )
+
+
+REL_SHARE_OF_PARENT_SQL = """\
+WITH leaf AS (
+  SELECT r_name, n_name, c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3)
+SELECT r_name, n_name, c_mktsegment,
+       CAST(rev_e4 AS DOUBLE) / 10000 AS revenue,
+       CAST(rev_e4 * 10000 // SUM(rev_e4) OVER (PARTITION BY r_name, n_name)
+            AS BIGINT) AS share_of_nation_bps,
+       CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) * 10000
+            // SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
+         AS nation_share_of_region_bps,
+       CAST(SUM(rev_e4) OVER (PARTITION BY r_name) * 10000
+            // SUM(rev_e4) OVER () AS BIGINT) AS region_share_of_total_bps
+FROM leaf"""
+
+
+register("rel_share_of_parent", rel_share_of_parent, REL_SHARE_OF_PARENT_SQL)
