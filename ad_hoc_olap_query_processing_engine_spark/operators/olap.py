@@ -521,22 +521,29 @@ def rel_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(_REV) * 10000).cast("bigint").alias("rev_e4"))
     )
     # every share is INTEGER division (DIV // on non-negative fixed-point) —
-    # a double division + cast would round differently past 2^53
+    # a double division + cast would round differently past 2^53.  The
+    # child·10⁴ multiply is widened to DECIMAL(38,0) BEFORE multiplying:
+    # global rev_e4 is ~2.2e15·sf, so rev_e4·10⁴ overflows int64 at sf≥0.5 —
+    # Spark (non-ANSI) would wrap silently while DuckDB raises.  Spark's
+    # integral DIV accepts decimal operands and returns BIGINT exactly, so
+    # the report stays bit-exact at any scale factor.
     return leaf.select(
         "r_name",
         "n_name",
         "c_mktsegment",
         (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
         F.expr(
-            "CAST(rev_e4 * 10000 DIV SUM(rev_e4) OVER "
+            "CAST(CAST(rev_e4 AS DECIMAL(38,0)) * 10000 DIV SUM(rev_e4) OVER "
             "(PARTITION BY r_name, n_name) AS BIGINT)"
         ).alias("share_of_nation_bps"),
         F.expr(
-            "CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) * 10000 "
+            "CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) "
+            "AS DECIMAL(38,0)) * 10000 "
             "DIV SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)"
         ).alias("nation_share_of_region_bps"),
         F.expr(
-            "CAST(SUM(rev_e4) OVER (PARTITION BY r_name) * 10000 "
+            "CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name) "
+            "AS DECIMAL(38,0)) * 10000 "
             "DIV SUM(rev_e4) OVER () AS BIGINT)"
         ).alias("region_share_of_total_bps"),
     )
@@ -556,12 +563,14 @@ WITH leaf AS (
   GROUP BY 1, 2, 3)
 SELECT r_name, n_name, c_mktsegment,
        CAST(rev_e4 AS DOUBLE) / 10000 AS revenue,
-       CAST(rev_e4 * 10000 // SUM(rev_e4) OVER (PARTITION BY r_name, n_name)
+       CAST(CAST(rev_e4 AS HUGEINT) * 10000
+            // SUM(rev_e4) OVER (PARTITION BY r_name, n_name)
             AS BIGINT) AS share_of_nation_bps,
-       CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) * 10000
+       CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name, n_name) AS HUGEINT)
+            * 10000
             // SUM(rev_e4) OVER (PARTITION BY r_name) AS BIGINT)
          AS nation_share_of_region_bps,
-       CAST(SUM(rev_e4) OVER (PARTITION BY r_name) * 10000
+       CAST(CAST(SUM(rev_e4) OVER (PARTITION BY r_name) AS HUGEINT) * 10000
             // SUM(rev_e4) OVER () AS BIGINT) AS region_share_of_total_bps
 FROM leaf"""
 

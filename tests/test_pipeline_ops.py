@@ -598,11 +598,16 @@ def test_pq_codebook_well_formed(spark):
     import pyspark.sql.functions as SF
 
     dim = len(e.select("embedding").first()[0])
-    sub = dim // similarity.PQ_M
+    # the operator assigns m = floor(d*M/D); derive expectations with the
+    # same rule so non-divisible dims don't spuriously fail
+    by_m = {
+        m: [d for d in range(dim) if d * similarity.PQ_M // dim == m]
+        for m in range(similarity.PQ_M)
+    }
     assert set(cb["m"].unique()) == set(range(similarity.PQ_M))
     for (m, k), grp in cb.groupby(["m", "k"]):
         dims = sorted(grp["d"])
-        assert dims == list(range(m * sub, (m + 1) * sub)), (m, k)
+        assert dims == by_m[m], (m, k)
     lo = e.select(SF.min(SF.array_min("embedding"))).first()[0] * 1000 - 1
     hi = e.select(SF.max(SF.array_max("embedding"))).first()[0] * 1000 + 1
     assert cb["c"].between(lo, hi).all()

@@ -90,4 +90,21 @@ def test_bitmap_encoding_exact_at_extreme_keys(spark):
     ).collect()
     for r in rows:
         assert (r.blk, r.bi) == (r.k // 64, r.k % 64), r
-        assert r.mask == 1 << (r.k % 64) if r.k % 64 < 63 else True
+        # bit 63 is the sign bit: 1 << 63 wraps to -(2^63) in the JVM's int64
+        expected = -(2**63) if r.k % 64 == 63 else 1 << (r.k % 64)
+        assert r.mask == expected, r
+
+
+def test_quantile_bucket_is_floor_division_at_any_sign(spark):
+    """func_quantile_rollup's Spark bucket expression must FLOOR like the
+    DuckDB oracle's //, not truncate toward zero — a negative fixed-point
+    value must land in bucket -1, not collapse into bucket 0."""
+    from ad_hoc_olap_query_processing_engine_spark.operators.sketches import QR_W
+
+    vals = [-1001, -500, -499, -1, 0, 1, 499, 500, 1001]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v", F.expr(f"(v - pmod(v, {QR_W})) DIV {QR_W}").alias("bkt")
+    ).collect()
+    for r in rows:
+        assert r.bkt == r.v // QR_W, (r.v, r.bkt)
