@@ -40,75 +40,12 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver checks only the first ~50 of queries() per round, so ordering IS
-# the evidence strategy. Round-6 priority (VERDICT r5 "Next round" #2): spend
-# the window on rows that have never been green on a driver record:
-# (a) the 6 round-5 hash-red rows — red solely because their DuckDB oracles
-#     left SUM(int) uncast (HUGEINT); the BIGINT casts land this round and
-#     tests/test_oracle_types.py pins the whole class,
-# (b) the latent 7th HUGEINT oracle (rel_priority_lateness, never checked),
-# (c) the 4 round-2 NTZ fails whose fix has been live since round 3 but which
-#     previous orderings kept pushing past the window,
-# (d) Phi goldens with no (q10) or stale-round-2 (q6-q9) driver rows,
-# then every remaining never-checked query. Ever-green rows go to the tail.
+# the evidence strategy. Round-7 priority: after round 6's 49/50 sweep the
+# checked-only-red set is EMPTY for the first time — spend the whole window
+# on the 36 queries that have never had a driver row (through round 6), plus
+# this round's additions. Ever-green rows go to the tail.
 _CHECK_FIRST = (
-    # (a) round-5 hash-red (oracle HUGEINT casts fixed this round)
-    "rel_new_vs_returning",
-    "pipe_attrition_report",
-    "text_bpe_merges",
-    "mm_ahash_dedup",
-    "func_try_surface",
-    "stream_session_dynamic",
-    # (b) latent 7th HUGEINT oracle, never driver-checked
-    "rel_priority_lateness",
-    # (c) round-2 NTZ fails — fix live since round 3, still red-on-record
-    # (rel_asof_join's r1 green predates the r2 error record, so it needs a
-    # fresh row too)
-    "rel_latest_event",
-    "rel_moving_window",
-    "rel_range_bucket_join",
-    "rel_sessionize",
-    "rel_asof_join",
-    # (d) Phi goldens lacking a fresh driver row
-    "phi_q10",
-    "phi_q6",
-    "phi_q7",
-    "phi_q8",
-    "phi_q9",
-    # (e) new this round — first driver evidence
-    "sim_pq_ann",
-    "text_trigram_lm",
-    "ts_lttb",
-    "ts_stl_decompose",
-    "text_bpe_encode",
-    "sim_ivfpq_ann",
-    "func_quantile_rollup",
-    "rel_interval_coverage",
-    "text_rake_keywords",
-    "graph_kcore",
-    "sim_pq_distortion",
-    "func_bitmap_rollup",
-    "rel_bitmap_set_algebra",
-    "embed_drift_report",
-    "pipe_corpus_manifest",
-    "rel_share_of_parent",
-    # never driver-checked (sim_ivf_kmeans rows-only by contract)
-    "stream_chained_windows",
-    "rel_min_cost_supply",
-    "rel_shipping_priority",
-    "rel_forecast_revenue",
-    "rel_product_profit",
-    "rel_customer_distribution",
-    "rel_small_qty_revenue",
-    "rel_disjunctive_pred",
-    "rel_part_dominant_supplier",
-    "sim_ivf_kmeans",
-    "rel_important_parts",
-    "rel_top_supplier",
-    "rel_supplier_parts_cnt",
-    "rel_waiting_suppliers",
-    "rel_sales_opportunity",
-    "rel_bitmap_semi_join",
-    "sim_sq_ann",
+    # never driver-checked through round 6, oldest registrations first
     "ts_interpolate",
     "ts_anomaly_mad",
     "text_collocations",
@@ -145,7 +82,58 @@ _CHECK_FIRST = (
     "rel_retention_cohorts",
     "embed_outlier_score",
     "graph_pagerank",
-    # ever-green tail (latest green row round 2/3/5); kept for determinism
+    # round-7 additions — first driver evidence (names appended as built)
+    # ever-green tail (latest green row round 2/3/5/6); kept for determinism
+    "rel_new_vs_returning",
+    "pipe_attrition_report",
+    "text_bpe_merges",
+    "mm_ahash_dedup",
+    "func_try_surface",
+    "stream_session_dynamic",
+    "rel_priority_lateness",
+    "rel_latest_event",
+    "rel_moving_window",
+    "rel_range_bucket_join",
+    "rel_sessionize",
+    "rel_asof_join",
+    "phi_q10",
+    "phi_q6",
+    "phi_q7",
+    "phi_q8",
+    "phi_q9",
+    "sim_pq_ann",
+    "text_trigram_lm",
+    "ts_lttb",
+    "ts_stl_decompose",
+    "text_bpe_encode",
+    "sim_ivfpq_ann",
+    "func_quantile_rollup",
+    "rel_interval_coverage",
+    "text_rake_keywords",
+    "graph_kcore",
+    "sim_pq_distortion",
+    "func_bitmap_rollup",
+    "rel_bitmap_set_algebra",
+    "embed_drift_report",
+    "pipe_corpus_manifest",
+    "rel_share_of_parent",
+    "stream_chained_windows",
+    "rel_min_cost_supply",
+    "rel_shipping_priority",
+    "rel_forecast_revenue",
+    "rel_product_profit",
+    "rel_customer_distribution",
+    "rel_small_qty_revenue",
+    "rel_disjunctive_pred",
+    "rel_part_dominant_supplier",
+    "sim_ivf_kmeans",
+    "rel_important_parts",
+    "rel_top_supplier",
+    "rel_supplier_parts_cnt",
+    "rel_waiting_suppliers",
+    "rel_sales_opportunity",
+    "rel_bitmap_semi_join",
+    "sim_sq_ann",
     "rel_status_transitions",
     "text_charset_profile",
     "rel_max_concurrency",
