@@ -40,187 +40,55 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver checks only the first ~50 of queries() per round, so ordering IS
-# the evidence strategy. Round-7 priority: after round 6's 49/50 sweep the
-# checked-only-red set is EMPTY for the first time — spend the whole window
-# on the 36 queries that have never had a driver row (through round 6), plus
-# this round's additions. Ever-green rows go to the tail.
-_CHECK_FIRST = (
-    # never driver-checked through round 6, oldest registrations first
-    "ts_interpolate",
-    "ts_anomaly_mad",
-    "text_collocations",
-    "pipe_ccnet_buckets",
-    "graph_triangles",
-    "func_sketch_rollup",
-    "func_json_schema",
-    "udf_udtf_chunks",
-    "rel_hierarchy_rollup",
-    "stream_stream_outer",
-    "rel_nullsafe_join",
-    "func_map_surface",
-    "rel_rolling_distinct",
-    "rel_asof_nearest",
-    "stream_approx_ndv",
-    "rel_set_ops_all",
-    "func_csv_schema",
-    "dedup_containment",
-    "sim_range_search",
-    "embed_dim_stats",
-    "cdc_scd2_intervals",
-    "pipe_doc_mixture",
-    "rel_market_share",
-    "rel_volume_shipping",
-    "rel_returned_items",
-    "rel_large_volume_orders",
-    "rel_promo_revenue",
-    "rel_mode_median",
-    "rel_gaps_islands",
-    "rel_decile_spend",
-    "pipe_pii_scrub",
-    "embed_pca_project",
-    "text_bigram_lm",
-    "rel_retention_cohorts",
-    "embed_outlier_score",
-    "graph_pagerank",
-    # round-7 additions — first driver evidence (names appended as built)
-    # ever-green tail (latest green row round 2/3/5/6); kept for determinism
-    "rel_new_vs_returning",
-    "pipe_attrition_report",
-    "text_bpe_merges",
-    "mm_ahash_dedup",
-    "func_try_surface",
-    "stream_session_dynamic",
-    "rel_priority_lateness",
-    "rel_latest_event",
-    "rel_moving_window",
-    "rel_range_bucket_join",
-    "rel_sessionize",
-    "rel_asof_join",
-    "phi_q10",
-    "phi_q6",
-    "phi_q7",
-    "phi_q8",
-    "phi_q9",
-    "sim_pq_ann",
-    "text_trigram_lm",
-    "ts_lttb",
-    "ts_stl_decompose",
-    "text_bpe_encode",
-    "sim_ivfpq_ann",
-    "func_quantile_rollup",
-    "rel_interval_coverage",
-    "text_rake_keywords",
-    "graph_kcore",
-    "sim_pq_distortion",
-    "func_bitmap_rollup",
-    "rel_bitmap_set_algebra",
-    "embed_drift_report",
-    "pipe_corpus_manifest",
-    "rel_share_of_parent",
-    "stream_chained_windows",
-    "rel_min_cost_supply",
-    "rel_shipping_priority",
-    "rel_forecast_revenue",
-    "rel_product_profit",
-    "rel_customer_distribution",
-    "rel_small_qty_revenue",
-    "rel_disjunctive_pred",
-    "rel_part_dominant_supplier",
-    "sim_ivf_kmeans",
-    "rel_important_parts",
-    "rel_top_supplier",
-    "rel_supplier_parts_cnt",
-    "rel_waiting_suppliers",
-    "rel_sales_opportunity",
-    "rel_bitmap_semi_join",
-    "sim_sq_ann",
-    "rel_status_transitions",
-    "text_charset_profile",
-    "rel_max_concurrency",
-    "rel_dq_report",
-    "func_aes_roundtrip",
-    "rel_cohort_ltv",
-    "graph_degree_histogram",
-    "func_percentile_disc",
-    "rel_weighted_median",
-    "rel_rolling_retention",
-    "udf_cogroup_latency",
-    "ts_clamped_balance",
-    "sim_recall_report",
-    "text_hash_features",
-    "rel_basket_affinity",
-    "cdc_changelog_apply",
-    "text_selfline_dedup",
-    "rel_nation_concentration",
-    "ts_activity_heatmap",
-    "rel_order_lifecycle",
-    "rel_funnel_window",
-    "rel_pit_join",
-    "dedup_survivorship",
-    "rel_yoy_growth",
-    "rel_pareto_coverage",
-    "pipe_kfold_split",
-    "rel_bitmap_distinct",
-    "udf_arrow_scalar",
-    "rel_attribution",
-    "rel_notin_null",
-    "pipe_bootstrap_ci",
-    "text_diversity",
-    "func_calendar_surface",
-    "embed_matryoshka_eval",
-    "text_line_dedup",
-    "sim_mmr_topk",
-    "ts_ewma",
-    "udf_iter_series",
-    "func_variant_shred",
-    "rel_count_distinct_multi",
-    "rel_incremental_agg",
-    "rel_window_dist",
-    "ts_resample_ohlc",
-    "graph_bfs_layers",
-    "rel_global_sort",
-    "rel_skew_salted_agg",
-    "rel_rank_stats",
-    "rel_bucketed_join",
-    "rel_grouping_sets",
-    "rel_histogram",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_top_customers",
-    "rel_late_ship_priority",
-    "rel_idle_customers",
-    "rel_set_ops",
-    "rel_rollup_revenue",
-    "rel_cube_lineitem",
-    "rel_running_spend",
-    "func_json_extract",
-    "func_daily_events",
-    "rel_approx_distinct",
-    "rel_pivot_revenue",
-    "rel_unpivot_measures",
-    "rel_full_outer_activity",
-    "rel_percentiles",
-    "udf_token_count_pandas",
-    "rel_correlated_subquery",
-    "rel_string_agg",
-    "udf_grouped_zscore",
-    "rel_range_join",
-    "rel_window_suite",
-    "rel_snapshot_diff",
-    "rel_merge_upsert",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "dedup_fuzzy_name",
-)
+# the evidence strategy.  Since round 8 the order is DERIVED from the in-repo
+# CORRECTNESS_r*.json history instead of a hand-curated list (round-7 verdict
+# ask): (tier 0) queries whose LATEST driver row is red — re-confirm the fix
+# immediately; (tier 1) queries with no driver row yet — new registrations get
+# first evidence the round they land; (tier 2) green queries, oldest evidence
+# first, so every query cycles through the 50-row window every ~4-5 rounds
+# with no hand curation.  Ties break on registration order (stable).  Each
+# round's new CORRECTNESS file automatically rotates the next round's head.
+
+
+def _evidence_order(names: list[str]) -> list[str]:
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = bool(
+                row
+                and (row.get("hash_match") or row.get("err") == "no_oracle")
+            )
+            latest[name] = (rnd, green)
+
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        rnd_green = latest.get(n)
+        if rnd_green is None:
+            return (1, 0, reg_idx[n])  # never checked
+        rnd, green = rnd_green
+        return (2 if green else 0, rnd, reg_idx[n])
+
+    return sorted(names, key=key)
 
 
 def _prioritize(full: dict) -> dict:
-    head = {n: full[n] for n in _CHECK_FIRST if n in full}
-    head.update((n, r) for n, r in full.items() if n not in head)
-    return head
+    return {n: full[n] for n in _evidence_order(list(full))}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

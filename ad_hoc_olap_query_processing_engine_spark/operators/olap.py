@@ -524,7 +524,9 @@ def rel_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a double division + cast would round differently past 2^53.  The
     # child·10⁴ multiply is widened to DECIMAL(38,0) BEFORE multiplying:
     # global rev_e4 is ~2.2e15·sf, so rev_e4·10⁴ overflows int64 at sf≥0.5 —
-    # Spark (non-ANSI) would wrap silently while DuckDB raises.  Spark's
+    # this runtime is ANSI-on Spark 4.x, where the un-widened form raises
+    # ARITHMETIC_OVERFLOW (non-ANSI Spark would wrap silently; DuckDB raises
+    # either way).  Spark's
     # integral DIV accepts decimal operands and returns BIGINT exactly, so
     # the report stays bit-exact at any scale factor.
     return leaf.select(

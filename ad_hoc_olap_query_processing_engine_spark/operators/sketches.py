@@ -94,10 +94,10 @@ register("func_sketch_rollup", func_sketch_rollup, FUNC_SKETCH_ROLLUP_SQL)
 # formulation), the histogram bucket's [lo, hi] answer interval, and the
 # boolean pinning the exact value inside it — a wrong cumulative-rank lookup
 # flips the boolean/interval and the hash.  Buckets are exact integer math
-# on 1e-2 fixed-point values; the Spark bucket is a true FLOOR division
-# ((v - pmod(v, W)) DIV W — pmod makes the numerator an exact multiple of W,
-# so truncating DIV equals floor at any sign), matching DuckDB's flooring //
-# even if a future fixture ships negative values.
+# on 1e-2 fixed-point values; both engines TRUNCATE integer division toward
+# zero (Spark `DIV` and DuckDB `//` agree at any sign: -501 // 500 = -1 in
+# both), so the plain `v DIV W` bucket hash-matches even if a future fixture
+# ships negative values.
 # ---------------------------------------------------------------------------
 
 QR_W = 500  # bucket width in 1e-2 units (5.00) → ≤ ±2.5 absolute error
@@ -114,7 +114,7 @@ def func_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     hourly = e.groupBy(
-        "day", "hr", F.expr(f"(v - pmod(v, {QR_W})) DIV {QR_W}").alias("bkt")
+        "day", "hr", F.expr(f"v DIV {QR_W}").alias("bkt")
     ).agg(
         F.count(F.lit(1)).alias("cnt")
     )

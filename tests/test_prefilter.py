@@ -95,16 +95,27 @@ def test_bitmap_encoding_exact_at_extreme_keys(spark):
         assert r.mask == expected, r
 
 
-def test_quantile_bucket_is_floor_division_at_any_sign(spark):
-    """func_quantile_rollup's Spark bucket expression must FLOOR like the
-    DuckDB oracle's //, not truncate toward zero — a negative fixed-point
-    value must land in bucket -1, not collapse into bucket 0."""
+def test_quantile_bucket_matches_duckdb_at_any_sign(spark):
+    """func_quantile_rollup's Spark bucket expression must agree with the
+    DuckDB oracle's integer `//` at every sign.  Both engines TRUNCATE
+    integer division toward zero (DuckDB: -501 // 500 = -1, same as Spark
+    DIV), so the pin runs the identical values through an embedded DuckDB —
+    not Python's flooring `//`, which disagrees for negatives."""
+    import duckdb
+
     from ad_hoc_olap_query_processing_engine_spark.operators.sketches import QR_W
 
     vals = [-1001, -500, -499, -1, 0, 1, 499, 500, 1001]
     df = spark.createDataFrame([(v,) for v in vals], "v long")
-    rows = df.select(
-        "v", F.expr(f"(v - pmod(v, {QR_W})) DIV {QR_W}").alias("bkt")
-    ).collect()
-    for r in rows:
-        assert r.bkt == r.v // QR_W, (r.v, r.bkt)
+    rows = df.select("v", F.expr(f"v DIV {QR_W}").alias("bkt")).collect()
+    spark_bkt = {r.v: r.bkt for r in rows}
+    duck = dict(
+        duckdb.sql(
+            f"SELECT v, v // {QR_W} FROM (VALUES "
+            + ", ".join(f"({v}::BIGINT)" for v in vals)
+            + ") t(v)"
+        ).fetchall()
+    )
+    assert spark_bkt == duck, (spark_bkt, duck)
+    # pin the semantics themselves: truncation, not floor
+    assert duck[-1] == 0 and duck[-1001] == -2 and duck[-500] == -1
