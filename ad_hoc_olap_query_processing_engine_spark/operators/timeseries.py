@@ -648,56 +648,52 @@ register("ts_resample_ohlc", ts_resample_ohlc, TS_RESAMPLE_OHLC_SQL)
 
 # ---------------------------------------------------------------------------
 # ts_ewma — exponentially weighted moving average per user (α = ½, window
-# truncated at the last 8 observations), computed by a SEQUENTIAL
-# applyInPandas kernel: each user's series is sorted inside its group and
-# smoothed with a vectorized 8-tap dot product — the shape for per-key
-# order-dependent kernels (EWMA, Kalman, drawdown) that a plain window
-# expression can't express without one LAG term per tap.
+# truncated at the last 8 observations), compiled to EIGHT LAG TERMS over one
+# JVM window (PARTITION BY user_id ORDER BY ts, event_id).  A truncated-tap
+# EWMA is NOT a recursive fold — each output depends on a fixed, bounded
+# suffix of the series — so it belongs in Tungsten, not in a Python worker:
+# the round-7 verdict flagged the previous applyInPandas form as the repo's
+# last full-fact-table Python funnel (the vectorized kernel was fine; the
+# Arrow serialization of every event row was the 100 TB bottleneck).  One
+# hash-partition+sort on user_id, zero Python, whole-stage codegen
+# throughout.  Kernels that genuinely need unbounded sequential state
+# (ts_lttb's argmax chain, the udf_* certifications) keep applyInPandas.
 #
 # Exactness contract: observations quantize to 1e-4 fixed point, the tap
 # weights are powers of two (128, 64, …, 1), the ramp-up denominator is
 # 2^8 − 2^(8−m) for m available taps, and the final smoothing is INTEGER
-# division — every intermediate is an exact int64, so the pandas kernel and
-# the DuckDB oracle (which unrolls the 8 taps as LAG terms) agree
-# bit-for-bit; no recursive float accumulation ever happens.  One shuffle
-# (user_id), per-user state never leaves the executor.
-#
-# The integer division requires NON-NEGATIVE observations (events.value ≥ 0
-# by dataset contract): numpy's // floors while DuckDB's // truncates
-# toward zero, so a negative numerator would differ by one unit.  For
-# signed series, offset into the non-negative range first.
+# division — every intermediate is an exact int64, so Spark and the DuckDB
+# oracle (same 8-LAG unrolling) agree bit-for-bit; no recursive float
+# accumulation ever happens.  Spark's DIV and DuckDB's // both TRUNCATE
+# toward zero, so agreement holds at any sign (the old pandas kernel's
+# flooring numpy // was why a non-negativity caveat used to live here).
 # ---------------------------------------------------------------------------
 
 EWMA_TAPS = 8
 
 
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+    from pyspark.sql import Window as W
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        xq = np.floor(pdf["value"].to_numpy() * 10000.0).astype(np.int64)
-        n = len(xq)
-        num = np.zeros(n, dtype=np.int64)
-        den = np.zeros(n, dtype=np.int64)
-        for j in range(EWMA_TAPS):
-            w = 1 << (EWMA_TAPS - 1 - j)  # 128, 64, ..., 1
-            if j < n:
-                num[j:] += xq[: n - j] * w
-                den[j:] += w
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ewma_fp": num // den,
-            }
-        )
-
-    e = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts", "value")
-    return e.groupBy("user_id").applyInPandas(
-        kernel, "user_id bigint, event_id bigint, ewma_fp bigint"
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 10000.0).cast("bigint").alias("xq"),
     )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(EWMA_TAPS):
+        wgt = F.lit(1 << (EWMA_TAPS - 1 - j))  # 128, 64, ..., 1
+        x = F.lag("xq", j).over(w) if j else F.col("xq")
+        t = F.coalesce(x * wgt, F.lit(0))
+        d = F.when(x.isNull(), F.lit(0)).otherwise(wgt)
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return e.select(
+        "user_id", "event_id", num.alias("__num"), den.alias("__den")
+    ).select("user_id", "event_id", F.expr("__num DIV __den").alias("ewma_fp"))
 
 
 def _ewma_sql() -> str:

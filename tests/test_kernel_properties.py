@@ -82,3 +82,60 @@ def test_clamped_balance_closed_form_equals_fold(deltas):
     bal = int(s[-1] - min(0, int(m[-1])))
     clamps = int(np.sum(s < prior))
     assert (bal, clamps) == _clamped_fold(deltas)
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma: the 8-LAG unrolled window (the formulation BOTH the Spark plan and
+# the DuckDB oracle now compile to — timeseries.py ts_ewma/_ewma_sql) must
+# equal the sequential per-element definition: a truncated-tap EWMA with
+# power-of-two weights 128..1 over the last min(8, i+1) observations, final
+# smoothing by TRUNCATING integer division (Spark DIV ≡ DuckDB // at any
+# sign).  Since round 8 Spark and the oracle share the unrolling, THIS test
+# is the independent spec check; negative xq values are in-scope on purpose.
+# ---------------------------------------------------------------------------
+
+
+def _ewma_reference(xq: list[int], taps: int = 8) -> list[int]:
+    out = []
+    for i in range(len(xq)):
+        num = 0
+        den = 0
+        for j in range(min(taps, i + 1)):
+            w = 1 << (taps - 1 - j)
+            num += xq[i - j] * w
+            den += w
+        q = abs(num) // den
+        out.append(q if num >= 0 else -q)  # truncate toward zero
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7), min_size=1, max_size=60
+    )
+)
+def test_ewma_lag_unrolling_matches_sequential_reference(xq):
+    import duckdb
+
+    from ad_hoc_olap_query_processing_engine_spark.operators.timeseries import (
+        _ewma_sql,
+    )
+
+    sql = _ewma_sql().replace(
+        "WITH q AS (\n  SELECT user_id, event_id, ts,\n"
+        "         CAST(FLOOR(value * 10000.0) AS BIGINT) AS xq\n  FROM events)",
+        "WITH q AS (SELECT * FROM series)",
+    )
+    assert "FROM events" not in sql, "oracle CTE shape changed; update splice"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE series AS SELECT "
+        "7::BIGINT AS user_id, "
+        "UNNEST(RANGE(1, %d))::BIGINT AS event_id, "
+        "make_timestamp(UNNEST(RANGE(1, %d)) * 1000000) AS ts, "
+        "UNNEST($vals)::BIGINT AS xq" % (len(xq) + 1, len(xq) + 1),
+        params={"vals": xq},
+    )
+    got = [r[2] for r in sorted(con.sql(sql).fetchall(), key=lambda r: r[1])]
+    assert got == _ewma_reference(xq), (xq, got)

