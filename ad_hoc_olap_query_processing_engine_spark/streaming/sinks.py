@@ -22,10 +22,16 @@ from pyspark.sql import DataFrame
 
 
 def foreach_batch_parquet_sink(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, on_batch=None
 ):
     """Start a foreachBatch query writing each micro-batch idempotently to
     ``out_dir/batch_id=N``. Returns the StreamingQuery (caller drains/stops).
+
+    ``on_batch(batch_id)``, if given, runs AFTER the batch's write lands and
+    BEFORE Spark commits the batch's offsets — the two-phase-commit gap.
+    Intended for per-batch telemetry; the fault-injection test raises from it
+    to prove a crash in that gap redelivers the batch instead of losing or
+    duplicating it (tests/test_streaming_sink.py).
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -34,6 +40,8 @@ def foreach_batch_parquet_sink(
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
+        if on_batch is not None:
+            on_batch(batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

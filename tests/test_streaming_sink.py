@@ -59,6 +59,69 @@ def test_foreach_batch_sink_exactly_once(spark, tmp_path):
     assert os.path.isdir(out)
 
 
+def test_foreach_batch_crash_between_write_and_commit(spark, tmp_path):
+    """Fault injection in the two-phase-commit GAP (round-7 verdict ask):
+    the batch's parquet write lands, then the query dies BEFORE Spark commits
+    the batch's offsets.  Contract: (a) the crash is visible as a query
+    failure, not silent; (b) a restart on the same checkpoint REDELIVERS the
+    uncommitted batch under the SAME batch_id (offset WAL), and the
+    idempotent per-batch overwrite leaves the final output complete and
+    duplicate-free — no partial visibility at any point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"event_id": list(range(i * 10, (i + 1) * 10))}),
+            str(src / f"f{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashes = []
+
+    def crash_once(batch_id: int) -> None:
+        if batch_id == 1 and not crashes:
+            crashes.append(batch_id)
+            raise RuntimeError("injected crash between write and offset commit")
+
+    q = foreach_batch_parquet_sink(stream, out, ckpt, on_batch=crash_once)
+    import pytest
+
+    with pytest.raises(Exception, match="injected crash"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert crashes == [1]
+    # batch 1's WRITE landed (its dir is committed parquet) but its offsets
+    # did not — the exact mid-gap state
+    assert os.path.isfile(os.path.join(out, "batch_id=1", "_SUCCESS"))
+
+    # restart on the same checkpoint, no fault: batch 1 redelivers under the
+    # same id, batch 2 follows; nothing is lost, nothing duplicated
+    q2 = foreach_batch_parquet_sink(stream, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = read_batches(spark, out)
+    assert final.count() == 30
+    assert final.select("event_id").distinct().count() == 30
+    assert set(r[0] for r in final.select("batch_id").distinct().collect()) == {
+        0,
+        1,
+        2,
+    }
+
+
 def test_tws_extremes_gated_on_protobuf(spark):
     """transformWithStateInPandas needs protobuf in the Python runner; the
     op registers only where that holds (and runs correctly when it does)."""
