@@ -498,3 +498,67 @@ GROUP BY c_mktsegment"""
 
 
 register("func_aes_roundtrip", func_aes_roundtrip, FUNC_AES_ROUNDTRIP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_url_parse — the URL-function surface (parse_url PROTOCOL/HOST/PATH/
+# QUERY-param) plus naive registrable-domain decomposition, the backbone of
+# corpus curation at scale (domain-level mixing, URL dedup, blocklists all
+# key on the registrable domain).  The corpus fixture carries no URLs, so a
+# deterministic URL is SYNTHESIZED per document from (source, lang, doc_id)
+# — identical || expression in both engines — and the OPERATOR under test is
+# the parse: Spark's java.net-backed parse_url vs an independent regexp
+# formulation in the DuckDB oracle, so agreement checks real parser
+# semantics, not a shared implementation.  Registrable domain is last-2-
+# labels (a real pipeline swaps in the public-suffix list — a broadcast map
+# join — without changing this plan shape).  Pure JVM row expressions, zero
+# shuffles, scan + project only.
+# ---------------------------------------------------------------------------
+
+_URL_SYNTH = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'files.' ELSE '' END || source"
+    " || '.example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END"
+    " || '/' || lang || '/doc-' || doc_id || '.html?ref=' || (doc_id % 7)"
+    " || '&utm=mail'"
+)
+
+
+def func_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.withColumn("__url", F.expr(_URL_SYNTH)).select(
+        "doc_id",
+        F.expr("parse_url(__url, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(__url, 'HOST')").alias("host"),
+        F.expr("parse_url(__url, 'PATH')").alias("path"),
+        F.expr("CAST(parse_url(__url, 'QUERY', 'ref') AS INT)").alias("ref"),
+        F.expr(
+            "array_join(slice(split(parse_url(__url, 'HOST'), '\\\\.'), 1, "
+            "size(split(parse_url(__url, 'HOST'), '\\\\.')) - 2), '.')"
+        ).alias("subdomain"),
+        F.expr(
+            "element_at(split(parse_url(__url, 'HOST'), '\\\\.'), -2) || '.' || "
+            "element_at(split(parse_url(__url, 'HOST'), '\\\\.'), -1)"
+        ).alias("domain"),
+    )
+
+
+FUNC_URL_PARSE_SQL = f"""\
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+h AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([a-z]+)://', 1)        AS proto,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+  FROM u),
+t AS (SELECT *, string_split(host, '.') AS toks FROM h)
+SELECT doc_id,
+       proto,
+       host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)       AS path,
+       CAST(regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS INT)    AS ref,
+       array_to_string(toks[1:len(toks) - 2], '.')                AS subdomain,
+       toks[-2] || '.' || toks[-1]                                AS domain
+FROM t"""
+
+
+register("func_url_parse", func_url_parse, FUNC_URL_PARSE_SQL)

@@ -346,9 +346,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_minhash_pairs(spark, sf_dir)
 
 
-def _minhash_ctes() -> str:
-    """CTE chain ending with the verified ``vpairs`` — composed by both the
-    pair-emitting oracle and the connected-components oracle."""
+def _minhash_ctes(sh_body: str = _SHINGLES_SQL) -> str:
+    """CTE chain ending with the verified ``vpairs`` — composed by the
+    pair-emitting oracle, the connected-components oracle, and (with a
+    capped ``sh_body``) the LSH recall report."""
     r = NUM_HASHES // BANDS
     mins = ",\n         ".join(
         f"MIN(ha + {i} * hb) AS m{i}" for i in range(NUM_HASHES)
@@ -360,7 +361,7 @@ def _minhash_ctes() -> str:
         for b in range(BANDS)
     )
     return f"""\
-sh AS ({_SHINGLES_SQL}),
+sh AS ({sh_body}),
 hashed AS (
   SELECT doc_id,
          ('0x' || substr(md5(s), 1, 12))::BIGINT  AS ha,
@@ -764,3 +765,114 @@ GROUP BY m.cluster_id, e.doc_id, e.n_chars"""
 
 
 register("dedup_survivorship", dedup_survivorship, _survivorship_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall_report — the EVAL HARNESS of the dedup tier (what
+# sim_recall_report is to the ANN tier): measures banded-MinHash candidate
+# recall against the EXACT near-dup ground truth, per Jaccard band, so the
+# (NUM_HASHES, BANDS) operating point is audited with numbers instead of the
+# 1-(1-J^r)^b curve taken on faith.
+#
+# Apples-to-apples universe: BOTH sides run on the stop-shingle-CAPPED
+# postings — ground truth is the inverted-index exact-Jaccard pair table
+# (session-cached pair_overlap_table, same artifact dedup_ngram_jaccard
+# reads), and the LSH side re-runs the full sketch pipeline (signatures →
+# bands → bucket candidates → exact verify) on the same capped postings.
+# Verified LSH pairs are a SUBSET of ground truth by construction, so
+# found/truth per band IS recall; banding theory says it climbs toward 1 as
+# J → 1, and the report shows exactly where it sags.  Band edges are EXACT
+# integer comparisons on (intersection c, union u): J≥0.5 ⟺ 2c≥u,
+# J≥0.7 ⟺ 10c≥7u — no float boundary can disagree between engines.  The
+# J≥0.4 membership threshold reuses the family's double-division predicate
+# (identical expression both sides; c,u are small integers so the ratio is
+# never within an ulp of the literal).
+#
+# Scale: ground truth is the capped inverted-index join (bounded ~DF_CAP²/2
+# pairs per shingle), LSH is the banded pipeline — no all-pairs anywhere; at
+# 100 TB you'd run this report on a sampled slice, which changes only the
+# input filter, not the plan.
+# ---------------------------------------------------------------------------
+
+
+def capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached stop-shingle-capped postings (the universe shared by
+    the exact ground truth and the audited LSH pipeline)."""
+    return session_cached(
+        "capped_postings",
+        spark,
+        sf_dir,
+        lambda: _capped(shingle_postings(spark, sf_dir)).persist(),
+    )
+
+
+_BAND_CASE = (
+    "CASE WHEN 10 * {c} >= 7 * {u} THEN 'J>=0.7' "
+    "WHEN 2 * {c} >= {u} THEN '0.5<=J<0.7' "
+    "ELSE '0.4<=J<0.5' END"
+)
+
+
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = capped_postings(spark, sf_dir)
+    gt = (
+        pair_overlap_table(spark, sf_dir)
+        .withColumn("__u", F.col("na") + F.col("nb") - F.col("c"))
+        .filter(F.col("c") / F.col("__u") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(_BAND_CASE.format(c="c", u="__u")).alias("band"),
+        )
+    )
+    lsh = minhash_pairs(sh).select(
+        "doc_a", "doc_b", F.lit(1).alias("__found")
+    )
+    return (
+        gt.join(lsh, ["doc_a", "doc_b"], "left")
+        .rollup("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("__found"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            F.coalesce(F.col("band"), F.lit("ALL")).alias("band"),
+            "n_truth",
+            "n_found",
+            F.expr("n_found * 10000 DIV n_truth").alias("recall_bps"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    capped_body = f"SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)"
+    band = _BAND_CASE.format(c="g.c", u="g.u")
+    return f"""\
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+{_minhash_ctes(capped_body)},
+gt_inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+gt AS (
+  SELECT i.doc_a, i.doc_b, i.c, sa.n + sb.n - i.c AS u
+  FROM gt_inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}),
+joined AS (
+  SELECT {band} AS band,
+         CASE WHEN v.doc_a IS NULL THEN 0 ELSE 1 END AS found
+  FROM gt g
+  LEFT JOIN vpairs v ON v.doc_a = g.doc_a AND v.doc_b = g.doc_b)
+SELECT COALESCE(band, 'ALL') AS band,
+       COUNT(*)              AS n_truth,
+       CAST(COALESCE(SUM(found), 0) AS BIGINT) AS n_found,
+       CAST(COALESCE(SUM(found), 0) * 10000 // COUNT(*) AS BIGINT)
+         AS recall_bps
+FROM joined
+GROUP BY ROLLUP(band)"""
+
+
+register("dedup_lsh_recall_report", dedup_lsh_recall_report, _lsh_recall_sql())

@@ -496,3 +496,108 @@ def _kcore_sql() -> str:
 
 
 register("graph_kcore", graph_kcore, _kcore_sql())
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — semi-supervised LPA over the customer↔supplier
+# graph: every 10th supplier is a CLAMPED seed (label = its own node id);
+# each synchronous round, every non-seed node adopts the MAJORITY label of
+# its labeled neighbors (count DESC, label ASC tie-break — fully
+# deterministic, the reason this LPA is oracle-checkable while classic
+# random-order LPA is not).  Distinct from dedup_cluster_cc's min-label CC:
+# labels spread only from seeds, non-seeds re-vote every round (can flip),
+# and the result is a seed-community partition, not connected components.
+#
+# Scale shape: per round one fact-free join of the (persisted, src-
+# partitioned) edge list against the node-sized label table, one count
+# aggregate, one row_number cut — all map-side-combinable; labels
+# localCheckpoint per round (same bounded-iteration contract as
+# graph_bfs_layers/dedup_cluster_cc: lineage stays O(1), never O(rounds)).
+# The oracle unrolls the LPA_ROUNDS rounds as window-function CTEs.
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2  # bipartite graph: round 1 reaches customers, round 2 suppliers
+LPA_SEED_MOD = 10
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    edges = purchase_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") % LPA_SEED_MOD == 0)
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    labels = seeds
+    for _ in range(LPA_ROUNDS):
+        contrib = edges.join(labels, edges.src == labels.node).select("dst", "lbl")
+        counts = contrib.groupBy("dst", "lbl").agg(F.count(F.lit(1)).alias("__n"))
+        w = W.partitionBy("dst").orderBy(F.desc("__n"), F.asc("lbl"))
+        winners = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        labels = seeds.unionByName(
+            winners.join(seeds.select("node"), "node", "left_anti")
+        ).localCheckpoint()
+    return labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.expr("CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END")).alias(
+            "n_customers"
+        ),
+        F.sum(F.expr("CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END")).alias(
+            "n_suppliers"
+        ),
+        F.min("node").alias("first_member"),
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""\
+c{i} AS (
+  SELECT e.dst, l.lbl, COUNT(*) AS n
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY 1, 2),
+w{i} AS (
+  SELECT dst AS node, lbl,
+         ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, lbl ASC) AS rk
+  FROM c{i}),
+l{i} AS (
+  SELECT node, lbl FROM seeds_l
+  UNION ALL
+  SELECT node, lbl FROM w{i}
+  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds_l))""")
+        prev = f"l{i}"
+    body = ",\n".join(rounds)
+    return f"""\
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+seeds_l AS (
+  SELECT 's:' || s_suppkey AS node, 's:' || s_suppkey AS lbl
+  FROM supplier WHERE s_suppkey % {LPA_SEED_MOD} = 0),
+l0 AS (SELECT node, lbl FROM seeds_l),
+{body}
+SELECT lbl,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers,
+       MIN(node) AS first_member
+FROM {prev}
+GROUP BY lbl"""
+
+
+register("graph_label_propagation", graph_label_propagation, _lpa_sql())

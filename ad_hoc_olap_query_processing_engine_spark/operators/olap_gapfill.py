@@ -1123,6 +1123,84 @@ register("rel_weighted_median", rel_weighted_median, REL_WEIGHTED_MEDIAN_SQL)
 
 
 # ---------------------------------------------------------------------------
+# func_percentile_cont — PERCENTILE_CONT semantics (linear interpolation
+# between the two straddling order statistics: pos = 1 + p·(n−1)), computed
+# as EXACT integer rational arithmetic so Spark and DuckDB hash-match
+# bit-for-bit: values quantize to 1e-2 fixed point, the fractional offset is
+# carried as an integer remainder r (pos = (k·den + r)/den with
+# k = (n−1)·num DIV den, r = (n−1)·num % den), and the interpolated value is
+# the single integer expression (v₁·den + r·(v₂ − v₁))·10⁴ DIV den, emitted
+# at 1e-6 fixed point.  No double ever enters the interpolation — the usual
+# PERCENTILE_CONT cross-engine failure is the float multiply-add ordering.
+# Complements func_percentile_disc (rank-pick, no interpolation); the shared
+# shape is one ranked window pass + conditional aggregation, one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def func_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0).cast("bigint").alias("__v"),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("__n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    pick_cols = []
+    for num, den in _DISC_PCTS:
+        lbl = f"p{100 * num // den}"
+        k = f"(((__n - 1) * {num}) DIV {den})"
+        aggs.append(
+            F.expr(f"MIN(CASE WHEN __rk = {k} + 1 THEN __v END)").alias(f"__{lbl}_v1")
+        )
+        aggs.append(
+            F.expr(f"MIN(CASE WHEN __rk = {k} + 2 THEN __v END)").alias(f"__{lbl}_v2")
+        )
+        aggs.append(F.expr(f"MIN(((__n - 1) * {num}) % {den})").alias(f"__{lbl}_r"))
+        pick_cols.append(
+            F.expr(
+                f"(__{lbl}_v1 * {den} + __{lbl}_r * "
+                f"(COALESCE(__{lbl}_v2, __{lbl}_v1) - __{lbl}_v1)) "
+                f"* 10000 DIV {den}"
+            ).alias(f"{lbl}_cont_e6")
+        )
+    g = ranked.groupBy("o_orderpriority").agg(*aggs)
+    return g.select("o_orderpriority", "n_orders", *pick_cols)
+
+
+def _percentile_cont_sql() -> str:
+    cols = []
+    for num, den in _DISC_PCTS:
+        lbl = f"p{100 * num // den}"
+        k = f"(((n - 1) * {num}) // {den})"
+        r = f"(((n - 1) * {num}) % {den})"
+        v1 = f"MIN(CASE WHEN rk = {k} + 1 THEN v END)"
+        v2 = f"MIN(CASE WHEN rk = {k} + 2 THEN v END)"
+        cols.append(
+            f"CAST(({v1} * {den} + MIN({r}) * (COALESCE({v2}, {v1}) - {v1})) "
+            f"* 10000 // {den} AS BIGINT) AS {lbl}_cont_e6"
+        )
+    body = ",\n       ".join(cols)
+    return f"""\
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {body}
+FROM ranked
+GROUP BY o_orderpriority"""
+
+
+register("func_percentile_cont", func_percentile_cont, _percentile_cont_sql())
+
+
+# ---------------------------------------------------------------------------
 # rel_dq_report — the data-contract check suite (dbt tests / Great
 # Expectations shape) every warehouse runs before publishing a snapshot:
 # uniqueness of the primary key, referential integrity of every foreign

@@ -139,3 +139,36 @@ def test_ewma_lag_unrolling_matches_sequential_reference(xq):
     )
     got = [r[2] for r in sorted(con.sql(sql).fetchall(), key=lambda r: r[1])]
     assert got == _ewma_reference(xq), (xq, got)
+
+
+# ---------------------------------------------------------------------------
+# func_percentile_cont: the integer-rational interpolation
+# (v1·den + r·(v2−v1))·10⁴ DIV den must equal textbook PERCENTILE_CONT
+# (pos = 1 + p·(n−1), linear interpolation) — checked against numpy's
+# 'linear' percentile on the quantized values, exact to the 1e-6 grid's
+# truncation (result is within one ulp-of-grid below the real value).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=50),
+    st.sampled_from([(1, 4), (1, 2), (9, 10)]),
+)
+def test_percentile_cont_integer_form_matches_numpy(vals_e2, p):
+    num, den = p
+    v = sorted(vals_e2)
+    n = len(v)
+    k = ((n - 1) * num) // den
+    r = ((n - 1) * num) % den
+    v1 = v[k]
+    v2 = v[k + 1] if r else v1
+    got_e6 = (v1 * den + r * (v2 - v1)) * 10000 // den
+    exact = np.percentile(np.array(v, dtype=np.float64), 100.0 * num / den,
+                          method="linear")
+    # got_e6 truncates the exact rational downward on the 1e-6 grid; the
+    # tolerance covers numpy's own float64 rounding (the integer form is the
+    # exact one — observed numpy error ~1e-12 relative)
+    tol = 1e-9 * abs(exact * 10000) + 1e-6
+    assert got_e6 <= exact * 10000 + tol
+    assert got_e6 > exact * 10000 - 1 - tol, (v, p, got_e6, exact)
