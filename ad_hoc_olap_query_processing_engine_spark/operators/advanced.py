@@ -1057,3 +1057,67 @@ GROUP BY user_id"""
 
 
 register("udf_cogroup_latency", udf_cogroup_latency, UDF_COGROUP_LATENCY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_session_window — the BUILT-IN batch session_window aggregate (Spark's
+# native merging-session operator, a different primitive from
+# rel_sessionize's hand-rolled gaps-islands windows): groupBy(user_id,
+# session_window(ts, gap)) merges events whose timestamp falls strictly
+# before the previous event's ts + gap, and the session's end is
+# last_event + gap.  The DuckDB oracle re-derives the same sessions from
+# first principles (LAG-diff >= gap starts a new island; end = MAX(ts) +
+# gap), so agreement certifies Spark's merge rule, not a shared
+# formulation.  One shuffle on user_id; session state is bounded by the
+# gap horizon — the same operator Structured Streaming uses for streaming
+# sessionization (stream_session), here certified in batch mode.
+# Timestamps are emitted as epoch micros (BIGINT) for hash safety.
+# ---------------------------------------------------------------------------
+
+SW_GAP_MIN = 120
+
+
+def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    sw = F.session_window("ts", f"{SW_GAP_MIN} minutes")
+    return (
+        e.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+REL_SESSION_WINDOW_SQL = f"""\
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   >= {SW_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(epoch_us(ts))                                   AS session_start_us,
+       MAX(epoch_us(ts)) + {SW_GAP_MIN * 60 * 1_000_000}   AS session_end_us,
+       COUNT(*)                                            AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)   AS sum_value
+FROM sess
+GROUP BY user_id, sid"""
+
+
+register("rel_session_window", rel_session_window, REL_SESSION_WINDOW_SQL)

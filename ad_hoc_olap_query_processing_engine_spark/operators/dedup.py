@@ -586,7 +586,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
         # clique/star-shaped dup clusters), the round costs one small join
         # instead of two joins + a checkpoint.
         nbr = lab.select(F.col("u").alias("v"), F.col("l").alias("nl"))
-        prop = sym.join(nbr, "v").groupBy("u").agg(F.min("nl").alias("pl"))
+        # prop is checkpointed (node-sized): the convergence check AND the
+        # merge both read it, so the round's neighbor join runs ONCE instead
+        # of twice (check, then again under the merge's checkpoint)
+        prop = (
+            sym.join(nbr, "v")
+            .groupBy("u")
+            .agg(F.min("nl").alias("pl"))
+            .localCheckpoint()
+        )
         changed = (
             lab.join(prop, "u")
             .filter(F.col("pl") < F.col("l"))

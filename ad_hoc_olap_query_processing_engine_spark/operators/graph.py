@@ -433,7 +433,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     trace = None
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        # deg is checkpointed (node-sized, tiny): the trace row AND the weak
+        # set both read it, so the heavy per-round degree aggregate runs
+        # ONCE — without this the trace rows re-derive every round's degrees
+        # from the edge checkpoints at collect time (measured ~2× the agg
+        # work at sf0.1)
+        deg = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
         # COALESCE: once the graph peels empty, SUM over the empty degree
         # table is NULL — the trace contract promises 0 rows, not NULLs
         row = deg.agg(
@@ -601,3 +610,78 @@ GROUP BY lbl"""
 
 
 register("graph_label_propagation", graph_label_propagation, _lpa_sql())
+
+
+# ---------------------------------------------------------------------------
+# graph_common_neighbors — link prediction over the degree-capped kNN
+# co-purchase graph: for every NON-edge pair at distance 2, the common-
+# neighbor count and neighborhood Jaccard (exact bps: cn·10⁴ DIV
+# (deg_p + deg_q − cn)); top-20 by (cn DESC, p, q).  The classic
+# recommender primitive ("parts bought together with the same partners but
+# never together").  The wedge join runs on the SAME capped symmetric edge
+# list as graph_triangles (degree ≤ 2·TRI_KNN ⇒ wedge fan-out bounded per
+# node forever), candidates are filtered by an anti-join against the
+# oriented edge set, and degrees broadcast-join in.  All-integer outputs.
+# ---------------------------------------------------------------------------
+
+CN_TOP_K = 20
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    s1 = sym.select(F.col("b").alias("z"), F.col("a").alias("p"))
+    s2 = sym.select(F.col("b").alias("z2"), F.col("a").alias("q"))
+    cand = (
+        s1.join(s2, (F.col("z") == F.col("z2")) & (F.col("p") < F.col("q")))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(
+        edges,
+        (cand.p == edges.a) & (cand.q == edges.b),
+        "left_anti",
+    )
+    dp = deg.select(F.col("a").alias("p"), F.col("deg").alias("__dp"))
+    dq = deg.select(F.col("a").alias("q"), F.col("deg").alias("__dq"))
+    return (
+        nonedge.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            "p",
+            "q",
+            "cn",
+            (F.col("__dp") + F.col("__dq") - F.col("cn")).alias("union_deg"),
+            F.expr("cn * 10000 DIV (__dp + __dq - cn)").alias("jaccard_bps"),
+        )
+        .orderBy(F.desc("cn"), F.asc("p"), F.asc("q"))
+        .limit(CN_TOP_K)
+    )
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = f"""\
+WITH {_KNN_EDGES_CTES},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+cand AS (
+  SELECT s1.a AS p, s2.a AS q, COUNT(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+  GROUP BY 1, 2),
+nonedge AS (
+  SELECT c.p, c.q, c.cn
+  FROM cand c LEFT JOIN edges e ON e.a = c.p AND e.b = c.q
+  WHERE e.a IS NULL)
+SELECT n.p, n.q, n.cn,
+       dp.d + dq.d - n.cn                                  AS union_deg,
+       CAST(n.cn * 10000 // (dp.d + dq.d - n.cn) AS BIGINT) AS jaccard_bps
+FROM nonedge n
+JOIN deg dp ON dp.a = n.p
+JOIN deg dq ON dq.a = n.q
+ORDER BY n.cn DESC, n.p ASC, n.q ASC
+LIMIT {CN_TOP_K}"""
+
+
+register("graph_common_neighbors", graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL)

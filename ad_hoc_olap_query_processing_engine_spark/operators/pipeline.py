@@ -656,3 +656,57 @@ CROSS JOIN tot t"""
 
 
 register("pipe_corpus_manifest", pipe_corpus_manifest, _corpus_manifest_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_oversample_minority — deterministic class rebalancing for training
+# mixtures: each language class is replicated up to the majority class's
+# size with an INTEGER repetition factor k = ceil(max_count / count) (exact
+# ceil on integers: (max + cnt - 1) DIV cnt), materialized by
+# explode(sequence(1, k)) — the scale-safe oversampling shape (a row-local
+# fan-out, no shuffle beyond the broadcast of the per-class factor table;
+# at 100 TB the replicated copies never co-locate on one executor the way a
+# collect-and-duplicate would).  Every copy is tagged with its index so
+# downstream shuffling/sharding can de-correlate replicas.  The oracle
+# re-derives factors and expands with generate_series.
+# ---------------------------------------------------------------------------
+
+
+def pipe_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("__cnt"))
+    # global max class size: one-row broadcast scalar
+    mx = stats.agg(F.max("__cnt").alias("__mx"))
+    factors = stats.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "__cnt",
+        F.expr("(__mx + __cnt - 1) DIV __cnt").alias("rep_factor"),
+    )
+    return (
+        d.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("__cnt").alias("class_size"),
+            "rep_factor",
+            F.explode(F.sequence(F.lit(1), F.col("rep_factor"))).alias("copy_idx"),
+        )
+        .select("doc_id", "lang", "class_size", "rep_factor", "copy_idx")
+    )
+
+
+PIPE_OVERSAMPLE_SQL = """\
+WITH stats AS (SELECT lang, COUNT(*) AS class_size FROM documents GROUP BY lang),
+mx AS (SELECT MAX(class_size) AS m FROM stats),
+factors AS (
+  SELECT lang, class_size,
+         CAST((m + class_size - 1) // class_size AS BIGINT) AS rep_factor
+  FROM stats CROSS JOIN mx)
+SELECT d.doc_id, d.lang, f.class_size, f.rep_factor,
+       CAST(u.copy_idx AS BIGINT) AS copy_idx
+FROM documents d
+JOIN factors f ON f.lang = d.lang,
+     UNNEST(generate_series(1, f.rep_factor)) AS u(copy_idx)"""
+
+
+register("pipe_oversample_minority", pipe_oversample_minority, PIPE_OVERSAMPLE_SQL)
