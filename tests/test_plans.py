@@ -616,6 +616,21 @@ def test_ewma_compiles_to_single_exchange_jvm_plan(spark):
     assert "user_id" in exchanges[0]
 
 
+def test_session_window_single_exchange_jvm_plan(spark):
+    """rel_session_window (the built-in batch session_window aggregate) must
+    plan ONE exchange (user_id) and no Python: session merging happens in
+    the JVM MergingSessionsExec/sort path, not a Python worker."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import advanced
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = advanced.rel_session_window(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    exchanges = exchange_args(df)
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
+
+
 def test_pq_ann_all_joins_broadcast(spark):
     """sim_pq_ann's joins must ALL be broadcast (codebook, ADC lookup table,
     query batch — every non-corpus side is tiny by construction); a
