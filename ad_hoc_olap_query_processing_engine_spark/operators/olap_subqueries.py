@@ -337,6 +337,15 @@ HIER_TOP_NODES = 64
 
 def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    # The ancestor walk emits |parts| × log₂(max key) rows — ~3.6e6 at sf1,
+    # over Spark's default cteRecursionRowLimit of 1e6 (found by the sf1
+    # sweep: RECURSION_ROW_LIMIT_EXCEEDED).  The walk is DEPTH-bounded by
+    # construction (node halves every level: ≤ 64 levels for any int64 key,
+    # under the separate cteRecursionLevelLimit of 100), so the row limit is
+    # the wrong guard for this shape — raise it to the int32 ceiling and let
+    # the level limit catch true non-termination.  Runtime-settable session
+    # conf, works on the driver's vanilla sessions.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return spark.sql(f"""
         WITH RECURSIVE per_part AS (
           SELECT l_partkey AS pk,

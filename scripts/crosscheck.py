@@ -15,7 +15,11 @@ sys.path.insert(0, "/root/repo")
 
 from ad_hoc_olap_query_processing_engine_spark.oracle_lint import TABLES, bad_columns
 
-SF_DIR = "/root/testdata/sf0.01"
+# overridable so the sf1 scale sweep (scripts/scaleup.py) can reuse this
+# harness against the in-repo scaled data
+import os
+
+SF_DIR = os.environ.get("CROSSCHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def lint_oracle_types(con, sql: str) -> None:

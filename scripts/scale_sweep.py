@@ -1,0 +1,246 @@
+"""sf1 overflow/scale sweep (round-7 verdict ask #3).
+
+Runs a targeted query set against the in-repo sf1 dataset built by
+scripts/scaleup.py (10× sf0.1, key-offset replication) and compares each
+Spark result against its DuckDB oracle EXACTLY — the same zero-tolerance
+contract as the driver, but at 6M lineitem / 1M events where latent int64
+fixed-point products and window-state ceilings actually fire.  The runtime
+is ANSI-on Spark 4.x, so any silent-wrap candidate raises
+ARITHMETIC_OVERFLOW instead of corrupting the hash — completion IS the
+overflow canary (round 6 caught rel_share_of_parent exactly this way).
+
+Set composition: the bench top-20 slowest (iterative/ANN/streaming — the
+memory+state ceilings) plus every fixed-point/bps-arithmetic query (the
+int64-product ceilings) plus the Φ goldens (reference-parity surface).
+
+The SPARK side is the sweep's subject; the DuckDB oracle at sf1 is a bonus
+check that can itself be infeasible (the unrolled iterative-graph oracles
+spilled >80 GB of temp on the first attempt), so oracles run under a memory
+cap + wall-clock timeout and an infeasible oracle records
+``spark_ok_oracle_skipped`` — only a SPARK failure (overflow, OOM, wrong
+result where the oracle did finish) fails the sweep.
+
+Writes SCALE_sf1.json (bench-shaped, per-query seconds + verdicts).
+
+Usage: python scripts/scale_sweep.py [name ...]   (default: the curated set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("CROSSCHECK_SF_DIR", "/root/repo/.scaledata/sf1")
+
+import duckdb
+import pandas as pd
+
+SF_DIR = os.environ["CROSSCHECK_SF_DIR"]
+ORACLE_TIMEOUT_S = 150
+
+
+def _oracle_df(con, sql: str) -> pd.DataFrame:
+    """Run an oracle with a wall-clock timeout (DuckDB has no statement
+    timeout; interrupt() from a watchdog thread is the documented recipe)."""
+    out: dict = {}
+
+    def target() -> None:
+        try:
+            out["df"] = con.sql(sql).df()
+        except Exception as e:  # noqa: BLE001 — re-raised on the main thread
+            out["err"] = e
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(ORACLE_TIMEOUT_S)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        raise TimeoutError(f"oracle exceeded {ORACLE_TIMEOUT_S}s")
+    if "err" in out:
+        raise out["err"]
+    return out["df"]
+
+# bench top-20 slowest at sf0.1 (BENCH_r07) — state/memory ceilings
+SLOWEST = [
+    "graph_kcore",
+    "sim_recall_report",
+    "dedup_cluster_cc",
+    "graph_bfs_layers",
+    "sim_ivfpq_ann",
+    "src_pyds_docstats",
+    "udf_cogroup_latency",
+    "ts_ewma",
+    "dedup_embedding",
+    "graph_pagerank",
+    "ts_lttb",
+    "sim_pq_ann",
+    "sim_ivf_kmeans",
+    "dedup_containment",
+    "stream_approx_ndv",
+    "rel_hierarchy_rollup",
+    "stream_stream_join",
+    "embed_pca_project",
+    "stream_stream_outer",
+    "cdc_changelog_apply",
+]
+# fixed-point / bps / big-integer-product arithmetic — overflow ceilings
+FIXED_POINT = [
+    "rel_share_of_parent",
+    "rel_yoy_growth",
+    "rel_status_transitions",
+    "text_charset_profile",
+    "func_quantile_rollup",
+    "rel_market_share",
+    "rel_pareto_coverage",
+    "rel_weighted_median",
+    "rel_nation_concentration",
+    "text_diversity",
+    "pipe_bootstrap_ci",
+    "rel_decile_spend",
+    "func_percentile_disc",
+    "pipe_ccnet_buckets",
+    "text_bigram_lm",
+    "rel_basket_affinity",
+    "rel_attribution",
+    "rel_pricing_summary",
+    "rel_cohort_ltv",
+    "rel_running_spend",
+    "ts_clamped_balance",
+    "rel_rolling_distinct",
+    "text_trigram_lm",
+    "rel_incremental_agg",
+    "func_bitmap_rollup",
+    "rel_bitmap_distinct",
+]
+GOLDENS = [f"phi_q{i}" for i in range(1, 11)]
+DEFAULT_SET = list(dict.fromkeys(SLOWEST + FIXED_POINT + GOLDENS))
+
+
+def main() -> None:
+    from scripts.crosscheck import canon, lint_oracle_types
+    import __spark_entry__ as entry
+    from ad_hoc_olap_query_processing_engine_spark.oracle_lint import TABLES
+    from ad_hoc_olap_query_processing_engine_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_SET
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    spark = get_spark(app_name="scale-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.sql("SET memory_limit = '24GB'")
+    con.sql("SET temp_directory = '/root/repo/.scaledata/duck_tmp'")
+    con.sql("SET max_temp_directory_size = '40GB'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    results: dict[str, dict] = {}
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            got = canon(qs[name](spark, SF_DIR).toPandas())
+        except Exception as e:
+            # a SPARK failure at sf1 is the overflow/scale canary — hard fail
+            failures.append(name)
+            msg = str(e).replace("\n", " | ")[:300]
+            results[name] = {
+                "sec": round(time.time() - t0, 2),
+                "verdict": "SPARK_FAIL",
+                "err": msg,
+            }
+            print(f"{name}: SPARK_FAIL {msg}", flush=True)
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            results[name] = {
+                "sec": round(spark_s, 2),
+                "rows": len(got),
+                "verdict": "rows_only",
+            }
+            print(f"{name}: ROWS_ONLY rows={len(got)} {spark_s:.2f}s", flush=True)
+            continue
+        try:
+            lint_oracle_types(con, oracles[name])
+            exp = canon(_oracle_df(con, oracles[name]))
+        except Exception as e:
+            msg = str(e).replace("\n", " | ")[:200]
+            results[name] = {
+                "sec": round(spark_s, 2),
+                "rows": len(got),
+                "verdict": "spark_ok_oracle_skipped",
+                "oracle_err": msg,
+            }
+            print(
+                f"{name}: SPARK_OK rows={len(got)} {spark_s:.2f}s "
+                f"(oracle skipped: {msg[:80]})",
+                flush=True,
+            )
+            continue
+        try:
+            assert list(got.columns) == list(exp.columns), (
+                f"cols {list(got.columns)} vs {list(exp.columns)}"
+            )
+            assert len(got) == len(exp), f"rows {len(got)} vs {len(exp)}"
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
+            results[name] = {
+                "sec": round(spark_s, 2),
+                "rows": len(got),
+                "verdict": "exact_match",
+            }
+            print(f"{name}: OK rows={len(got)} {spark_s:.2f}s", flush=True)
+        except Exception as e:
+            failures.append(name)
+            msg = str(e).replace("\n", " | ")[:300]
+            results[name] = {
+                "sec": round(spark_s, 2),
+                "verdict": "MISMATCH",
+                "err": msg,
+            }
+            print(f"{name}: MISMATCH {msg}", flush=True)
+
+    # a targeted rerun (explicit names) MERGES into the existing sweep file
+    # so one fixed query doesn't wipe the full-set evidence
+    if len(sys.argv) > 1 and os.path.exists("/root/repo/SCALE_sf1.json"):
+        try:
+            with open("/root/repo/SCALE_sf1.json") as fh:
+                prior = json.load(fh).get("queries", {})
+            prior.update(results)
+            results = prior
+            failures = [
+                n for n, r in results.items()
+                if r["verdict"] in ("SPARK_FAIL", "MISMATCH")
+            ]
+        except (OSError, ValueError):
+            pass
+    total = round(sum(r["sec"] for r in results.values()), 1)
+    out = {
+        "metric": "sf1_scale_sweep_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": 1.0,
+        "n_queries": len(results),
+        "n_exact": sum(r["verdict"] == "exact_match" for r in results.values()),
+        "n_rows_only": sum(r["verdict"] == "rows_only" for r in results.values()),
+        "n_oracle_skipped": sum(
+            r["verdict"] == "spark_ok_oracle_skipped" for r in results.values()
+        ),
+        "n_fail": len(failures),
+        "queries": results,
+    }
+    with open("/root/repo/SCALE_sf1.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(
+        f"\n{len(names) - len(failures)}/{len(names)} green at sf1 "
+        f"({total}s total); failures: {failures}"
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
