@@ -673,11 +673,18 @@ register("pipe_corpus_manifest", pipe_corpus_manifest, _corpus_manifest_sql())
 
 
 def pipe_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
     stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("__cnt"))
-    # global max class size: one-row broadcast scalar
-    mx = stats.agg(F.max("__cnt").alias("__mx"))
-    factors = stats.crossJoin(F.broadcast(mx)).select(
+    # majority-class size via a GLOBAL window over the class-stats table —
+    # bounded by the number of classes (tiny by definition), so the single-
+    # partition window is safe at any corpus scale and avoids the one-row
+    # scalar cross join (which plans as BNLJ and would trip the registry-
+    # wide quadratic-join lint)
+    factors = stats.withColumn(
+        "__mx", F.max("__cnt").over(W.partitionBy())
+    ).select(
         "lang",
         "__cnt",
         F.expr("(__mx + __cnt - 1) DIV __cnt").alias("rep_factor"),
