@@ -1642,3 +1642,91 @@ GROUP BY user_id"""
 
 
 register("rel_interval_coverage", rel_interval_coverage, REL_INTERVAL_COVERAGE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr — lag-1 sample autocorrelation per user (the seasonality /
+# momentum probe: r₁ ≈ 0 white noise, r₁ → 1 trending, r₁ < 0 mean-
+# reverting), computed WITHOUT floats: multiplying the textbook
+#   r₁ = Σ_{t>1}(x_t − x̄)(x_{t−1} − x̄) / Σ(x_t − x̄)²
+# through by n² clears the rational mean (x̄ = S/n):
+#   num·n² = n²·Σ x_t x_{t−1} − n·S·(Σ_{t>1} x_t + Σ_{t>1} x_{t−1}) + m·S²
+#   den·n² = n²·Σ x² − n·S²                       (m = n − 1 pair count)
+# so everything is integer arithmetic on per-user aggregates of a single
+# LAG column, and r₁ ships as exact bps: num·10⁴ DIV den (truncating DIV ≡
+# DuckDB //, valid at any sign).  Products are widened to DECIMAL(38,0)
+# BEFORE multiplying — per-user sums of e2-quantized squares cross int64
+# around n ≈ 2,000 observations (the rel_share_of_parent overflow class;
+# ANSI Spark would raise, non-ANSI would wrap).  One shuffle (user_id),
+# whole-stage codegen throughout; same plan at any history length.
+# ---------------------------------------------------------------------------
+
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn("xp", F.lag("x").over(w))
+    agg = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.when(F.col("xp").isNotNull(), F.expr("CAST(x AS DECIMAL(38,0)) * xp"))).alias("sxy"),
+        F.sum(F.when(F.col("xp").isNotNull(), F.col("x"))).alias("st"),
+        F.sum("xp").alias("sp"),
+    )
+    num = (
+        "CAST(n AS DECIMAL(38,0)) * n * sxy"
+        " - CAST(n AS DECIMAL(38,0)) * s * (st + sp)"
+        " + CAST(n - 1 AS DECIMAL(38,0)) * s * s"
+    )
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * n * sxx"
+        " - CAST(n AS DECIMAL(38,0)) * s * s"
+    )
+    return agg.filter(F.col("n") >= 3).select(
+        "user_id",
+        "n",
+        F.expr(
+            f"CAST(({num}) * 10000 DIV NULLIF({den}, 0) AS BIGINT)"
+        ).alias("r1_bps"),
+    )
+
+
+TS_AUTOCORR_SQL = """\
+WITH q AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS x,
+         LAG(CAST(FLOOR(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xp
+  FROM events),
+agg AS (
+  SELECT user_id,
+         COUNT(*)                                            AS n,
+         SUM(x)                                              AS s,
+         SUM(CAST(x AS DECIMAL(38,0)) * x)                   AS sxx,
+         SUM(CASE WHEN xp IS NOT NULL
+                  THEN CAST(x AS DECIMAL(38,0)) * xp END)    AS sxy,
+         SUM(CASE WHEN xp IS NOT NULL THEN x END)            AS st,
+         SUM(xp)                                             AS sp
+  FROM q GROUP BY user_id)
+SELECT user_id, n,
+       -- the quotient runs through HUGEINT on purpose: DuckDB's // on
+       -- DECIMAL operands is PLAIN division (verified: DECIMAL -7 // 2 =
+       -- -3.5), while integer // truncates toward zero like Spark's DIV;
+       -- DECIMAL(38,0) casts to int128 exactly, output narrows to BIGINT
+       CAST(CAST((CAST(n AS DECIMAL(38,0)) * n * sxy
+                  - CAST(n AS DECIMAL(38,0)) * s * (st + sp)
+                  + CAST(n - 1 AS DECIMAL(38,0)) * s * s) AS HUGEINT) * 10000
+            // NULLIF(CAST(CAST(n AS DECIMAL(38,0)) * n * sxx
+                           - CAST(n AS DECIMAL(38,0)) * s * s AS HUGEINT), 0)
+            AS BIGINT) AS r1_bps
+FROM agg
+WHERE n >= 3"""
+
+
+register("ts_autocorr", ts_autocorr, TS_AUTOCORR_SQL)

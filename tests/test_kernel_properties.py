@@ -172,3 +172,36 @@ def test_percentile_cont_integer_form_matches_numpy(vals_e2, p):
     tol = 1e-9 * abs(exact * 10000) + 1e-6
     assert got_e6 <= exact * 10000 + tol
     assert got_e6 > exact * 10000 - 1 - tol, (v, p, got_e6, exact)
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr: the n²-multiplied integer formulation must equal the textbook
+# lag-1 autocorrelation r₁ = Σ_{t>1}(x_t−x̄)(x_{t−1}−x̄) / Σ(x_t−x̄)²
+# (full-series mean and variance — the ACF definition, not Pearson-of-
+# slices).  The integer form is exact; the float reference carries rounding,
+# so compare at bps with a 1-ulp-of-grid tolerance.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(10**5), max_value=10**5), min_size=3, max_size=80)
+)
+def test_autocorr_integer_form_matches_textbook(x):
+    n = len(x)
+    s = sum(x)
+    sxx = sum(v * v for v in x)
+    sxy = sum(x[t] * x[t - 1] for t in range(1, n))
+    st_ = sum(x[1:])
+    sp = sum(x[:-1])
+    num = n * n * sxy - n * s * (st_ + sp) + (n - 1) * s * s
+    den = n * n * sxx - n * s * s
+    if den == 0:
+        return  # constant series: operator emits NULL via NULLIF
+    got_bps = abs(num * 10000) // den * (1 if num >= 0 else -1)  # trunc toward 0
+
+    m = s / n
+    fnum = sum((x[t] - m) * (x[t - 1] - m) for t in range(1, n))
+    fden = sum((v - m) ** 2 for v in x)
+    ref = fnum / fden * 10000
+    assert abs(got_bps - ref) <= 1 + 1e-6 * abs(ref), (x, got_bps, ref)
