@@ -578,3 +578,91 @@ FROM leaf"""
 
 
 register("rel_share_of_parent", rel_share_of_parent, REL_SHARE_OF_PARENT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_crosstab_chi2 — contingency table + chi-square independence statistic
+# (is market segment independent of order priority?), entirely in exact
+# fixed-point integers: per cell, expected mass = row·col/total and the χ²
+# contribution (obs − exp)²/exp are computed on the common denominator
+# (obs·total − row·col)² / (row·col·total), widened to DECIMAL(38,0) before
+# squaring (obs·total crosses int64 around sf10) and emitted at 1e-6; the
+# statistic is the windowed sum of per-cell contributions (identical
+# per-cell truncation both engines ⇒ identical sum).  The data-QA /
+# drift-detection primitive: a training pipeline runs this between corpus
+# snapshots to flag distribution shift with a test statistic, not a
+# hunch.  One fact pass + one broadcast dim join + one 25-cell aggregate.
+# The oracle computes the same cells through HUGEINT (DuckDB's // on
+# DECIMAL operands is plain division — the ts_autocorr finding — while
+# integer // truncates like Spark's DIV).
+# ---------------------------------------------------------------------------
+
+
+def rel_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wr = W.partitionBy("c_mktsegment")
+    wc = W.partitionBy("o_orderpriority")
+    wall = W.partitionBy()
+    t = (
+        cells.withColumn("row_tot", F.sum("obs").over(wr))
+        .withColumn("col_tot", F.sum("obs").over(wc))
+        .withColumn("total", F.sum("obs").over(wall))
+    )
+    contrib = (
+        "CAST(CAST(obs AS DECIMAL(38,0)) * total - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DECIMAL(38,0))"
+    )
+    t = t.withColumn(
+        "exp_e4",
+        F.expr(
+            "CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 10000 DIV total AS BIGINT)"
+        ),
+    ).withColumn(
+        "contrib_e6",
+        F.expr(
+            f"CAST({contrib} * {contrib} * 1000000 "
+            "DIV (CAST(row_tot AS DECIMAL(38,0)) * col_tot * total) AS BIGINT)"
+        ),
+    )
+    return t.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        "exp_e4",
+        "contrib_e6",
+        F.sum("contrib_e6").over(wall).alias("chi2_e6"),
+    )
+
+
+REL_CROSSTAB_CHI2_SQL = """\
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+t AS (
+  SELECT c_mktsegment, o_orderpriority, obs,
+         CAST(SUM(obs) OVER (PARTITION BY c_mktsegment)    AS BIGINT) AS row_tot,
+         CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS col_tot,
+         CAST(SUM(obs) OVER ()                             AS BIGINT) AS total
+  FROM cells),
+x AS (
+  SELECT c_mktsegment, o_orderpriority, obs,
+         CAST(CAST(row_tot AS HUGEINT) * col_tot * 10000 // total AS BIGINT)
+           AS exp_e4,
+         CAST((CAST(obs AS HUGEINT) * total - CAST(row_tot AS HUGEINT) * col_tot)
+              * (CAST(obs AS HUGEINT) * total - CAST(row_tot AS HUGEINT) * col_tot)
+              * 1000000
+              // (CAST(row_tot AS HUGEINT) * col_tot * total) AS BIGINT)
+           AS contrib_e6
+  FROM t)
+SELECT c_mktsegment, o_orderpriority, obs, exp_e4, contrib_e6,
+       CAST(SUM(contrib_e6) OVER () AS BIGINT) AS chi2_e6
+FROM x"""
+
+
+register("rel_crosstab_chi2", rel_crosstab_chi2, REL_CROSSTAB_CHI2_SQL)

@@ -717,3 +717,85 @@ JOIN factors f ON f.lang = d.lang,
 
 
 register("pipe_oversample_minority", pipe_oversample_minority, PIPE_OVERSAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_quality_classifier — MODEL INFERENCE AS A BROADCAST JOIN: a linear
+# quality scorer whose weights live in a TABLE, not in the query text.
+# Features melt to long form (doc_id, feature_id, x) via stack(), join the
+# broadcast weight table, and the score is SUM(w·x) per document — the shape
+# that scales to thousands of features and lets the "model" be swapped by
+# replacing one tiny table (retrain → overwrite weights → same query).  All
+# integer arithmetic (integer features, integer weights), so the whole
+# inference path is oracle-checked; tiers cut at fixed score thresholds.
+# Distinct from text_quality (per-doc ratio FEATURES): this is the scoring/
+# serving layer on top of such features.
+# ---------------------------------------------------------------------------
+
+_QC_WEIGHTS = [("n_tokens", 3), ("n_chars", 1), ("n_distinct", 5), ("n_repeat", -7)]
+_QC_HI = 420  # score thresholds bracketing the corpus median (~386)
+_QC_LO = 300
+
+
+def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    feats = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (F.size(toks) - F.size(F.array_distinct(toks)))
+        .cast("bigint")
+        .alias("n_repeat"),
+    )
+    long = feats.selectExpr(
+        "doc_id",
+        "stack(4, 'n_tokens', n_tokens, 'n_chars', n_chars, "
+        "'n_distinct', n_distinct, 'n_repeat', n_repeat) AS (fid, x)",
+    )
+    weights = spark.createDataFrame(_QC_WEIGHTS, "fid string, w bigint")
+    scored = (
+        long.join(F.broadcast(weights), "fid")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("score"))
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= _QC_HI, "high")
+        .when(F.col("score") >= _QC_LO, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    weight_rows = ", ".join(f"('{fid}', {w})" for fid, w in _QC_WEIGHTS)
+    return f"""\
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+         CAST(length(text) AS BIGINT)                                AS n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(string_split(text, ' '))
+              - len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_repeat
+  FROM documents),
+long AS (
+  SELECT doc_id, 'n_tokens' AS fid, n_tokens AS x FROM feats
+  UNION ALL SELECT doc_id, 'n_chars', n_chars FROM feats
+  UNION ALL SELECT doc_id, 'n_distinct', n_distinct FROM feats
+  UNION ALL SELECT doc_id, 'n_repeat', n_repeat FROM feats),
+weights(fid, w) AS (VALUES {weight_rows}),
+scored AS (
+  SELECT l.doc_id, CAST(SUM(w.w * l.x) AS BIGINT) AS score
+  FROM long l JOIN weights w USING (fid)
+  GROUP BY l.doc_id)
+SELECT doc_id, score,
+       CASE WHEN score >= {_QC_HI} THEN 'high'
+            WHEN score >= {_QC_LO} THEN 'mid'
+            ELSE 'low' END AS tier
+FROM scored"""
+
+
+register("pipe_quality_classifier", pipe_quality_classifier, _quality_classifier_sql())
