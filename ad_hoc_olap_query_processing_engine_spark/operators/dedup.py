@@ -884,3 +884,81 @@ GROUP BY ROLLUP(band)"""
 
 
 register("dedup_lsh_recall_report", dedup_lsh_recall_report, _lsh_recall_sql())
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical — URL canonicalization dedup, the first pass of every
+# web-corpus pipeline (the same page arrives as http/https, cased hosts,
+# trailing slashes, shuffled or tracking-polluted query strings, fragments).
+# Three deterministic noisy VARIANTS are synthesized per document (scheme
+# flip + trailing slash, param reorder + fragment, UTM pollution + cased
+# host) and the operator reduces them to one canonical form: lowercase
+# host, https scheme, trailing slashes stripped, fragment dropped, and the
+# query reduced to the allowlisted param (ref) only — then exact-dedups on
+# the canonical string.  All component extraction is RE2-safe regexp
+# (identical patterns both engines); the 3→1 collapse is asserted in the
+# output (n_variants).  Scale shape: pure row-local string work + ONE
+# hash-groupBy on the canonical key — the md5-fingerprint dedup plan with a
+# normalizer in front.
+# ---------------------------------------------------------------------------
+
+_URL_VARIANTS = (
+    "array("
+    " 'https://' || upper(source) || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html?ref=' || (doc_id % 7) || '&utm_source=mail',"
+    " 'http://' || source || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html/?ref=' || (doc_id % 7),"
+    " 'https://' || source || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html?utm_campaign=x&ref=' || (doc_id % 7) || '#frag')"
+)
+_URL_VARIANTS_DUCK = (
+    "['https://' || upper(source) || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html?ref=' || (doc_id % 7) || '&utm_source=mail',"
+    " 'http://' || source || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html/?ref=' || (doc_id % 7),"
+    " 'https://' || source || '.example.org/' || lang || '/doc-' || doc_id"
+    "   || '.html?utm_campaign=x&ref=' || (doc_id % 7) || '#frag']"
+)
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    u = d.select(
+        "doc_id", F.explode(F.expr(_URL_VARIANTS)).alias("url")
+    )
+    host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))"
+    path = "regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    ref = "regexp_extract(url, '[?&]ref=([^&#]*)', 1)"
+    canon = f"'https://' || {host} || {path} || '?ref=' || {ref}"
+    return (
+        u.withColumn("canonical_url", F.expr(canon))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+DEDUP_URL_CANONICAL_SQL = f"""\
+WITH u AS (
+  SELECT doc_id, UNNEST({_URL_VARIANTS_DUCK}) AS url FROM documents),
+c AS (
+  SELECT doc_id,
+         'https://'
+         || lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+         || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                           '/+$', '')
+         || '?ref=' || regexp_extract(url, '[?&]ref=([^&#]*)', 1)
+           AS canonical_url
+  FROM u)
+SELECT canonical_url,
+       COUNT(*)                 AS n_variants,
+       COUNT(DISTINCT doc_id)   AS n_docs,
+       MIN(doc_id)              AS keeper_doc_id
+FROM c
+GROUP BY canonical_url"""
+
+
+register("dedup_url_canonical", dedup_url_canonical, DEDUP_URL_CANONICAL_SQL)

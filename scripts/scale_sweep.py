@@ -127,7 +127,12 @@ def main() -> None:
     from ad_hoc_olap_query_processing_engine_spark.oracle_lint import TABLES
     from ad_hoc_olap_query_processing_engine_spark.session import get_spark
 
-    names = sys.argv[1:] or DEFAULT_SET
+    # --all-spark-only: run EVERY registered query at sf1, Spark side only
+    # (completion/overflow proof for the whole registry; oracles skipped) —
+    # results go to SCALE_sf1_full.json instead of the curated-sweep file.
+    spark_only = "--all-spark-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = args or (list(entry.queries()) if spark_only else DEFAULT_SET)
     qs = entry.queries()
     oracles = entry.oracle_sql()
     spark = get_spark(app_name="scale-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -157,6 +162,14 @@ def main() -> None:
             print(f"{name}: SPARK_FAIL {msg}", flush=True)
             continue
         spark_s = time.time() - t0
+        if spark_only:
+            results[name] = {
+                "sec": round(spark_s, 2),
+                "rows": len(got),
+                "verdict": "spark_ok",
+            }
+            print(f"{name}: SPARK_OK rows={len(got)} {spark_s:.2f}s", flush=True)
+            continue
         if name not in oracles:
             results[name] = {
                 "sec": round(spark_s, 2),
@@ -204,9 +217,12 @@ def main() -> None:
             }
             print(f"{name}: MISMATCH {msg}", flush=True)
 
+    out_path = (
+        "/root/repo/SCALE_sf1_full.json" if spark_only else "/root/repo/SCALE_sf1.json"
+    )
     # a targeted rerun (explicit names) MERGES into the existing sweep file
     # so one fixed query doesn't wipe the full-set evidence
-    if len(sys.argv) > 1 and os.path.exists("/root/repo/SCALE_sf1.json"):
+    if args and not spark_only and os.path.exists("/root/repo/SCALE_sf1.json"):
         try:
             with open("/root/repo/SCALE_sf1.json") as fh:
                 prior = json.load(fh).get("queries", {})
@@ -220,7 +236,7 @@ def main() -> None:
             pass
     total = round(sum(r["sec"] for r in results.values()), 1)
     out = {
-        "metric": "sf1_scale_sweep_sec",
+        "metric": "sf1_full_registry_spark_sec" if spark_only else "sf1_scale_sweep_sec",
         "value": total,
         "unit": "sec",
         "sf": 1.0,
@@ -233,7 +249,7 @@ def main() -> None:
         "n_fail": len(failures),
         "queries": results,
     }
-    with open("/root/repo/SCALE_sf1.json", "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(
         f"\n{len(names) - len(failures)}/{len(names)} green at sf1 "
