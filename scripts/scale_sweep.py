@@ -222,9 +222,9 @@ def main() -> None:
     )
     # a targeted rerun (explicit names) MERGES into the existing sweep file
     # so one fixed query doesn't wipe the full-set evidence
-    if args and not spark_only and os.path.exists("/root/repo/SCALE_sf1.json"):
+    if args and os.path.exists(out_path):
         try:
-            with open("/root/repo/SCALE_sf1.json") as fh:
+            with open(out_path) as fh:
                 prior = json.load(fh).get("queries", {})
             prior.update(results)
             results = prior
