@@ -491,10 +491,15 @@ def _kcore_sql() -> str:
             parts.append(
                 f"weak{r} AS (SELECT a AS w FROM deg{r} WHERE d < {k}),"
             )
+            # anti-join, not NOT IN: weak keys are never NULL, so the forms
+            # are equivalent — but DuckDB materializes NOT IN per outer row
+            # (the sf0.3 sweep blew 55 GB of temp on it) while the LEFT
+            # JOIN ... IS NULL form stays a pair of hash joins
             parts.append(
                 f"sym{r} AS (SELECT s.a, s.b FROM sym{i} s\n"
-                f"  WHERE s.a NOT IN (SELECT w FROM weak{r})\n"
-                f"    AND s.b NOT IN (SELECT w FROM weak{r})),"
+                f"  LEFT JOIN weak{r} wa ON wa.w = s.a\n"
+                f"  LEFT JOIN weak{r} wb ON wb.w = s.b\n"
+                f"  WHERE wa.w IS NULL AND wb.w IS NULL),"
             )
     union = "\nUNION ALL\n".join(
         f"SELECT CAST(round AS INT) AS round, n_removed, n_remaining FROM r{r}"

@@ -149,11 +149,28 @@ avg_quant_NY,sum_quant_allyears,count_quant_hot
 {MF.prod.avg_quant_NY}[=]{prod}:{MF.year.avg_quant_NY}[=]{year}:{state}[=]{NY},{MF.prod.sum_quant_allyears}[=]{prod},{MF.prod.count_quant_hot}[=]{prod}:{MF.year.count_quant_hot}[=]{year}:{MF.avg_quant_NY.count_quant_hot}[<]{quant}
 {MF.count_quant_hot,>,0}"""
 
+# phi_q11: per (year, month) — the GROUP_JOIN × group-0-HAVING crossing as a
+# REGISTERED golden (round 8; previously covered only by the derandomized
+# property suite): GV1 count_quant_past θ-compares BOTH grouping attributes
+# ({MF.year.·}[<=]{year} AND {MF.month.·}[<]{month} → GROUP_JOIN over the
+# group table, one fact scan), GV2 is a σ-conditioned COND_AGG, and the
+# HAVING tree mixes group-0 aggregates (min_day, sum_quant) with the
+# GROUP_JOIN GV across nested &&/|| — the interaction the round-7 verdict
+# flagged as resting on generated specs alone.
+EXTENSION_Q11 = """\
+year,month,min_day,sum_quant,count_quant_past,sum_quant_NY
+2
+year,month
+count_quant_past,sum_quant_NY
+{MF.year.count_quant_past}[<=]{year}:{MF.month.count_quant_past}[<]{month},{MF.year.sum_quant_NY}[=]{year}:{MF.month.sum_quant_NY}[=]{month}:{state}[=]{NY}
+({MF.min_day,<,15} [&&] {MF.count_quant_past,>,0}) [||] {MF.sum_quant,>,500}"""
+
 EXTENSION_SPECS: dict[str, str] = {
     "phi_q7": EXTENSION_Q7,
     "phi_q8": EXTENSION_Q8,
     "phi_q9": EXTENSION_Q9,
     "phi_q10": EXTENSION_Q10,
+    "phi_q11": EXTENSION_Q11,
 }
 
 SALES_COLUMNS = {"cust", "prod", "day", "month", "year", "state", "quant"}

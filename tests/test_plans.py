@@ -599,6 +599,31 @@ def test_clamped_balance_compiles_to_single_exchange_jvm_plan(spark):
     assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
 
 
+def test_group_join_with_g0_having_phi_query_scans_fact_table_once(spark, sales):
+    """phi_q11 (round 8): GROUP_JOIN GV + a HAVING tree over group-0
+    aggregates AND the GROUP_JOIN GV — the crossing must still plan ONE
+    fact scan (HAVING filters the finished group table, never re-joins
+    sales)."""
+    from ad_hoc_olap_query_processing_engine_spark.phi import all_phi_queries
+    from ad_hoc_olap_query_processing_engine_spark.phi.planner import classify_gv
+
+    q = all_phi_queries()["phi_q11"]
+    assert q.having is not None and q.group0
+    strategies = {
+        gv.agg.name: classify_gv(
+            gv, q.group_attrs, dict(sales.dtypes),
+            frozenset(a.name for a in q.group0),
+        ).strategy
+        for gv in q.gvs
+    }
+    assert strategies == {
+        "count_quant_past": "group_join",
+        "sum_quant_NY": "cond_agg",
+    }, strategies
+    df = compile_phi(q, sales)
+    assert table_scan_count(df, "lineitem.parquet") == 1
+
+
 def test_ewma_compiles_to_single_exchange_jvm_plan(spark):
     """ts_ewma's truncated 8-tap EWMA compiles to 8 LAG terms over ONE
     user_id window — no Python anywhere in the plan (the round-7 verdict
