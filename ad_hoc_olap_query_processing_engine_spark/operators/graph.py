@@ -473,13 +473,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_sql() -> str:
     k = KCORE_K
+    # every chained CTE is AS MATERIALIZED (DuckDB-only syntax; this SQL is
+    # the oracle, Spark never sees it): each sym{r}/deg{r} is referenced
+    # twice, and DuckDB's default CTE INLINING then duplicates the whole
+    # upstream pipeline per reference — 2^rounds copies of the kNN-edge
+    # build, which is what actually spilled >55 GB at sf0.3 (each round's
+    # subquery runs in ~5 s alone).  Materialization makes the oracle replay
+    # the peel exactly once per round, like the Spark side's checkpoints.
     parts = [f"WITH {_KNN_EDGES_CTES},"]
-    parts.append("sym0 AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),")
+    parts.append(
+        "sym0 AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),"
+    )
     rows = []
     for r in range(1, KCORE_ROUNDS + 1):
         i = r - 1
         parts.append(
-            f"deg{r} AS (SELECT a, COUNT(*) AS d FROM sym{i} GROUP BY a),"
+            f"deg{r} AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM sym{i} GROUP BY a),"
         )
         parts.append(
             f"r{r} AS (SELECT {r} AS round,\n"
@@ -489,14 +498,14 @@ def _kcore_sql() -> str:
         )
         if r < KCORE_ROUNDS:
             parts.append(
-                f"weak{r} AS (SELECT a AS w FROM deg{r} WHERE d < {k}),"
+                f"weak{r} AS MATERIALIZED (SELECT a AS w FROM deg{r} WHERE d < {k}),"
             )
             # anti-join, not NOT IN: weak keys are never NULL, so the forms
             # are equivalent — but DuckDB materializes NOT IN per outer row
             # (the sf0.3 sweep blew 55 GB of temp on it) while the LEFT
             # JOIN ... IS NULL form stays a pair of hash joins
             parts.append(
-                f"sym{r} AS (SELECT s.a, s.b FROM sym{i} s\n"
+                f"sym{r} AS MATERIALIZED (SELECT s.a, s.b FROM sym{i} s\n"
                 f"  LEFT JOIN weak{r} wa ON wa.w = s.a\n"
                 f"  LEFT JOIN weak{r} wb ON wb.w = s.b\n"
                 f"  WHERE wa.w IS NULL AND wb.w IS NULL),"
