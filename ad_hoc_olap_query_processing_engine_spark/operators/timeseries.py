@@ -1730,3 +1730,65 @@ WHERE n >= 3"""
 
 
 register("ts_autocorr", ts_autocorr, TS_AUTOCORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_backtest_snaive — walk-forward backtest of the seasonal-naive
+# forecaster (ŷ_d = y_{d−7}, the baseline every real forecasting system
+# must beat): daily per-event-type totals in 1e-2 fixed point, the
+# forecast joins in as LAG(7) over the day sequence, and the report is the
+# per-type backtest scorecard — evaluated days, MAE and bias (mean signed
+# error) in exact 1e-2 integer units (truncating DIV), and the naive-beats-
+# nothing share |err|=0.  This is the eval harness shape (like
+# sim_recall_report / dedup_lsh_recall_report for their tiers): one daily
+# rollup scan + one window, no Python, identical plan at any history
+# length.  LAG over the OBSERVED day sequence (days are dense in the
+# fixture; a production run would gap-fill first — ts_interpolate is that
+# operator).
+# ---------------------------------------------------------------------------
+
+
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("y_e2")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    bt = daily.withColumn("yhat_e2", F.lag("y_e2", 7).over(w)).filter(
+        F.col("yhat_e2").isNotNull()
+    )
+    return bt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("SUM(ABS(y_e2 - yhat_e2)) DIV COUNT(*)").alias("mae_e2"),
+        F.expr("SUM(y_e2 - yhat_e2) DIV COUNT(*)").alias("bias_e2"),
+        F.sum(F.when(F.col("y_e2") == F.col("yhat_e2"), 1).otherwise(0)).alias(
+            "n_exact_hits"
+        ),
+    )
+
+
+TS_BACKTEST_SNAIVE_SQL = """\
+WITH daily AS (
+  SELECT event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y_e2
+  FROM events GROUP BY 1, 2),
+bt AS (
+  SELECT event_type, y_e2,
+         LAG(y_e2, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat_e2
+  FROM daily)
+SELECT event_type,
+       COUNT(*)                                   AS n_days,
+       CAST(SUM(ABS(y_e2 - yhat_e2)) // COUNT(*) AS BIGINT) AS mae_e2,
+       CAST(SUM(y_e2 - yhat_e2) // COUNT(*) AS BIGINT)       AS bias_e2,
+       CAST(SUM(CASE WHEN y_e2 = yhat_e2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_hits
+FROM bt
+WHERE yhat_e2 IS NOT NULL
+GROUP BY event_type"""
+
+
+register("ts_backtest_snaive", ts_backtest_snaive, TS_BACKTEST_SNAIVE_SQL)
