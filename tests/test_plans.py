@@ -538,6 +538,7 @@ _BNLJ_ALLOWED = {
     "embed_matryoshka_eval",
     "func_timebucket",
     "phi_q7",
+    "phi_q11",  # same GROUP_JOIN θ-self-join over the tiny (year,month) group table as phi_q7
     "pipe_ccnet_buckets",
     "pipe_corpus_manifest",
     "pipe_doc_mixture",
