@@ -2074,3 +2074,46 @@ JOIN (SELECT * FROM stats WHERE split = 1) c USING (d)"""
 
 
 register("embed_drift_report", embed_drift_report, EMBED_DRIFT_REPORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sim_filtered_ann — HYBRID (attribute-filtered) similarity search: top-k
+# under a metadata predicate (here: same label class as the query), the
+# retrieval mode every production vector store must get right.  The
+# predicate is PRE-FILTERED — composed into the broadcast join condition so
+# only qualifying vectors are ever scored — not post-filtered after an
+# unfiltered top-k, which silently under-fills k whenever fewer than k of
+# the global top results satisfy the predicate (the classic hybrid-search
+# bug).  Plan shape: broadcast query batch, one filtered corpus pass, JVM
+# scoring, per-query rank — no corpus shuffle; at high selectivity the
+# SRP-banded candidate generator with label-partitioned buckets is the
+# scale path (same relationship as sim_srp_ann to sim_brute_topk).
+# ---------------------------------------------------------------------------
+
+
+def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cand = e.select("vec_id", "embedding", "label").join(
+        F.broadcast(queries),
+        (F.col("label") == F.col("q_label"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _exact_rerank(cand)
+
+
+SIM_FILTERED_ANN_SQL = f"""\
+WITH cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+  FROM embeddings q
+  JOIN embeddings e
+    ON e.label = q.label AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+{_RERANK_SQL_TAIL}"""
+
+
+register("sim_filtered_ann", sim_filtered_ann, SIM_FILTERED_ANN_SQL)

@@ -1792,3 +1792,89 @@ GROUP BY event_type"""
 
 
 register("ts_backtest_snaive", ts_backtest_snaive, TS_BACKTEST_SNAIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_alarms — CUSUM change-point detection per user (the drift monitor
+# a data pipeline runs on metric streams): C_t = max(0, C_{t−1} + (x_t − k))
+# with allowance k and decision interval h; an ALARM is an upcrossing of h
+# (C_{t−1} < h ≤ C_t).  The recurrence is the same floor-at-zero fold as
+# ts_clamped_balance, so it compiles to the SAME proven closed form
+# C = S − min(0, running-min S) over one user_id window pass (zero Python;
+# the closed-form ⇔ sequential-fold identity is property-tested in
+# test_kernel_properties.py), plus one LAG pass for upcrossing edges.  The
+# DuckDB oracle replays the LITERAL sequential recurrence as a recursive
+# CTE — agreement proves the closed form again on this op's own data path.
+# All arithmetic in exact 1e-2 fixed point.
+# ---------------------------------------------------------------------------
+
+CUSUM_K_E2 = 16500  # allowance: only values above 165.00 accumulate drift
+CUSUM_H_E2 = 50000  # decision interval: alarm at 500.00 cumulative excess
+
+
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("bigint") - CUSUM_K_E2).alias("d"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.withColumn("s", F.sum("d").over(w_run))
+    c = s.withColumn(
+        "c",
+        F.col("s") - F.least(F.lit(0).cast("bigint"), F.min("s").over(w_run)),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = c.select(
+        "user_id",
+        "c",
+        F.row_number().over(w_seq).alias("rn"),
+        F.coalesce(F.lag("c").over(w_seq), F.lit(0).cast("bigint")).alias("cp"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max(F.struct("rn", "c")).getField("c").alias("final_cusum_e2"),
+        F.max("c").alias("max_cusum_e2"),
+        F.sum(
+            F.when((F.col("c") >= CUSUM_H_E2) & (F.col("cp") < CUSUM_H_E2), 1).otherwise(0)
+        ).cast("int").alias("n_alarms"),
+        F.sum(F.when(F.col("c") >= CUSUM_H_E2, 1).otherwise(0)).cast("int").alias(
+            "n_above"
+        ),
+    )
+
+
+TS_CUSUM_ALARMS_SQL = f"""\
+WITH RECURSIVE t AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) - {CUSUM_K_E2} AS d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fold(user_id, rn, c) AS (
+  SELECT user_id, rn, GREATEST(0, d) FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.rn, GREATEST(0, f.c + t.d)
+  FROM fold f JOIN t ON t.user_id = f.user_id AND t.rn = f.rn + 1),
+seq AS (
+  SELECT user_id, rn, c,
+         COALESCE(LAG(c) OVER (PARTITION BY user_id ORDER BY rn), 0) AS cp
+  FROM fold)
+SELECT user_id,
+       COUNT(*) AS n_obs,
+       MAX(CASE WHEN rn = (SELECT MAX(rn) FROM seq s2 WHERE s2.user_id = seq.user_id)
+                THEN c END)                              AS final_cusum_e2,
+       MAX(c)                                            AS max_cusum_e2,
+       CAST(SUM(CASE WHEN c >= {CUSUM_H_E2} AND cp < {CUSUM_H_E2}
+                     THEN 1 ELSE 0 END) AS INT)          AS n_alarms,
+       CAST(SUM(CASE WHEN c >= {CUSUM_H_E2} THEN 1 ELSE 0 END) AS INT)
+         AS n_above
+FROM seq
+GROUP BY user_id"""
+
+
+register("ts_cusum_alarms", ts_cusum_alarms, TS_CUSUM_ALARMS_SQL)
