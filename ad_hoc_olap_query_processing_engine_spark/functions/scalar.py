@@ -562,3 +562,47 @@ FROM t"""
 
 
 register("func_url_parse", func_url_parse, FUNC_URL_PARSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_regex_surface — the regexp function surface certified on the
+# RE2-SAFE dialect subset where Java regex (Spark) and RE2 (DuckDB) agree:
+# character classes, quantifiers, alternation, anchors, capture groups —
+# deliberately NO backreferences, lookaround, or possessive quantifiers
+# (documented engine-divergence territory; the module docstring's exclusion
+# list).  Exercises regexp_extract (group pick), regexp_replace (global),
+# full-match (rlike vs regexp_full_match), match counting
+# (regexp_extract_all length — Spark's regexp_count mirrors
+# len(regexp_extract_all) in DuckDB), and regex split.  Pure row-local JVM
+# work on the scan.
+# ---------------------------------------------------------------------------
+
+
+def func_regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).alias("prio_num"),
+        F.regexp_replace("o_orderpriority", r"[AEIOU]", "_").alias("devoweled"),
+        F.col("o_orderpriority").rlike(r"^\d-[A-Z]+$").alias("is_canonical"),
+        F.expr(r"regexp_count(o_orderpriority, '[A-Z]')").cast("int").alias(
+            "n_upper"
+        ),
+        F.size(F.split("o_orderpriority", r"[-\s]+")).cast("int").alias("n_parts"),
+        F.regexp_extract(F.expr("CAST(o_totalprice AS STRING)"), r"^(\d+)\.", 1)
+        .alias("dollars_str"),
+    )
+
+
+FUNC_REGEX_SURFACE_SQL = """\
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\\d+)-', 1)            AS prio_num,
+       regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g')      AS devoweled,
+       regexp_full_match(o_orderpriority, '\\d-[A-Z]+')          AS is_canonical,
+       CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]')) AS INT) AS n_upper,
+       CAST(len(regexp_split_to_array(o_orderpriority, '[-\\s]+')) AS INT) AS n_parts,
+       regexp_extract(CAST(o_totalprice AS VARCHAR), '^(\\d+)\\.', 1) AS dollars_str
+FROM orders"""
+
+
+register("func_regex_surface", func_regex_surface, FUNC_REGEX_SURFACE_SQL)

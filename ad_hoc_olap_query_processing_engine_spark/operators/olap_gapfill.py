@@ -1402,3 +1402,95 @@ FROM agg"""
 
 
 register("rel_status_transitions", rel_status_transitions, REL_STATUS_TRANSITIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_largest_remainder_alloc — exact budget allocation by the LARGEST-
+# REMAINDER method: each order's total price (1e-2 fixed point) is
+# apportioned across its line items proportional to quantity such that the
+# per-line allocations sum EXACTLY to the order total — the property naive
+# per-line rounding violates and finance/attribution pipelines require.
+# base_i = T·q_i DIV Q; the deficit T − Σbase (= number of fractional
+# carries, always < n_lines) goes +1 to the lines with the largest
+# remainders (T·q_i) % Q, ties broken by (line number, quantity) — the
+# fixture has DUPLICATE line numbers within an order, so line number alone
+# is not total and the carry would land engine-dependently.  Everything is int64
+# window arithmetic over one order-partitioned pass (T·q_i ≤ ~5e9 at sf1;
+# widen to DECIMAL(38,0) if quantities ever exceed ~1e9·Q⁻¹ scale).  The
+# alloc_ok column carries the exactness invariant into the hash: a wrong
+# carry flips it.  Deterministic 1-in-20 order slice keeps the driver
+# compare bounded.
+# ---------------------------------------------------------------------------
+
+
+def rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_orderkey") % 20 == 0
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("t_e2")
+    )
+    j = l.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("q")
+    ).join(o, l.l_orderkey == o.o_orderkey)
+    wq = W.partitionBy("l_orderkey")
+    d = (
+        j.withColumn("bigq", F.sum("q").over(wq))
+        .withColumn("base", F.expr("t_e2 * q DIV bigq"))
+        .withColumn("rem", F.expr("(t_e2 * q) % bigq"))
+        .withColumn("deficit", F.col("t_e2") - F.sum("base").over(wq))
+    )
+    # tie-break must be TOTAL on output-distinguishable rows: the synthetic
+    # lineitem has duplicate line numbers within an order (found by the
+    # oracle diff), so (rem, linenumber) alone lets the carry land on
+    # different rows per engine — adding q makes any remaining tie an
+    # identical row, where carry placement is multiset-invisible
+    wr = W.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), F.asc("l_linenumber"), F.asc("q")
+    )
+    alloc = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "alloc_e2",
+        F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0),
+    )
+    return alloc.select(
+        "l_orderkey",
+        "l_linenumber",
+        "q",
+        "alloc_e2",
+        (F.sum("alloc_e2").over(wq) == F.col("t_e2")).alias("alloc_ok"),
+    )
+
+
+REL_LARGEST_REMAINDER_SQL = """\
+WITH j AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS t_e2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 20 = 0),
+d AS (
+  SELECT l_orderkey, l_linenumber, q, t_e2,
+         SUM(q) OVER (PARTITION BY l_orderkey) AS bigq
+  FROM j),
+b AS (
+  SELECT *, t_e2 * q // bigq AS base, (t_e2 * q) % bigq AS rem
+  FROM d),
+c AS (
+  SELECT *,
+         t_e2 - SUM(base) OVER (PARTITION BY l_orderkey) AS deficit,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber ASC, q ASC) AS rk
+  FROM b)
+SELECT l_orderkey, l_linenumber, q,
+       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_e2,
+       SUM(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)
+         OVER (PARTITION BY l_orderkey) = t_e2 AS alloc_ok
+FROM c"""
+
+
+register(
+    "rel_largest_remainder_alloc",
+    rel_largest_remainder_alloc,
+    REL_LARGEST_REMAINDER_SQL,
+)
