@@ -799,3 +799,66 @@ FROM scored"""
 
 
 register("pipe_quality_classifier", pipe_quality_classifier, _quality_classifier_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_token_dropout — deterministic DATA AUGMENTATION: each token is
+# dropped with probability p by the md5-gate derandomization primitive
+# (md5(doc_id ∥ position ∥ salt) — the same seeded-uniform trick as the
+# samplers/bootstrap, so the "random" mask is reproducible, shardable, and
+# fully oracle-checked; change the salt to draw a fresh augmentation).
+# Token positions come from Spark's two-arg higher-order lambdas
+# (filter(toks, (t, i) -> …)) — row-local JVM array work, no explode, no
+# shuffle; the augmented text is re-assembled order-preserving and hashed
+# so the exact augmented BYTES are part of the driver compare, not just
+# counts.  At 100 TB this is the map-only augmentation stage of a training
+# pipeline (epoch-varying salt ⇒ different masks per epoch, same plan).
+# ---------------------------------------------------------------------------
+
+DROPOUT_PCT = 15
+DROPOUT_SALT = "aug1"
+
+
+def pipe_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    gate = (
+        f"CONV(SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), '_', "
+        f"CAST(i AS STRING), '{DROPOUT_SALT}')), 1, 8), 16, 10) % 100"
+    )
+    kept = F.expr(
+        f"filter(split(text, ' '), (t, i) -> {gate} >= {DROPOUT_PCT})"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_orig"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(F.array_join(kept, " ").cast("binary")).alias("aug_md5"),
+    )
+
+
+PIPE_TOKEN_DROPOUT_SQL = f"""\
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i, toks[i] AS tok, len(toks) AS n_orig
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (
+  SELECT doc_id, i, tok, n_orig
+  FROM pos
+  WHERE ('0x' || substr(md5(doc_id || '_' || (i - 1) || '{DROPOUT_SALT}'),
+                        1, 8))::BIGINT % 100 >= {DROPOUT_PCT}),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT)               AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS aug_md5
+  FROM kept GROUP BY doc_id)
+-- LEFT JOIN back to documents: a doc whose every token drops must still
+-- emit (n_kept=0, md5('')) like the Spark side, not vanish from the GROUP BY
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT)        AS n_orig,
+       COALESCE(a.n_kept, 0)           AS n_kept,
+       COALESCE(a.aug_md5, md5(''))    AS aug_md5
+FROM t LEFT JOIN agg a USING (doc_id)"""
+
+
+register("pipe_token_dropout", pipe_token_dropout, PIPE_TOKEN_DROPOUT_SQL)
