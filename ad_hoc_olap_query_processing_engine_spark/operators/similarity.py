@@ -2117,3 +2117,78 @@ WITH cand AS (
 
 
 register("sim_filtered_ann", sim_filtered_ann, SIM_FILTERED_ANN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embed_mixup_augment — vector-space DATA AUGMENTATION (mixup): each even/odd
+# neighbor pair of vectors yields a synthetic midpoint example, computed in
+# exact integer space — per-dim quantize floor(x·1000), element-wise
+# (qa + qb) DIV 2 (Spark DIV ≡ DuckDB integer // — truncation toward zero,
+# sign-safe for negative embedding dims) — so the synthetic VECTOR BYTES
+# hash into the driver compare (md5 of the comma-joined dims), alongside
+# its exact squared-norm and the label-agreement flag (mixup across class
+# boundaries is the soft-label case a trainer must handle).  Row-local
+# zip_with/aggregate JVM lambdas + one self-join on vec_id+1: no shuffle of
+# vector payloads beyond the pairing join, same plan at any corpus size.
+# Pairs with pipe_token_dropout as the modality-complementary augmentation
+# tier (text mask / vector interpolation).
+# ---------------------------------------------------------------------------
+
+
+def embed_mixup_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    q = "transform({0}, x -> CAST(FLOOR(x * 1000) AS BIGINT))"
+    mixed = F.expr(
+        f"zip_with({q.format('ea')}, {q.format('eb')}, (x, y) -> (x + y) DIV 2)"
+    )
+    return (
+        a.join(b, "pair_id")
+        .withColumn("__m", mixed)
+        .select(
+            "pair_id",
+            F.size("__m").cast("int").alias("n_dims"),
+            F.expr(
+                "aggregate(__m, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+            ).alias("sq_norm_e6"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(__m, v -> CAST(v AS STRING)), ',')"
+                ).cast("binary")
+            ).alias("mix_md5"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+    )
+
+
+EMBED_MIXUP_SQL = """\
+WITH pairs AS (
+  SELECT a.vec_id AS pair_id, a.embedding AS ea, b.embedding AS eb,
+         a.label = b.label AS same_label
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0),
+dims AS (
+  SELECT pair_id, i,
+         (CAST(FLOOR(ea[i] * 1000) AS BIGINT)
+          + CAST(FLOOR(eb[i] * 1000) AS BIGINT)) // 2 AS m
+  FROM pairs, unnest(range(1, len(ea) + 1)) AS u(i))
+SELECT d.pair_id,
+       CAST(COUNT(*) AS INT)                    AS n_dims,
+       CAST(SUM(m * m) AS BIGINT)               AS sq_norm_e6,
+       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS mix_md5,
+       MAX(p.same_label)                        AS same_label
+FROM dims d JOIN pairs p USING (pair_id)
+GROUP BY d.pair_id"""
+
+
+register("embed_mixup_augment", embed_mixup_augment, EMBED_MIXUP_SQL)
