@@ -606,3 +606,48 @@ FROM orders"""
 
 
 register("func_regex_surface", func_regex_surface, FUNC_REGEX_SURFACE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_bitwise_surface — the bitwise/bit-function surface (AND/OR/XOR,
+# shifts, bit_count, single-bit probe) the bitmap-index tier builds on
+# (prefilter.py packs keys with exactly these), certified as a row-level
+# function surface in its own right.  Shift semantics pinned on BIGINT:
+# Spark shiftleft/shiftright on int64 and DuckDB's <</>> agree for shift
+# amounts < 64 (the bitmap tier's block math keeps shifts in [0, 63] by
+# construction; bit 63 wrap behavior is pinned separately in
+# tests/test_prefilter.py).  Pure scan + project.
+# ---------------------------------------------------------------------------
+
+
+def func_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        (k.bitwiseAND(F.lit(255))).alias("low8"),
+        (k.bitwiseOR(F.lit(4096))).alias("with_bit12"),
+        (k.bitwiseXOR(F.col("o_custkey"))).alias("xor_cust"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("shl3"),
+        F.expr("shiftright(o_orderkey, 4)").alias("shr4"),
+        F.expr("bit_count(o_orderkey)").cast("int").alias("popcount"),
+        F.expr("(o_orderkey & (1 << CAST(o_custkey % 16 AS INT))) != 0").alias(
+            "probe_bit"
+        ),
+    )
+
+
+FUNC_BITWISE_SURFACE_SQL = """\
+SELECT o_orderkey,
+       o_orderkey & 255                              AS low8,
+       o_orderkey | 4096                             AS with_bit12,
+       xor(o_orderkey, o_custkey)                    AS xor_cust,
+       o_orderkey << 3                               AS shl3,
+       o_orderkey >> 4                               AS shr4,
+       CAST(bit_count(o_orderkey) AS INT)            AS popcount,
+       (o_orderkey & (1::BIGINT << CAST(o_custkey % 16 AS INT))) <> 0
+                                                     AS probe_bit
+FROM orders"""
+
+
+register("func_bitwise_surface", func_bitwise_surface, FUNC_BITWISE_SURFACE_SQL)

@@ -1878,3 +1878,67 @@ GROUP BY user_id"""
 
 
 register("ts_cusum_alarms", ts_cusum_alarms, TS_CUSUM_ALARMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonality_index — day-of-week seasonal index (retail's "Monday
+# index"): per event type and weekday, mean daily volume relative to the
+# type's overall daily mean, in exact bps via cross-multiplication —
+# idx = (dow_sum · n_days_total) · 10⁴ DIV (total_sum · n_days_dow) — so
+# no rational mean is ever materialized and the whole report is int64
+# arithmetic on two nested aggregates (events → daily rollup → dow
+# rollup).  Complements ts_stl_decompose (model-based seasonal split) with
+# the direct empirical index planners actually quote; an index far from
+# 10000 flags the weekday effect.  Sums are 1e-2-quantized; products
+# bounded by (sum ≈ 1e9) · (days ≈ 1e4) ≪ int64 at sf1000.
+# ---------------------------------------------------------------------------
+
+
+def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).cast("int").alias("dow"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("y_e2"))
+    dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("y_e2").alias("dow_sum"), F.count(F.lit(1)).alias("dow_days")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y_e2").alias("tot_sum"), F.count(F.lit(1)).alias("tot_days")
+    )
+    return (
+        dow.join(tot, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "dow_days",
+            F.expr(
+                "dow_sum * tot_days * 10000 DIV (tot_sum * dow_days)"
+            ).alias("season_idx_bps"),
+        )
+    )
+
+
+TS_SEASONALITY_INDEX_SQL = """\
+WITH daily AS (
+  SELECT event_type,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y_e2
+  FROM events GROUP BY 1, 2, 3),
+dw AS (
+  SELECT event_type, dow,
+         CAST(SUM(y_e2) AS BIGINT) AS dow_sum, COUNT(*) AS dow_days
+  FROM daily GROUP BY 1, 2),
+tt AS (
+  SELECT event_type,
+         CAST(SUM(y_e2) AS BIGINT) AS tot_sum, COUNT(*) AS tot_days
+  FROM daily GROUP BY 1)
+SELECT dw.event_type, dw.dow, dw.dow_days,
+       CAST(dow_sum * tot_days * 10000 // (tot_sum * dow_days) AS BIGINT)
+         AS season_idx_bps
+FROM dw JOIN tt USING (event_type)"""
+
+
+register("ts_seasonality_index", ts_seasonality_index, TS_SEASONALITY_INDEX_SQL)
