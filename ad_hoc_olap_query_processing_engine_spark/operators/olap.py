@@ -666,3 +666,129 @@ FROM x"""
 
 
 register("rel_crosstab_chi2", rel_crosstab_chi2, REL_CROSSTAB_CHI2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_skyline — Pareto-optimal frontier (skyline operator): the parts no
+# other part dominates when maximizing p_size and minimizing price.  The
+# textbook skyline is an all-pairs dominance test (O(n²)); the scale-safe
+# Spark formulation exploits the 2-D special case: reduce to one candidate
+# point per size (min price — anything dearer at the same size is dominated
+# within the group), then a single ORDER BY size DESC running-min window
+# proves a candidate undominated iff every strictly-larger size is strictly
+# dearer.  One fact aggregation + one window over the per-size rollup whose
+# row count is the DISTINCT SIZE cardinality (bounded ~50 by the dataset
+# contract, independent of |part|) — the unpartitioned window runs on the
+# reduced table, never the facts, so the plan survives 100 TB.  Prices are
+# exact decimal cents.  The DuckDB oracle is the independent definitional
+# form: quadratic NOT EXISTS dominance over the per-point rollup.
+# Dominance is strict-in-at-least-one (q.size ≥ p.size ∧ q.price ≤ p.price
+# ∧ (q.size > p.size ∨ q.price < p.price)), so exact duplicate points tie
+# and survive together (reported once with n_at_point).
+# ---------------------------------------------------------------------------
+
+
+def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load_table(spark, "part", sf_dir)
+        .select(
+            "p_size",
+            (_dec("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .groupBy("p_size", "price_c")
+        .agg(F.count(F.lit(1)).alias("n_at_point"))
+    )
+    best = pts.groupBy("p_size").agg(
+        F.min("price_c").alias("best_price_c"),
+        F.min_by("n_at_point", "price_c").alias("n_at_point"),
+    )
+    # Window over the ~50-row per-size rollup (NOT the fact table): min best
+    # price among all strictly larger sizes; NULL frame = largest size.
+    w = W.orderBy(F.col("p_size").desc()).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        best.withColumn("min_price_larger", F.min("best_price_c").over(w))
+        .where(
+            F.col("min_price_larger").isNull()
+            | (F.col("min_price_larger") > F.col("best_price_c"))
+        )
+        .select("p_size", F.col("best_price_c"), "n_at_point")
+    )
+
+
+REL_SKYLINE_SQL = """\
+WITH pts AS (
+  SELECT p_size,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         COUNT(*) AS n_at_point
+  FROM part GROUP BY 1, 2)
+SELECT a.p_size, a.price_c AS best_price_c, a.n_at_point
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+    AND (b.p_size > a.p_size OR b.price_c < a.price_c))"""
+
+
+register("rel_skyline", rel_skyline, REL_SKYLINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_benford_check — first-digit (Benford) audit of order totals: the
+# classic forensic data-quality screen for fabricated or truncated monetary
+# columns.  Leading digit comes from the exact decimal-cents cast rendered
+# as a string (no float log10 anywhere); the expected Benford mass
+# log10(1+1/d) ships as integer 1e-5-scale literals (they sum to exactly
+# 100000), observed shares use the shared truncating integer division
+# (Spark DIV ≡ DuckDB // on integers), and the reported deviation is the
+# absolute gap in the same 1e-5 fixed point.  One fact scan, one 9-row
+# aggregate — nothing here grows with data size except the scan.  Synthetic
+# uniform-ish prices will NOT follow Benford; the operator's job is to
+# report the gap, and the oracle pins the arithmetic, not the verdict.
+# ---------------------------------------------------------------------------
+
+_BENFORD_E5 = {1: 30103, 2: 17609, 3: 12494, 4: 9691, 5: 7918,
+               6: 6695, 7: 5799, 8: 5115, 9: 4576}
+
+
+def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E5.items() for x in kv]
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.substring((_dec("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    digits = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = digits.withColumn("total", F.sum("n_orders").over(W.partitionBy()))
+    return t.select(
+        "digit",
+        "n_orders",
+        F.expr("n_orders * 100000 DIV total").alias("obs_share_e5"),
+        exp_map[F.col("digit")].alias("exp_share_e5"),
+        F.abs(
+            F.expr("n_orders * 100000 DIV total") - exp_map[F.col("digit")]
+        ).alias("abs_dev_e5"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E5.items()
+)
+
+REL_BENFORD_CHECK_SQL = f"""\
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders),
+g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+t AS (SELECT digit, n_orders, CAST(SUM(n_orders) OVER () AS BIGINT) AS total FROM g)
+SELECT digit, n_orders,
+       n_orders * 100000 // total AS obs_share_e5,
+       CASE digit {_BENFORD_CASE} END AS exp_share_e5,
+       abs(n_orders * 100000 // total - (CASE digit {_BENFORD_CASE} END))
+         AS abs_dev_e5
+FROM t"""
+
+
+register("rel_benford_check", rel_benford_check, REL_BENFORD_CHECK_SQL)

@@ -862,3 +862,94 @@ FROM t LEFT JOIN agg a USING (doc_id)"""
 
 
 register("pipe_token_dropout", pipe_token_dropout, PIPE_TOKEN_DROPOUT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_dp_noise — differentially-private release of per-(lang, source)
+# document counts via the TRUNCATED TWO-SIDED GEOMETRIC mechanism (the
+# integer-valued discrete Laplace, Ghosh–Roughgarden–Sundararajan): noise k
+# has mass ∝ α^|k| with α = e^(−ε), ε = 1, support clipped to ±8 with the
+# tails folded onto the boundary.  The draw is DERANDOMIZED with the repo's
+# md5→48-bit-uniform primitive keyed by the group (salted, so a release
+# epoch can re-draw), and the inverse CDF is a CASE ladder over integer
+# thresholds PRECOMPUTED at module import and baked as literals into BOTH
+# the Spark expression and the DuckDB oracle — identical constants, no
+# runtime floats, exact hash parity.  Released count clamps at zero
+# (post-processing keeps DP).  One aggregate + a map-only noise expression:
+# the noise step costs O(groups), never O(rows) — the 100 TB shape for
+# privacy-screened corpus stats.
+# ---------------------------------------------------------------------------
+
+DP_SALT = "dpnoise1"
+_DP_B = 8  # truncation bound
+
+
+def _dp_thresholds() -> list[int]:
+    """Cumulative inverse-CDF thresholds of the truncated two-sided
+    geometric at 2^48 scale: noise = min k in [-B, B] with u48 < T[k]."""
+    import math
+
+    alpha = math.exp(-1.0)  # epsilon = 1
+    # untruncated masses; fold tails onto +/-B, then normalize exactly to 1
+    mass = {k: (1 - alpha) / (1 + alpha) * alpha ** abs(k)
+            for k in range(-_DP_B + 1, _DP_B)}
+    tail = alpha ** _DP_B / (1 + alpha)  # P(X <= -B) == P(X >= B)
+    mass[-_DP_B] = mass[_DP_B] = tail + (1 - alpha) / (1 + alpha) * alpha ** _DP_B
+    total = sum(mass.values())
+    acc, out = 0.0, []
+    for k in range(-_DP_B, _DP_B + 1):
+        acc += mass[k] / total
+        out.append(min(int(acc * 2**48), 2**48))
+    out[-1] = 2**48  # exact top: ELSE branch is never short
+    return out
+
+
+_DP_T = _dp_thresholds()
+_DP_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u48 < {t} THEN {k}"
+        for k, t in zip(range(-_DP_B, _DP_B), _DP_T[:-1])
+    )
+    + f" ELSE {_DP_B} END"
+)
+
+
+def pipe_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("true_n"))
+    g = g.withColumn(
+        "u48",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(DP_SALT), "lang", "source")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    ).withColumn("noise", F.expr(_DP_CASE))
+    return g.select(
+        "lang",
+        "source",
+        "true_n",
+        "noise",
+        F.greatest(F.col("true_n") + F.col("noise"), F.lit(0)).alias("released_n"),
+    )
+
+
+PIPE_DP_NOISE_SQL = f"""\
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS true_n
+  FROM documents GROUP BY 1, 2),
+u AS (
+  SELECT lang, source, true_n,
+         ('0x' || substr(md5('{DP_SALT}' || '|' || lang || '|' || source),
+                         1, 12))::BIGINT AS u48
+  FROM g),
+n AS (SELECT lang, source, true_n, {_DP_CASE} AS noise FROM u)
+SELECT lang, source, true_n, noise,
+       greatest(true_n + noise, 0) AS released_n
+FROM n"""
+
+
+register("pipe_dp_noise", pipe_dp_noise, PIPE_DP_NOISE_SQL)

@@ -1942,3 +1942,90 @@ FROM dw JOIN tt USING (event_type)"""
 
 
 register("ts_seasonality_index", ts_seasonality_index, TS_SEASONALITY_INDEX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_zscore — trailing-baseline breakout alerts: each event is
+# scored against the PRECEDING up-to-8 events of the same user (ROWS 7
+# PRECEDING .. 1 PRECEDING — the current value never contaminates its own
+# baseline), alerting when |value − mean| > 2·stddev.  The whole test runs
+# in exact int64 arithmetic by clearing denominators: with n, S=Σv, Q=Σv²
+# over the trailing frame, |v−mean| > k·σ  ⇔  (n·v − S)² > k²·(n·Q − S²)
+# (both sides are the population moments scaled by n²) — no sqrt, no
+# floats, no Python.  Headroom audit at the fixture's 1e-2 fixed point
+# (v ≤ ~32,753): |n·v − S| ≤ 524,048 → squared ≤ 2.75e11; n·Q ≤ 6.9e10 —
+# four orders of magnitude inside int64 at ANY sf (the frame is constant-
+# width, so bounds don't grow with data).  Plan: ONE hash exchange on
+# user_id feeds the window, and the per-user rollup reuses that
+# partitioning — JVM end to end.  The per-user report keys each alert
+# count to n_eval (events with a ≥4-sample baseline) and sums the alert
+# excess (LHS − RHS of the cleared inequality) as a value-sensitive hash
+# anchor.  DuckDB oracle = the same cleared-denominator window algebra
+# (window SUMs cast from HUGEINT back to BIGINT per the oracle type lint).
+# ---------------------------------------------------------------------------
+
+_ZS_K2 = 4  # k = 2 sigmas, squared
+_ZS_MIN_N = 4  # baseline must hold ≥4 samples before scoring
+
+
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    scored = e.select(
+        "user_id",
+        "v",
+        F.count("v").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    ).select(
+        "user_id",
+        (F.col("n") >= _ZS_MIN_N).alias("evald"),
+        (
+            (F.col("n") * F.col("v") - F.col("s"))
+            * (F.col("n") * F.col("v") - F.col("s"))
+            - F.lit(_ZS_K2) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        ).alias("excess"),
+    )
+    alert = F.col("evald") & (F.col("excess") > 0)
+    return scored.groupBy("user_id").agg(
+        F.count_if(F.col("evald")).alias("n_eval"),
+        F.count_if(alert).alias("n_alerts"),
+        F.coalesce(F.sum(F.when(alert, F.col("excess"))), F.lit(0)).alias(
+            "sum_excess"
+        ),
+    )
+
+
+TS_ROLLING_ZSCORE_SQL = f"""\
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         CAST(COUNT(v) OVER w AS BIGINT) AS n,
+         CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(v * v) OVER w, 0) AS BIGINT) AS q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+x AS (
+  SELECT user_id,
+         n >= {_ZS_MIN_N} AS evald,
+         (n * v - s) * (n * v - s) - {_ZS_K2} * (n * q - s * s) AS excess
+  FROM s)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE evald) AS BIGINT) AS n_eval,
+       CAST(COUNT(*) FILTER (WHERE evald AND excess > 0) AS BIGINT) AS n_alerts,
+       CAST(COALESCE(SUM(excess) FILTER (WHERE evald AND excess > 0), 0)
+            AS BIGINT) AS sum_excess
+FROM x GROUP BY user_id"""
+
+
+register("ts_rolling_zscore", ts_rolling_zscore, TS_ROLLING_ZSCORE_SQL)

@@ -747,3 +747,79 @@ def test_ivfpq_all_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_zscore_single_exchange_jvm_plan(spark):
+    """ts_rolling_zscore's trailing-baseline test is pure int64 window
+    algebra: ONE user_id hash exchange feeds the window AND the per-user
+    rollup (the aggregate reuses the window's partitioning), no Python
+    anywhere in the plan."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import timeseries
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = timeseries.ts_rolling_zscore(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    exchanges = exchange_args(df)
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
+
+
+def test_skyline_window_runs_on_rollup_not_facts(spark):
+    """rel_skyline scans part ONCE; its (deliberately unpartitioned) frontier
+    window runs on the per-size rollup whose cardinality is the distinct
+    p_size domain, not on the fact table — asserted by requiring BOTH
+    aggregates below the window in the plan tree (Window appears above the
+    final HashAggregate pair, never directly over the scan)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    df = olap.rel_skyline(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert table_scan_count(df, "part.parquet") == 1
+    # the frontier window's input must be the post-rollup side: the plan
+    # string orders operators top-down, so the Window node must appear
+    # BEFORE (above) at least one HashAggregate that itself sits above the
+    # part scan
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate", win_pos)
+    scan_pos = plan.find("part.parquet", agg_pos)
+    assert -1 < win_pos < agg_pos < scan_pos, (win_pos, agg_pos, scan_pos)
+
+
+def test_benford_single_fact_scan_jvm(spark):
+    """rel_benford_check is one scan over orders + a 9-row digit rollup; the
+    Benford expectation is a literal map lookup, so no second scan, no
+    join, no Python."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    df = olap.rel_benford_check(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan
+    assert table_scan_count(df, "orders.parquet") == 1
+
+
+def test_dp_noise_is_group_grained_map_expression(spark):
+    """pipe_dp_noise's noise ladder must cost O(groups): the CASE/md5
+    expressions sit ABOVE the (lang, source) aggregate in the plan (never
+    on the document rows), and there is exactly one exchange — the group-by
+    shuffle."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = pipeline.pipe_dp_noise(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    exchanges = exchange_args(df)
+    assert len(exchanges) == 1, exchanges
+    # md5/noise evaluate at GROUP grain: in the formatted details (numbered
+    # bottom-up: scan → partial agg → Exchange → final agg), md5 must never
+    # appear below the Exchange — the pre-shuffle side touches only the raw
+    # (lang, source) rows
+    import re
+
+    m = re.search(r"\(\d+\) Exchange\b", plan)
+    assert m is not None
+    assert "md5" not in plan[: m.start()]
+    assert "md5" in plan[m.end():]

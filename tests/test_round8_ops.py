@@ -1,0 +1,132 @@
+"""Round-8 late additions: kernel/constant properties and small-data
+invariants for rel_skyline, rel_benford_check, ts_rolling_zscore and
+pipe_dp_noise.  The DuckDB hash parity itself is the driver contract
+(scripts/crosscheck.py); these tests pin the ALGEBRA the Spark
+formulations rely on, so a future rewrite can't silently change semantics
+while still agreeing with a rewritten oracle.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ad_hoc_olap_query_processing_engine_spark.operators.olap import _BENFORD_E5
+from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+    _DP_B,
+    _DP_T,
+)
+
+from .conftest import SF_SMALL
+
+# ---------------------------------------------------------------------------
+# rel_skyline: the windowed 2-D formulation (per-size min price, keep iff
+# every strictly larger size is strictly dearer) must equal the textbook
+# all-pairs dominance filter the DuckDB oracle states.
+# ---------------------------------------------------------------------------
+
+_PT = st.tuples(
+    st.integers(min_value=1, max_value=8),  # size (small domain → many ties)
+    st.integers(min_value=0, max_value=20),  # price (ties likely)
+)
+
+
+def _skyline_bruteforce(points: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    pts = set(points)
+    out = set()
+    for s, p in pts:
+        dominated = any(
+            s2 >= s and p2 <= p and (s2 > s or p2 < p) for (s2, p2) in pts
+        )
+        if not dominated:
+            out.add((s, p))
+    return out
+
+
+def _skyline_windowed(points: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    best: dict[int, int] = {}
+    for s, p in points:
+        best[s] = min(p, best.get(s, p))
+    out = set()
+    run_min: int | None = None  # min best price over strictly larger sizes
+    for s in sorted(best, reverse=True):
+        if run_min is None or run_min > best[s]:
+            out.add((s, best[s]))
+        run_min = best[s] if run_min is None else min(run_min, best[s])
+    return out
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_PT, min_size=1, max_size=40))
+def test_skyline_window_formulation_equals_dominance(points):
+    assert _skyline_windowed(points) == _skyline_bruteforce(points)
+
+
+# ---------------------------------------------------------------------------
+# ts_rolling_zscore: the cleared-denominator integer inequality
+# (n·v − S)² > k²·(n·Q − S²) must be EXACTLY |v − mean| > k·σ (population),
+# proven in exact rational arithmetic including the boundary cases where a
+# float formulation would waver.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32753, max_value=32753), min_size=1, max_size=8),
+    st.integers(min_value=-32753, max_value=32753),
+)
+def test_zscore_cleared_inequality_is_exact(baseline, v):
+    n = len(baseline)
+    s = sum(baseline)
+    q = sum(x * x for x in baseline)
+    integer_alert = (n * v - s) ** 2 > 4 * (n * q - s * s)
+    mean = Fraction(s, n)
+    var = Fraction(q, n) - mean * mean
+    rational_alert = (Fraction(v) - mean) ** 2 > 4 * var
+    assert integer_alert == rational_alert
+
+
+# ---------------------------------------------------------------------------
+# rel_benford_check constants: the 1e-5 Benford masses must total EXACTLY
+# 100000 (they are shares of a complete partition of first digits).
+# ---------------------------------------------------------------------------
+
+
+def test_benford_constants_partition_exactly():
+    assert sorted(_BENFORD_E5) == list(range(1, 10))
+    assert sum(_BENFORD_E5.values()) == 100000
+    assert list(_BENFORD_E5.values()) == sorted(_BENFORD_E5.values(), reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# pipe_dp_noise thresholds: strictly monotone inverse CDF over [-B, B],
+# exact top at 2^48, and the two-sided geometric's symmetry — the mass of
+# +k equals the mass of −k (within 1 ulp of the 2^48 integer grid).
+# ---------------------------------------------------------------------------
+
+
+def test_dp_noise_thresholds_monotone_symmetric():
+    assert len(_DP_T) == 2 * _DP_B + 1
+    assert all(a < b for a, b in zip(_DP_T, _DP_T[1:]))
+    assert _DP_T[-1] == 2**48
+    masses = [t - p for p, t in zip([0] + _DP_T[:-1], _DP_T)]
+    for k in range(1, _DP_B + 1):
+        lo, hi = masses[_DP_B - k], masses[_DP_B + k]
+        assert abs(lo - hi) <= 1, (k, lo, hi)
+    # mode at zero: the mechanism must prefer small noise
+    assert masses[_DP_B] == max(masses)
+
+
+def test_dp_noise_released_counts_clamped_and_bounded(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        pipe_dp_noise,
+    )
+
+    rows = pipe_dp_noise(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -_DP_B <= r.noise <= _DP_B
+        assert r.released_n == max(r.true_n + r.noise, 0)
+        assert r.released_n >= 0
