@@ -49,6 +49,7 @@ def _load_all() -> None:
     from . import sampling  # noqa: F401
     from . import similarity  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import stats  # noqa: F401
     from . import text  # noqa: F401
     from . import timeseries  # noqa: F401
     from ..functions import scalar  # noqa: F401

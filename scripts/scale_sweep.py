@@ -40,7 +40,99 @@ import duckdb
 import pandas as pd
 
 SF_DIR = os.environ["CROSSCHECK_SF_DIR"]
-ORACLE_TIMEOUT_S = 150
+ORACLE_TIMEOUT_S = int(os.environ.get("SCALE_ORACLE_TIMEOUT_S", "150"))
+
+
+def scale_oracles() -> dict[str, str]:
+    """sf1-feasible SCALE-TIER oracles for the iterative-graph queries whose
+    driver oracles are deliberately naive and blow up at sf1 (the recursive
+    transitive-closure walk's row count grows with Σ component², and the
+    chained-CTE BFS re-inlines the edge build per round — the kcore
+    AS MATERIALIZED lesson).  These mirror the Spark round structure
+    (min-label + pointer-jump / frontier expansion) with every per-round CTE
+    AS MATERIALIZED, so sf1 exact-compare becomes feasible.  They share the
+    FORMULATION with the Spark side, which is why they are used ONLY here:
+    the driver-scale oracles in the operator modules keep their independent
+    textbook forms (the real correctness check), and this tier then verifies
+    the same numbers still come out at 10× bench scale.
+    """
+    from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
+        CC_MAX_ROUNDS,
+        _minhash_ctes,
+    )
+    from ad_hoc_olap_query_processing_engine_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEEDS,
+    )
+
+    # dedup_cluster_cc: unrolled min-label propagation + pointer jumping,
+    # node-sized label tables per round (extra rounds after the fixpoint are
+    # idempotent, so a fixed CC_MAX_ROUNDS unroll equals Spark's
+    # early-breaking loop).
+    cc_rounds = []
+    prev = "lab0"
+    for r in range(1, CC_MAX_ROUNDS + 1):
+        cc_rounds.append(f"""\
+prop{r} AS MATERIALIZED (
+  SELECT e.u, MIN(p.l) AS pl FROM edges e JOIN {prev} p ON p.u = e.v GROUP BY e.u),
+step{r} AS MATERIALIZED (
+  SELECT b.u, LEAST(b.l, COALESCE(p.pl, b.l)) AS l
+  FROM {prev} b LEFT JOIN prop{r} p USING (u)),
+lab{r} AS MATERIALIZED (
+  SELECT s.u, LEAST(s.l, COALESCE(t.l, s.l)) AS l
+  FROM step{r} s LEFT JOIN step{r} t ON s.l = t.u)""")
+        prev = f"lab{r}"
+    cc_body = ",\n".join(cc_rounds)
+    cc_sql = f"""\
+WITH {_minhash_ctes()},
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM vpairs),
+lab0 AS MATERIALIZED (
+  SELECT u, LEAST(u, MIN(v)) AS l FROM edges GROUP BY u),
+{cc_body},
+cc AS (SELECT u AS doc_id, l AS cluster_id FROM {prev}),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id,
+       CAST(c.doc_id = c.cluster_id AS INT) AS is_keeper,
+       s.cluster_size
+FROM cc c JOIN sizes s USING (cluster_id)"""
+
+    # graph_bfs_layers: same frontier unroll as the driver oracle, but with
+    # pairs/edges/every round MATERIALIZED and the visited-set test as an
+    # anti-join instead of NOT IN (the kcore fix, applied to BFS).
+    seeds = ", ".join(f"'{s}'" for s in BFS_SEEDS)
+    bfs_rounds = []
+    acc = "d0"
+    for k in range(1, BFS_ROUNDS + 1):
+        prev_front = "d0" if k == 1 else f"f{k - 1}"
+        bfs_rounds.append(f"""\
+f{k} AS MATERIALIZED (
+  SELECT r.node, {k} AS dist FROM (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN {prev_front} p ON e.src = p.node) r
+  ANTI JOIN {acc} a ON a.node = r.node),
+a{k} AS MATERIALIZED (SELECT * FROM {acc} UNION ALL SELECT * FROM f{k})""")
+        acc = f"a{k}"
+    bfs_body = ",\n".join(bfs_rounds)
+    bfs_sql = f"""\
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS dist FROM edges
+  WHERE src IN ({seeds})),
+{bfs_body}
+SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS first_node
+FROM {acc}
+GROUP BY dist"""
+
+    return {"dedup_cluster_cc": cc_sql, "graph_bfs_layers": bfs_sql}
 
 
 def _oracle_df(con, sql: str) -> pd.DataFrame:
@@ -135,6 +227,11 @@ def main() -> None:
     names = args or (list(entry.queries()) if spark_only else DEFAULT_SET)
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    overrides = scale_oracles()
+    oracles.update(overrides)
+    for n in overrides:
+        if n in names:
+            print(f"{n}: using sf1-feasible SCALE-TIER oracle", flush=True)
     spark = get_spark(app_name="scale-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

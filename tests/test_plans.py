@@ -823,3 +823,38 @@ def test_dp_noise_is_group_grained_map_expression(spark):
     assert m is not None
     assert "md5" not in plan[: m.start()]
     assert "md5" in plan[m.end():]
+
+
+def test_gini_no_unpartitioned_window(spark):
+    """rel_gini_spend's global ascending rank is rebuilt from per-bucket
+    row_numbers + broadcast offsets (the pareto/decile pattern): every
+    Window in the plan partitions by __bkt — a bare ORDER BY rank over the
+    whole customer dimension must never appear."""
+    import re
+
+    from ad_hoc_olap_query_processing_engine_spark.operators import stats
+
+    plan = physical_plan(stats.rel_gini_spend(spark, SF_SMALL))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    windows = list(re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.*)", plan))
+    assert windows, "expected at least one Window node"
+    for m in windows:
+        assert "__bkt" in m.group(1)
+
+
+def test_mann_whitney_window_runs_on_value_rollup(spark):
+    """rel_mann_whitney reduces the fact scan to the distinct quantized
+    value grain BEFORE its (bounded-domain) cumulative window: the Window
+    node must sit above a HashAggregate over v, and the plan is one fact
+    scan, JVM only."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import stats
+
+    df = stats.rel_mann_whitney(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert table_scan_count(df, "events.parquet") == 1
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate", win_pos)
+    assert -1 < win_pos < agg_pos, (win_pos, agg_pos)
+    # the event_type IN filter must reach the scan
+    assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)

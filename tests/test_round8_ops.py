@@ -130,3 +130,62 @@ def test_dp_noise_released_counts_clamped_and_bounded(spark):
         assert -_DP_B <= r.noise <= _DP_B
         assert r.released_n == max(r.true_n + r.noise, 0)
         assert r.released_n >= 0
+
+
+# ---------------------------------------------------------------------------
+# rel_mann_whitney: the doubled-midrank rollup formula (2·c_lt + t + 1 per
+# distinct value) must produce the exact textbook U computed from average
+# ranks in exact rationals.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=30),
+)
+def test_mann_whitney_doubled_midranks_exact(xs, ys):
+    pooled = sorted(xs + ys)
+    # textbook: average rank of each value in the pooled sample
+    def avg_rank(v):
+        lo = pooled.index(v) + 1
+        hi = len(pooled) - pooled[::-1].index(v)
+        return Fraction(lo + hi, 2)
+
+    r1 = sum(avg_rank(v) for v in xs)
+    n1, n2 = len(xs), len(ys)
+    u1_textbook = r1 - Fraction(n1 * (n1 + 1), 2)
+
+    # operator formula: per distinct v, rank2 = 2·c_lt + t + 1
+    from collections import Counter
+
+    cnt_all = Counter(xs + ys)
+    cnt_x = Counter(xs)
+    c_lt, r1_x2 = 0, 0
+    for v in sorted(cnt_all):
+        t = cnt_all[v]
+        r1_x2 += cnt_x.get(v, 0) * (2 * c_lt + t + 1)
+        c_lt += t
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    assert Fraction(u1_x2, 2) == u1_textbook
+    # U1 + U2 == n1·n2 identity on the doubled scale
+    assert u1_x2 + (2 * n1 * n2 - u1_x2) == 2 * n1 * n2
+
+
+# ---------------------------------------------------------------------------
+# rel_gini_spend: the rank-sum formula at 1e-6 fixed point must equal the
+# mean-absolute-difference definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) in exact
+# rationals (up to the final floor).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10**7), min_size=1, max_size=25))
+def test_gini_rank_formula_matches_mad_definition(xs):
+    n, tot = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(sorted(xs)))
+    gini_e6 = (2 * srx - (n + 1) * tot) * 10**6 // (n * tot)
+    mad = sum(abs(a - b) for a in xs for b in xs)  # includes both orders
+    gini_exact = Fraction(mad, 2 * n * n) / Fraction(tot, n)
+    assert gini_e6 == gini_exact * 10**6 - (gini_exact * 10**6) % 1
+    assert 0 <= gini_e6 < 10**6
