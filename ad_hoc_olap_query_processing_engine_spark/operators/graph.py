@@ -699,3 +699,96 @@ LIMIT {CN_TOP_K}"""
 
 
 register("graph_common_neighbors", graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff — local + global clustering coefficients of the
+# degree-capped kNN co-purchase graph: how clique-like is each product's
+# neighborhood?  (The missing member of this module's descriptive family —
+# triangles count CLOSURE, degree_histogram counts CONNECTIVITY; the
+# clustering coefficient is their ratio.)  Local coefficient of node x is
+# 2·t(x)/(d(x)·(d(x)−1)) — triangles through x over wedges centered at x —
+# emitted at exact 1e-6 fixed point (Spark DIV ≡ DuckDB // truncation on
+# integers); global transitivity is Σt / Σwedges on the same scale.  The
+# one-row report hashes n_nodes / Σwedges / Σclosed / transitivity / mean
+# local coefficient, so any miscounted wedge or triangle flips the compare.
+# Scale: the kNN edge list caps degree at 2·TRI_KNN, so wedge and triangle
+# fan-outs are bounded per node and all counts stay minuscule beside int64
+# at any corpus size; the session-cached edge table is shared with
+# graph_triangles/graph_kcore (first family consumer pays the build).
+# Ref parity note: the reference engine has no graph surface at all
+# (SURVEY.md §2.3 extension row).
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        edges.join(e2, F.col("b") == F.col("b2"))
+        .select("a", "b", "c")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    t_per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    local = (
+        deg.filter(F.col("d") >= 2)
+        .join(t_per_node, "a", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .select(
+            "t",
+            F.expr("d * (d - 1) DIV 2").alias("wedges"),
+            F.expr("2 * t * 1000000 DIV (d * (d - 1))").alias("local_e6"),
+        )
+    )
+    return local.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("wedges").alias("n_wedges"),
+        F.sum("t").alias("n_closed"),
+        F.expr("sum(t) * 1000000 DIV sum(wedges)").alias("transitivity_e6"),
+        F.expr("sum(local_e6) DIV count(1)").alias("mean_local_e6"),
+    )
+
+
+GRAPH_CLUSTERING_COEFF_SQL = f"""\
+WITH {_KNN_EDGES_CTES},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+tpn AS (
+  SELECT pk AS a, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT unnest([a, b, c]) AS pk FROM tris)
+  GROUP BY pk),
+loc AS (
+  SELECT COALESCE(t.t, 0) AS t,
+         d.d * (d.d - 1) // 2 AS wedges,
+         2 * COALESCE(t.t, 0) * 1000000 // (d.d * (d.d - 1)) AS local_e6
+  FROM deg d LEFT JOIN tpn t USING (a)
+  WHERE d.d >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+       CAST(SUM(t) AS BIGINT) AS n_closed,
+       CAST(SUM(t) AS BIGINT) * 1000000 // CAST(SUM(wedges) AS BIGINT)
+         AS transitivity_e6,
+       CAST(SUM(local_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS mean_local_e6
+FROM loc"""
+
+
+register("graph_clustering_coeff", graph_clustering_coeff, GRAPH_CLUSTERING_COEFF_SQL)

@@ -189,3 +189,23 @@ def test_gini_rank_formula_matches_mad_definition(xs):
     gini_exact = Fraction(mad, 2 * n * n) / Fraction(tot, n)
     assert gini_e6 == gini_exact * 10**6 - (gini_exact * 10**6) % 1
     assert 0 <= gini_e6 < 10**6
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff: the one-row report's fields must be internally
+# consistent (transitivity recomputable from its own numerator/denominator,
+# coefficients inside [0, 1e6]) on real data.
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_report_internally_consistent(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.graph import (
+        graph_clustering_coeff,
+    )
+
+    row = graph_clustering_coeff(spark, SF_SMALL).collect()[0]
+    assert row.n_nodes > 0 and row.n_wedges > 0
+    assert 0 <= row.n_closed <= 3 * row.n_wedges  # each wedge closes ≤ once per role
+    assert row.transitivity_e6 == row.n_closed * 10**6 // row.n_wedges
+    assert 0 <= row.transitivity_e6 <= 10**6
+    assert 0 <= row.mean_local_e6 <= 10**6
