@@ -2029,3 +2029,102 @@ FROM x GROUP BY user_id"""
 
 
 register("ts_rolling_zscore", ts_rolling_zscore, TS_ROLLING_ZSCORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_trend_ols — exact ordinary-least-squares trend per event type: slope /
+# intercept / R² of the daily value total against the day index, all in
+# EXACT integer rationals (the regression-family capability the engine was
+# missing; ts_backtest_snaive forecasts, this one explains).  The whole fit
+# reduces to five per-group sums (n, Σx, Σy, Σxy, Σx²[, Σy² for R²]) — ONE
+# pass over the daily rollup, no matrix library, no floats:
+#   β   = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)              → slope_e6
+#   α   = (Σy·den − num·Σx) / (n·den)                 → intercept_e6
+#   R²  = num² / (den · (nΣy² − (Σy)²))               → r2_e6
+# Numerators are widened to DECIMAL(38,0) before the products (Σy·den
+# crosses 1e20 at sf10, num² crosses 1e27 — far past int64, comfortably
+# inside 38 digits), quotients truncate identically in both engines
+# (Spark DIV ≡ DuckDB HUGEINT //), and a constant-y group yields NULL R²
+# via an explicit zero-variance guard instead of an ANSI division error.
+# x is the day offset from the fixture's anchor date so the integers stay
+# small and the intercept is interpretable ("level on day 0").
+# Scale shape: fact scan → (type, day) rollup → per-type 5-sum aggregate;
+# both aggregations are map-side-combining hash aggregates and nothing
+# downstream of the first rollup grows with row count.
+# ---------------------------------------------------------------------------
+
+_OLS_ANCHOR = "2024-01-01"
+
+
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_ANCHOR).cast("date")).alias(
+            "x"
+        ),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    daily = e.groupBy("event_type", "x").agg(F.sum("v").alias("y"))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    big = "CAST({} AS DECIMAL(38,0))"
+    num = f"({big.format('n')} * sxy - {big.format('sx')} * sy)"
+    den = f"({big.format('n')} * sxx - {big.format('sx')} * sx)"
+    yvar = f"({big.format('n')} * syy - {big.format('sy')} * sy)"
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(f"CAST({num} * 1000000 DIV {den} AS BIGINT)").alias("slope_e6"),
+        F.expr(
+            f"CAST(({big.format('sy')} * {den} - {num} * sx) * 1000000 "
+            f"DIV ({big.format('n')} * {den}) AS BIGINT)"
+        ).alias("intercept_e6"),
+        F.expr(
+            f"CASE WHEN {yvar} = 0 THEN NULL "
+            f"ELSE CAST({num} * {num} * 1000000 DIV ({den} * {yvar}) AS BIGINT) END"
+        ).alias("r2_e6"),
+    )
+
+
+TS_TREND_OLS_SQL = f"""\
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_OLS_ANCHOR}', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY event_type)
+SELECT event_type, n AS n_days,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         AS slope_e6,
+       CAST((CAST(sy AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+             - (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * sx) * 1000000
+            // (CAST(n AS HUGEINT)
+                * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+         AS intercept_e6,
+       CASE WHEN CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+            ELSE CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * 1000000
+                      // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                          * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+                      AS BIGINT) END
+         AS r2_e6
+FROM s"""
+
+
+register("ts_trend_ols", ts_trend_ols, TS_TREND_OLS_SQL)

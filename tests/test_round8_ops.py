@@ -209,3 +209,46 @@ def test_clustering_coeff_report_internally_consistent(spark):
     assert row.transitivity_e6 == row.n_closed * 10**6 // row.n_wedges
     assert 0 <= row.transitivity_e6 <= 10**6
     assert 0 <= row.mean_local_e6 <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# ts_trend_ols: the five-sum integer-rational fit must equal the textbook
+# least-squares solution in exact rationals (truncated toward zero at 1e-6,
+# matching Spark DIV / DuckDB HUGEINT //).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=-10**6, max_value=10**6),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    ).filter(lambda pts: len({x for x, _ in pts}) >= 2)
+)
+def test_ols_integer_form_matches_textbook(pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope_e6 = int(Fraction(num * 10**6, den))
+    intercept_e6 = int(Fraction((sy * den - num * sx) * 10**6, n * den))
+
+    beta = Fraction(num, den)
+    alpha = Fraction(sy, n) - beta * Fraction(sx, n)
+    assert slope_e6 == int(beta * 10**6)
+    assert intercept_e6 == int(alpha * 10**6)
+    yvar = n * syy - sy * sy
+    if yvar:
+        r2_e6 = int(Fraction(num * num * 10**6, den * yvar))
+        # textbook R² = β²·Sxx/Syy on the centered sums
+        r2 = beta * beta * Fraction(den, yvar)
+        assert r2_e6 == int(r2 * 10**6)
+        assert 0 <= r2_e6 <= 10**6
