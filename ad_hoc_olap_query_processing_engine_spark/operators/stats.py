@@ -195,3 +195,130 @@ FROM a"""
 
 
 register("rel_gini_spend", rel_gini_spend, REL_GINI_SPEND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_runs_test — Wald–Wolfowitz runs test per user: is each user's event
+# VALUE SEQUENCE random around the corpus median, or does it streak?
+# (Complements rel_mann_whitney: that one tests WHERE two samples sit, this
+# one tests the ORDERING within one sequence — the monitoring question
+# "has this meter gone autocorrelated/stuck?".)  Dichotomize against the
+# exact global disc-median (computed from the bounded quantized-value
+# rollup, ties-at-median dropped per the textbook procedure), count runs
+# with one LAG per user, then clear the z² statistic to exact integers:
+# with N = n1+n2, A = R·N − 2·n1·n2 − N,
+#   z² = A²·(N−1) / (2·n1·n2·(2·n1·n2 − N))
+# — the classic mean/variance of the run count with every denominator
+# multiplied through.  A² · (N−1) crosses int64 once per-user sequences
+# reach ~1000 events, so the products are widened to DECIMAL(38,0).
+# Degenerate users (all-above / all-below / too short: variance 0) are
+# reported in n_users_skipped, not silently dropped.  The per-round plan
+# is JVM windows + aggregates: median rollup (bounded domain) → broadcast
+# scalar → one user_id window pass → per-user rollup → one-row report with
+# the 5%-significance breach count (χ²₁ 95% = 3.841459 baked at 1e-6 in
+# both engines).
+# ---------------------------------------------------------------------------
+
+_CHI2_95_E6 = 3841459
+
+
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    # exact global disc-median: value at rank ceil(n/2) of the sorted
+    # multiset, found by cumulative count over the bounded distinct-value
+    # rollup (the rel_mann_whitney window argument)
+    per_v = e.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    med = (
+        per_v.select("v", F.sum("t").over(wv).alias("c"), F.sum("t").over(W.partitionBy()).alias("n"))
+        .filter(2 * F.col("c") >= F.col("n"))
+        .agg(F.min("v").alias("median_v"))
+    )
+    s = (
+        e.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("median_v"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("v") > F.col("median_v")).cast("int").alias("above"),
+        )
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = s.select(
+        "user_id",
+        "above",
+        (F.col("above") != F.lag("above").over(wu)).cast("int").alias("chg"),
+    ).groupBy("user_id").agg(
+        (F.coalesce(F.sum("chg"), F.lit(0)) + 1).alias("r"),
+        F.sum("above").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).alias("n2"),
+    )
+    big = "CAST({} AS DECIMAL(38,0))"
+    a = f"({big.format('r')} * (n1 + n2) - 2 * {big.format('n1')} * n2 - (n1 + n2))"
+    var2 = f"(2 * {big.format('n1')} * n2 * (2 * {big.format('n1')} * n2 - (n1 + n2)))"
+    z2 = runs.select(
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 OR {var2} <= 0 THEN NULL "
+            f"ELSE CAST({a} * {a} * (n1 + n2 - 1) * 1000000 DIV {var2} AS BIGINT) END"
+        ).alias("z2_e6")
+    )
+    return z2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("z2_e6").alias("n_users_eval"),
+        (F.count(F.lit(1)) - F.count("z2_e6")).alias("n_users_skipped"),
+        F.count_if(F.col("z2_e6") > _CHI2_95_E6).alias("n_nonrandom_5pct"),
+        F.coalesce(F.sum("z2_e6"), F.lit(0)).alias("sum_z2_e6"),
+    )
+
+
+TS_RUNS_TEST_SQL = f"""\
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events),
+m AS (
+  SELECT MIN(v) AS median_v FROM (
+    SELECT v,
+           CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) AS c,
+           CAST(SUM(t) OVER () AS BIGINT) AS n
+    FROM (SELECT v, COUNT(*) AS t FROM e GROUP BY v))
+  WHERE 2 * c >= n),
+s AS (
+  SELECT user_id, ts, event_id,
+         CAST(v > (SELECT median_v FROM m) AS INT) AS above
+  FROM e WHERE v <> (SELECT median_v FROM m)),
+u AS (
+  SELECT user_id,
+         CAST(1 + COALESCE(SUM(chg), 0) AS BIGINT) AS r,
+         CAST(SUM(above) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2
+  FROM (
+    SELECT user_id, above,
+           CAST(above <> LAG(above) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS INT) AS chg
+    FROM s)
+  GROUP BY user_id),
+z AS (
+  SELECT CASE WHEN n1 = 0 OR n2 = 0
+                OR 2 * CAST(n1 AS HUGEINT) * n2 * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) <= 0
+              THEN NULL
+              ELSE CAST((CAST(r AS HUGEINT) * (n1 + n2) - 2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2))
+                        * (CAST(r AS HUGEINT) * (n1 + n2) - 2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2))
+                        * (n1 + n2 - 1) * 1000000
+                        // (2 * CAST(n1 AS HUGEINT) * n2 * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)))
+                        AS BIGINT) END AS z2_e6
+  FROM u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(z2_e6) AS BIGINT) AS n_users_eval,
+       CAST(COUNT(*) - COUNT(z2_e6) AS BIGINT) AS n_users_skipped,
+       CAST(COUNT(*) FILTER (WHERE z2_e6 > {_CHI2_95_E6}) AS BIGINT) AS n_nonrandom_5pct,
+       CAST(COALESCE(SUM(z2_e6), 0) AS BIGINT) AS sum_z2_e6
+FROM z"""
+
+
+register("ts_runs_test", ts_runs_test, TS_RUNS_TEST_SQL)

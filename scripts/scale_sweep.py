@@ -235,9 +235,9 @@ def main() -> None:
     spark = get_spark(app_name="scale-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    con.sql("SET memory_limit = '24GB'")
+    con.sql(f"SET memory_limit = '{os.environ.get('SCALE_ORACLE_MEM', '24GB')}'")
     con.sql("SET temp_directory = '/root/repo/.scaledata/duck_tmp'")
-    con.sql("SET max_temp_directory_size = '40GB'")
+    con.sql(f"SET max_temp_directory_size = '{os.environ.get('SCALE_ORACLE_TEMP', '40GB')}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 

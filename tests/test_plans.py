@@ -858,3 +858,20 @@ def test_mann_whitney_window_runs_on_value_rollup(spark):
     assert -1 < win_pos < agg_pos, (win_pos, agg_pos)
     # the event_type IN filter must reach the scan
     assert any("event_type" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_runs_test_user_windows_only_jvm(spark):
+    """ts_runs_test's only per-row window is the user_id LAG; the median
+    window runs on the bounded distinct-value rollup.  No Python, and every
+    hashpartitioning exchange is either the value rollup or user_id — never
+    a full-fact single-partition sort."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import stats
+    from ad_hoc_olap_query_processing_engine_spark.plans import exchange_args
+
+    df = stats.ts_runs_test(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    hash_exchanges = [a for a in exchange_args(df) if "hashpartitioning" in a]
+    assert hash_exchanges, "expected hash exchanges"
+    for a in hash_exchanges:
+        assert ("user_id" in a) or ("v#" in a), a

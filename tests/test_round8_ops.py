@@ -252,3 +252,28 @@ def test_ols_integer_form_matches_textbook(pts):
         r2 = beta * beta * Fraction(den, yvar)
         assert r2_e6 == int(r2 * 10**6)
         assert 0 <= r2_e6 <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# ts_runs_test: the cleared z² = A²(N−1)/(2n1n2(2n1n2−N)) with
+# A = R·N − 2n1n2 − N must equal the textbook (R−μ)²/σ² in exact rationals.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.booleans(), min_size=3, max_size=50))
+def test_runs_test_cleared_z2_is_exact(seq):
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    if n1 == 0 or n2 == 0:
+        return
+    n = n1 + n2
+    r = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    a = r * n - 2 * n1 * n2 - n
+    var2 = 2 * n1 * n2 * (2 * n1 * n2 - n)
+    if var2 <= 0:
+        return
+    z2_e6 = a * a * (n - 1) * 10**6 // var2
+    mu = Fraction(2 * n1 * n2, n) + 1
+    var = Fraction(2 * n1 * n2 * (2 * n1 * n2 - n), n * n * (n - 1))
+    z2 = (Fraction(r) - mu) ** 2 / var
+    assert z2_e6 == z2 * 10**6 - (z2 * 10**6) % 1  # floor (z2 >= 0)
