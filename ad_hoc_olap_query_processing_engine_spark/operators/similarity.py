@@ -2192,3 +2192,63 @@ GROUP BY d.pair_id"""
 
 
 register("embed_mixup_augment", embed_mixup_augment, EMBED_MIXUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embed_hubness_report — the HUBNESS diagnostic for an embedding space: the
+# distribution of k-occurrence (how many other vectors' top-k lists each
+# vector appears in).  High-dimensional spaces concentrate: a few "hub"
+# vectors show up in everyone's neighbor lists while many become
+# never-retrieved anti-hubs (Radovanović et al., JMLR'10) — skewed
+# k-occurrence silently corrupts kNN dedup/search/classify quality, so a
+# pipeline checks this histogram per embedding-model release.  Like
+# dedup_lsh_recall_report, this is an EVALUATION op on a deterministic
+# CAPPED universe (vec_id < HUB_CAP): exact all-pairs kNN ground truth is
+# quadratic by definition, so it runs on the capped sample — the shipped
+# 100 TB posture is "diagnose on a sample, never all-pairs on the corpus".
+# Within the cap it reuses the shared exact-rerank tail (round-4 cosine,
+# vec_id tie-break), counts in-degrees of the resulting kNN digraph, and
+# reports the k-occurrence histogram with zero-degree anti-hubs included
+# (left join from the universe, not just observed neighbors).
+# ---------------------------------------------------------------------------
+
+HUB_CAP = 500
+
+
+def embed_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < HUB_CAP)
+    queries = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cand = e.select("vec_id", "embedding").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    topk = _exact_rerank(cand)
+    ind = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    deg = (
+        e.select("vec_id")
+        .join(ind, "vec_id", "left")
+        .select("vec_id", F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"))
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+EMBED_HUBNESS_REPORT_SQL = f"""\
+WITH topk AS (
+  WITH cand AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {HUB_CAP} AND e.vec_id < {HUB_CAP}),
+  {_RERANK_SQL_TAIL}),
+ind AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree FROM topk GROUP BY vec_id),
+deg AS (
+  SELECT u.vec_id, COALESCE(i.in_degree, 0) AS in_degree
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {HUB_CAP}) u
+  LEFT JOIN ind i USING (vec_id))
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
+FROM deg GROUP BY in_degree"""
+
+
+register("embed_hubness_report", embed_hubness_report, EMBED_HUBNESS_REPORT_SQL)

@@ -535,6 +535,7 @@ _BNLJ_ALLOWED = {
     "sim_recall_report",
     "rel_basket_affinity",
     "embed_knn_classify",
+    "embed_hubness_report",  # brute all-pairs INSIDE the deterministic HUB_CAP universe (eval op, sample-only by design)
     "embed_matryoshka_eval",
     "func_timebucket",
     "phi_q7",

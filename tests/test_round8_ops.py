@@ -277,3 +277,23 @@ def test_runs_test_cleared_z2_is_exact(seq):
     var = Fraction(2 * n1 * n2 * (2 * n1 * n2 - n), n * n * (n - 1))
     z2 = (Fraction(r) - mu) ** 2 / var
     assert z2_e6 == z2 * 10**6 - (z2 * 10**6) % 1  # floor (z2 >= 0)
+
+
+# ---------------------------------------------------------------------------
+# embed_hubness_report: the k-occurrence histogram must conserve mass — the
+# universe size and the total in-degree (= TOP_K per query) are invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_hubness_histogram_conserves_mass(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.similarity import (
+        HUB_CAP,
+        TOP_K,
+        embed_hubness_report,
+    )
+
+    rows = embed_hubness_report(spark, SF_SMALL).collect()
+    n_universe = sum(r.n_vectors for r in rows)
+    total_indeg = sum(r.in_degree * r.n_vectors for r in rows)
+    assert n_universe <= HUB_CAP  # sf0.001 may have fewer vectors than the cap
+    assert total_indeg == n_universe * TOP_K
