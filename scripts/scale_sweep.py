@@ -210,7 +210,21 @@ FIXED_POINT = [
     "rel_bitmap_distinct",
 ]
 GOLDENS = [f"phi_q{i}" for i in range(1, 11)]
-DEFAULT_SET = list(dict.fromkeys(SLOWEST + FIXED_POINT + GOLDENS))
+# round-8 session-2 additions — all carry fixed-point / DECIMAL(38,0) paths
+# or bounded-iteration shapes worth re-proving at sf1 on every full sweep
+ROUND8_LATE = [
+    "rel_skyline",
+    "rel_benford_check",
+    "ts_rolling_zscore",
+    "pipe_dp_noise",
+    "rel_mann_whitney",
+    "rel_gini_spend",
+    "graph_clustering_coeff",
+    "ts_trend_ols",
+    "ts_runs_test",
+    "embed_hubness_report",
+]
+DEFAULT_SET = list(dict.fromkeys(SLOWEST + FIXED_POINT + GOLDENS + ROUND8_LATE))
 
 
 def main() -> None:
