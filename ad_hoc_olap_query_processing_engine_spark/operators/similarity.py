@@ -78,9 +78,18 @@ def _norm(a: Column) -> Column:
 def _exact_rerank(cand: DataFrame) -> DataFrame:
     """Shared exact-scoring tail: cosine (rounded to 4 dp for the cross-engine
     oracle), rank per query with vec_id tiebreak, keep top-k. ``cand`` needs
-    columns query_id, q_emb, vec_id, embedding."""
+    columns query_id, q_emb, vec_id, embedding — and may carry pre-hoisted
+    q_norm / v_norm columns (computed once per SIDE before the candidate
+    join instead of once per PAIR: Spark's higher-order array functions run
+    interpreted, so the brute family's 250k-pair norms dominated its cost;
+    float-IDENTICAL because the same aggregate tree yields the same double,
+    just evaluated |V|+|Q| times instead of |pairs|)."""
+    if "q_norm" not in cand.columns:
+        cand = cand.withColumn("q_norm", _norm(F.col("q_emb")))
+    if "v_norm" not in cand.columns:
+        cand = cand.withColumn("v_norm", _norm(F.col("embedding")))
     cos = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_norm") * F.col("v_norm")
     )
     scored = cand.withColumn("score", F.round(cos, 4)).select(
         "query_id", "vec_id", "score"
@@ -112,11 +121,13 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}"""
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    cand = e.select(F.col("vec_id"), F.col("embedding")).join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
+    cand = e.select(
+        F.col("vec_id"), F.col("embedding"), _norm(F.col("embedding")).alias("v_norm")
+    ).join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     return _exact_rerank(cand)
 
 
@@ -149,11 +160,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = e.select("vec_id", "embedding").join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
+    cand = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    ).join(F.broadcast(queries.withColumn("q_norm", _norm(F.col("q_emb")))),
+           F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_norm") * F.col("v_norm")
     )
     return (
         cand.withColumn("score", F.round(cos, 4))
@@ -2217,10 +2229,14 @@ HUB_CAP = 500
 
 def embed_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < HUB_CAP)
-    queries = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    cand = e.select("vec_id", "embedding").join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    queries = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
+    cand = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    ).join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     topk = _exact_rerank(cand)
     ind = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("in_degree"))
     deg = (
