@@ -953,3 +953,130 @@ FROM n"""
 
 
 register("pipe_dp_noise", pipe_dp_noise, PIPE_DP_NOISE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_bloom_decontaminate — the BLOOM-FILTER fast path for benchmark
+# decontamination (pipe_decontaminate is the exact inverted-index join; at
+# 100 TB the cheaper first pass is "does this shingle hit the eval-set
+# Bloom filter?", with the exact join run only on flagged docs).  Spark's
+# internal bloom_filter_agg/might_contain are not SQL-registered in this
+# runtime (probed), and their sketch wouldn't be oracle-portable anyway —
+# so the filter is built RELATIONALLY from the repo's proven primitives:
+# K md5-derived positions per shingle (the cross-engine md5→48-bit recipe)
+# over an M-bit space stored as 64-bit words via the bitmap tier's
+# shift/mask encoding (bit_or(1 << (h & 63)) per word h >> 6).  Both
+# engines derive IDENTICAL words, so the flag set — false positives
+# included — is deterministic and fully hash-compared; no error envelope
+# needed, and "Bloom filters have no false negatives" is asserted from the
+# data (bool_and over the exact-contaminated set), not assumed.
+# Scale shape: the filter is |M|/64 ≤ 16,384 words regardless of corpus
+# size (broadcast), probes fan out K× per train shingle (map-side), and
+# the exact join that pipe_decontaminate pays on EVERYTHING would run only
+# on the flagged slice.  Production sizes M from the eval-set cardinality
+# (kn/m here ≈ 0.04 at sf0.01); the fixed M is part of the oracle contract.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # 16,384 words of 64 bits
+BLOOM_K = 4
+
+
+def pipe_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_postings
+
+    sh = shingle_postings(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_SLICE_MOD == 0
+    eval_s = sh.filter(is_eval).select("s").distinct()
+    train = sh.filter(~is_eval).select("doc_id", "s")
+
+    hexpr = (
+        f"CONV(SUBSTRING(MD5(CONCAT(s, '#', CAST(j AS STRING))), 1, 12), 16, 10) "
+        f"% {BLOOM_M_BITS}"
+    )
+    ks = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
+
+    words = (
+        eval_s.select("s", ks)
+        .select(F.expr(hexpr).cast("bigint").alias("h"))
+        .select(
+            F.expr("shiftright(h, 6)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST((h & 63) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probes = (
+        train.select("doc_id", "s", ks)
+        .withColumn("h", F.expr(hexpr).cast("bigint"))
+        .join(F.broadcast(words), F.expr("shiftright(h, 6)") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "s",
+            F.coalesce(
+                F.expr("(shiftright(bits, CAST((h & 63) AS INT)) & 1) = 1"),
+                F.lit(False),
+            ).alias("bit_set"),
+        )
+    )
+    s_hit = probes.groupBy("doc_id", "s").agg(F.bool_and("bit_set").alias("s_hit"))
+    flags = s_hit.groupBy("doc_id").agg(F.bool_or("s_hit").alias("flagged"))
+    exact = (
+        train.join(eval_s, "s", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    d = flags.join(exact, "doc_id", "left").select(
+        "flagged", F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.count_if(F.col("is_exact")).alias("n_exact_contaminated"),
+        F.count_if(F.col("flagged")).alias("n_bloom_flagged"),
+        F.count_if(F.col("flagged") & ~F.col("is_exact")).alias("n_false_positives"),
+        F.bool_and(~F.col("is_exact") | F.col("flagged")).alias("no_false_negatives"),
+    )
+
+
+def _bloom_decontaminate_sql() -> str:
+    from .dedup import _SHINGLES_SQL
+
+    # DuckDB raises on 1::BIGINT << 63 (Spark's shiftleft wraps to min-long),
+    # so the build spells the sign bit as the literal; the PROBE uses >> so
+    # no CASE is needed there (arithmetic shift keeps bit j at position 0).
+    return f"""\
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_SLICE_MOD} = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_SLICE_MOD} <> 0),
+epos AS (
+  SELECT (('0x' || substr(md5(s || '#' || j), 1, 12))::BIGINT) % {BLOOM_M_BITS} AS h
+  FROM ev, unnest([0, 1, 2, 3]) AS u(j)),
+words AS (
+  SELECT h >> 6 AS w,
+         bit_or(CASE WHEN (h & 63) = 63 THEN (-9223372036854775807::BIGINT - 1)
+                     ELSE (1::BIGINT << CAST((h & 63) AS INT)) END) AS bits
+  FROM epos GROUP BY 1),
+tpos AS (
+  SELECT doc_id, s,
+         (('0x' || substr(md5(s || '#' || j), 1, 12))::BIGINT) % {BLOOM_M_BITS} AS h
+  FROM tr, unnest([0, 1, 2, 3]) AS u(j)),
+probe AS (
+  SELECT t.doc_id, t.s,
+         COALESCE(((w.bits >> CAST((t.h & 63) AS INT)) & 1) = 1, FALSE) AS bit_set
+  FROM tpos t LEFT JOIN words w ON w.w = (t.h >> 6)),
+shit AS (SELECT doc_id, s, bool_and(bit_set) AS s_hit FROM probe GROUP BY 1, 2),
+flags AS (SELECT doc_id, bool_or(s_hit) AS flagged FROM shit GROUP BY doc_id),
+ex AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s),
+d AS (
+  SELECT f.flagged, (e.doc_id IS NOT NULL) AS is_exact
+  FROM flags f LEFT JOIN ex e ON e.doc_id = f.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(COUNT(*) FILTER (WHERE is_exact) AS BIGINT) AS n_exact_contaminated,
+       CAST(COUNT(*) FILTER (WHERE flagged) AS BIGINT) AS n_bloom_flagged,
+       CAST(COUNT(*) FILTER (WHERE flagged AND NOT is_exact) AS BIGINT)
+         AS n_false_positives,
+       bool_and(NOT is_exact OR flagged) AS no_false_negatives
+FROM d"""
+
+
+register("pipe_bloom_decontaminate", pipe_bloom_decontaminate, _bloom_decontaminate_sql())

@@ -878,3 +878,15 @@ def test_runs_test_user_windows_only_jvm(spark):
     assert hash_exchanges, "expected hash exchanges"
     for a in hash_exchanges:
         assert ("user_id" in a) or ("v#" in a), a
+
+
+def test_bloom_decontaminate_filter_broadcasts(spark):
+    """pipe_bloom_decontaminate's Bloom word table (≤16,384 rows by
+    construction, independent of corpus size) must BROADCAST to the train
+    probes — a shuffled filter join would defeat the whole fast-path."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+    df = pipeline.pipe_bloom_decontaminate(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "BroadcastHashJoin" in plan

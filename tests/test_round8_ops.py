@@ -297,3 +297,21 @@ def test_hubness_histogram_conserves_mass(spark):
     total_indeg = sum(r.in_degree * r.n_vectors for r in rows)
     assert n_universe <= HUB_CAP  # sf0.001 may have fewer vectors than the cap
     assert total_indeg == n_universe * TOP_K
+
+
+# ---------------------------------------------------------------------------
+# pipe_bloom_decontaminate: the structural Bloom guarantee — NO false
+# negatives, flagged ⊇ exact — must hold on real data, and the counts must
+# be internally consistent.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        pipe_bloom_decontaminate,
+    )
+
+    row = pipe_bloom_decontaminate(spark, SF_SMALL).collect()[0]
+    assert row.no_false_negatives is True
+    assert row.n_bloom_flagged == row.n_exact_contaminated + row.n_false_positives
+    assert 0 <= row.n_exact_contaminated <= row.n_bloom_flagged <= row.n_train_docs
