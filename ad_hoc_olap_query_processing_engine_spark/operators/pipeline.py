@@ -1080,3 +1080,70 @@ FROM d"""
 
 
 register("pipe_bloom_decontaminate", pipe_bloom_decontaminate, _bloom_decontaminate_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_temperature_mix — TEMPERATURE-BASED domain reweighting (w ∝ n^τ with
+# τ = 1/2): the multilingual-LM sampling standard (mBERT/XLM-R style) that
+# up-samples small domains less aggressively than pipe_doc_mixture's
+# uniform target.  n^(1/2) is irrational, so the exactness discipline needs
+# an EXACT INTEGER SQUARE ROOT: s₀ = floor(sqrt(double(n))) is within ±1 of
+# isqrt(n) for n < 2⁵² (IEEE sqrt is correctly rounded in both engines),
+# and one two-sided clamp — +1 if (s₀+1)² ≤ n, −1 if s₀² > n — lands it
+# exactly, independent of any last-ulp libm difference.  Weights and the
+# per-doc multiply-in factor (target_share/observed_share) are then plain
+# integer rationals: w_bps = s·10⁴ DIV Σs and factor_e6 = s·total·10⁶ DIV
+# (Σs·n), DECIMAL(38,0)-widened for the triple product.  One stratum
+# aggregate + one broadcast — nothing grows with corpus size past the
+# first rollup.
+# ---------------------------------------------------------------------------
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer sqrt of the BIGINT expression ``n`` (identical text in
+    Spark SQL and DuckDB: FLOOR/SQRT/CASE only)."""
+    s0 = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def pipe_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    strata = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = strata.withColumn("sqrt_n", F.expr(_isqrt_sql("n_docs")))
+    tot = s.agg(
+        F.sum("n_docs").alias("__total"), F.sum("sqrt_n").alias("__ssum")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sqrt_n",
+            F.expr("sqrt_n * 10000 DIV __ssum").alias("w_bps"),
+            F.expr(
+                "CAST(CAST(sqrt_n AS DECIMAL(38,0)) * __total * 1000000 "
+                "DIV (CAST(__ssum AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+            ).alias("factor_e6"),
+        )
+    )
+
+
+PIPE_TEMPERATURE_MIX_SQL = f"""\
+WITH strata AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source),
+s AS (SELECT lang, source, n_docs, {_isqrt_sql("n_docs")} AS sqrt_n FROM strata),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               CAST(SUM(sqrt_n) AS BIGINT) AS ssum FROM s)
+SELECT s.lang, s.source, s.n_docs, s.sqrt_n,
+       s.sqrt_n * 10000 // t.ssum AS w_bps,
+       CAST(CAST(s.sqrt_n AS HUGEINT) * t.total * 1000000
+            // (CAST(t.ssum AS HUGEINT) * s.n_docs) AS BIGINT) AS factor_e6
+FROM s CROSS JOIN tot t"""
+
+
+register("pipe_temperature_mix", pipe_temperature_mix, PIPE_TEMPERATURE_MIX_SQL)

@@ -315,3 +315,44 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert row.no_false_negatives is True
     assert row.n_bloom_flagged == row.n_exact_contaminated + row.n_false_positives
     assert 0 <= row.n_exact_contaminated <= row.n_bloom_flagged <= row.n_train_docs
+
+
+# ---------------------------------------------------------------------------
+# pipe_temperature_mix: the float-sqrt-plus-clamp integer sqrt must equal
+# math.isqrt exactly for any count up to 2^52, and the mixing identities
+# must hold (Σ w_bps ≤ 10000 by truncation; factor > 1e6 iff the stratum is
+# below its temperature-adjusted target).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=1000, deadline=None)
+@given(st.integers(min_value=0, max_value=2**52))
+def test_isqrt_clamp_matches_math_isqrt(n):
+    import math
+
+    s0 = int(math.floor(math.sqrt(float(n))))
+    if (s0 + 1) * (s0 + 1) <= n:
+        s = s0 + 1
+    elif s0 * s0 > n:
+        s = s0 - 1
+    else:
+        s = s0
+    assert s == math.isqrt(n)
+
+
+def test_temperature_mix_identities(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        pipe_temperature_mix,
+    )
+
+    rows = pipe_temperature_mix(spark, SF_SMALL).collect()
+    assert rows
+    import math
+
+    ssum = sum(math.isqrt(r.n_docs) for r in rows)
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert r.sqrt_n == math.isqrt(r.n_docs)
+        assert r.w_bps == math.isqrt(r.n_docs) * 10000 // ssum
+        assert r.factor_e6 == math.isqrt(r.n_docs) * total * 10**6 // (ssum * r.n_docs)
+    assert sum(r.w_bps for r in rows) <= 10000
