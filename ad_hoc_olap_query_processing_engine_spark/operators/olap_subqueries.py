@@ -384,3 +384,68 @@ GROUP BY node"""
 
 
 register("rel_hierarchy_rollup", rel_hierarchy_rollup, REL_HIERARCHY_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_bom_explosion — MULTIPLICATIVE recursive aggregation: the
+# bill-of-materials effective-quantity walk.  rel_hierarchy_rollup answers
+# the ADDITIVE hierarchy question (charge each part's revenue to all its
+# ancestors); a BOM asks the question addition can't express — "how many
+# units of part p does ONE unit of the root assembly consume?", the PRODUCT
+# of the per-edge usage quantities along p's ancestor path.  The same
+# synthetic binary catalog tree (parent = key DIV 2, root = 1) gets a
+# deterministic per-edge quantity q(node) = node % 3 + 1 (units of `node`
+# per one parent unit), and the recursion threads the running product:
+#   w(part, node, eff):  (p, p, 1)  →  (p, node DIV 2, eff·q(node))
+# stopping at the root; the row that lands on node = 1 carries
+# eff = Π q(a) over the whole path.  The report aggregates per tree depth
+# (bounded output): n_parts, the max effective quantity, and the mean
+# (sum DIV n) with the sum widened to DECIMAL(38,0) — eff ≤ 3^depth crosses
+# int64 SUMS around sf10's 34-deep keys while per-part values stay inside.
+# Same recursion/row-limit posture as rel_hierarchy_rollup (depth-bounded
+# walk, row limit raised to the int32 ceiling).  Key 0 sits OUTSIDE the
+# synthetic tree (0 DIV 2 = 0 self-loops and never reaches the root), so
+# the anchor excludes it EXPLICITLY — without the filter it would vanish
+# silently from the node = 1 output (caught by the path-product test).
+# ---------------------------------------------------------------------------
+
+
+def rel_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    return spark.sql("""
+        WITH RECURSIVE w(part, node, eff, d) AS (
+          SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
+          FROM part WHERE p_partkey >= 1
+          UNION ALL
+          SELECT part, node DIV 2, eff * (node % 3 + 1), d + 1
+          FROM w WHERE node > 1)
+        SELECT d AS depth,
+               COUNT(*) AS n_parts,
+               MAX(eff) AS max_eff_qty,
+               CAST(SUM(CAST(eff AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)
+                 AS mean_eff_qty
+        FROM w
+        WHERE node = 1
+        GROUP BY d
+    """)
+
+
+REL_BOM_EXPLOSION_SQL = """\
+WITH RECURSIVE w(part, node, eff, d) AS (
+  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
+  FROM part WHERE p_partkey >= 1
+  UNION ALL
+  SELECT part, node // 2, eff * (node % 3 + 1), d + 1
+  FROM w WHERE node > 1)
+SELECT d AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(eff) AS BIGINT) AS max_eff_qty,
+       CAST(CAST(SUM(CAST(eff AS HUGEINT)) AS HUGEINT) // COUNT(*) AS BIGINT)
+         AS mean_eff_qty
+FROM w
+WHERE node = 1
+GROUP BY d"""
+
+
+register("rel_bom_explosion", rel_bom_explosion, REL_BOM_EXPLOSION_SQL)

@@ -356,3 +356,45 @@ def test_temperature_mix_identities(spark):
         assert r.w_bps == math.isqrt(r.n_docs) * 10000 // ssum
         assert r.factor_e6 == math.isqrt(r.n_docs) * total * 10**6 // (ssum * r.n_docs)
     assert sum(r.w_bps for r in rows) <= 10000
+
+
+# ---------------------------------------------------------------------------
+# rel_bom_explosion: the recursive running product must equal the directly
+# computed Π q(a) over the ancestor path, per part, on real data.
+# ---------------------------------------------------------------------------
+
+
+def test_bom_effective_qty_equals_path_product(spark):
+    from ad_hoc_olap_query_processing_engine_spark.operators.olap_subqueries import (
+        rel_bom_explosion,
+    )
+
+    rows = {r.depth: r for r in rel_bom_explosion(spark, SF_SMALL).collect()}
+    assert rows
+
+    def path_product(p):
+        eff, node = 1, p
+        while node > 1:
+            eff *= node % 3 + 1
+            node //= 2
+        return eff
+
+    import duckdb
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT p_partkey FROM '{SF_SMALL}/part.parquet'"
+        ).fetchall()
+    ]
+    from collections import defaultdict
+
+    by_depth = defaultdict(list)
+    for p in keys:
+        if p >= 1:  # key 0 is outside the synthetic tree by the operator's contract
+            by_depth[p.bit_length() - 1].append(path_product(p))
+    assert set(by_depth) == set(rows)
+    for d, effs in by_depth.items():
+        assert rows[d].n_parts == len(effs)
+        assert rows[d].max_eff_qty == max(effs)
+        assert rows[d].mean_eff_qty == sum(effs) // len(effs)
