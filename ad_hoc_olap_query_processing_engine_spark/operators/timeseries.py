@@ -2128,3 +2128,65 @@ FROM s"""
 
 
 register("ts_trend_ols", ts_trend_ols, TS_TREND_OLS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ts_burstiness — index of dispersion (Fano factor) per user: VAR/MEAN of
+# the user's daily event counts over the corpus's FULL day grid.  D ≈ 1 is
+# Poisson-like arrivals, D ≫ 1 is bursty, D < 1 is regular — the standard
+# screen for bot-like or batchy traffic that a plain rate threshold misses
+# (complements ts_rolling_zscore's level alerts and ts_cusum_alarms' drift
+# alarms with a DISPERSION lens).  Exactness: with N = global days in the
+# data span (zero-count days MUST count — active-days-only underestimates
+# burstiness, so N is a broadcast scalar from the corpus date range, not
+# per-user), S = Σc and Q = Σc² over the user's active days,
+#   D = ((N·Q − S²)/N²) / (S/N) = (N·Q − S²) / (N·S)
+# — one exact integer rational, emitted at 1e-6 (truncating division
+# agrees across engines; S ≥ 1 for every user present, so no zero guard).
+# Plan: day rollup (one shuffle), per-user rollup reusing the user grain,
+# one broadcast scalar — no windows, no Python.
+# ---------------------------------------------------------------------------
+
+
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    span = e.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("bigint").alias("n_days")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("c"))
+    per_user = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return per_user.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "n_active_days",
+        F.col("s").alias("n_events"),
+        F.expr("(n_days * q - s * s) * 1000000 DIV (n_days * s)").alias(
+            "dispersion_e6"
+        ),
+    )
+
+
+TS_BURSTINESS_SQL = """\
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+span AS (
+  SELECT CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days
+  FROM e),
+daily AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+pu AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_active_days,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY user_id)
+SELECT user_id, n_active_days, s AS n_events,
+       (t.n_days * q - s * s) * 1000000 // (t.n_days * s) AS dispersion_e6
+FROM pu CROSS JOIN span t"""
+
+
+register("ts_burstiness", ts_burstiness, TS_BURSTINESS_SQL)

@@ -548,6 +548,7 @@ _BNLJ_ALLOWED = {
     "rel_pareto_coverage",
     "rel_gini_spend",  # same bounded shapes as pareto: 1-row bounds crossJoin + 64×64 bucket-offset θ-join
     "ts_runs_test",  # 1-row global-median scalar crossJoin (the pareto bounds shape)
+    "ts_burstiness",  # 1-row day-span scalar crossJoin (the pareto bounds shape)
     "rel_sales_opportunity",
     "sim_brute_topk",
     "sim_mmr_topk",

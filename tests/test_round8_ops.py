@@ -398,3 +398,27 @@ def test_bom_effective_qty_equals_path_product(spark):
         assert rows[d].n_parts == len(effs)
         assert rows[d].max_eff_qty == max(effs)
         assert rows[d].mean_eff_qty == sum(effs) // len(effs)
+
+
+# ---------------------------------------------------------------------------
+# ts_burstiness: the cleared rational (N·Q − S²)/(N·S) must equal the
+# textbook VAR/MEAN over the padded day grid in exact rationals, and the
+# crossJoin scalar needs the BNLJ-lint note (1-row broadcast, pareto shape).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+)
+def test_burstiness_cleared_rational_is_exact(extra_zero_days, counts):
+    n = len(counts) + extra_zero_days  # grid includes zero-count days
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    d_e6 = (n * q - s * s) * 10**6 // (n * s)
+    grid = counts + [0] * extra_zero_days
+    mean = Fraction(s, n)
+    var = Fraction(sum((Fraction(c) - mean) ** 2 for c in grid), n)
+    d = var / mean
+    assert d_e6 == d * 10**6 - (d * 10**6) % 1  # floor; D >= 0 always
