@@ -549,6 +549,7 @@ _BNLJ_ALLOWED = {
     "rel_gini_spend",  # same bounded shapes as pareto: 1-row bounds crossJoin + 64×64 bucket-offset θ-join
     "ts_runs_test",  # 1-row global-median scalar crossJoin (the pareto bounds shape)
     "ts_burstiness",  # 1-row day-span scalar crossJoin (the pareto bounds shape)
+    "pipe_temperature_mix",  # 1-row totals scalar crossJoin (the pipe_doc_mixture shape)
     "rel_sales_opportunity",
     "sim_brute_topk",
     "sim_mmr_topk",
