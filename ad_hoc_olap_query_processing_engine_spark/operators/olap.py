@@ -792,3 +792,63 @@ FROM t"""
 
 
 register("rel_benford_check", rel_benford_check, REL_BENFORD_CHECK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_hhi_concentration — Herfindahl–Hirschman index of supplier revenue
+# concentration per nation: HHI = Σᵢ shareᵢ², the antitrust-standard
+# concentration measure (10,000·HHI > 2,500 ⇒ "highly concentrated").
+# Complements rel_gini_spend (inequality of a distribution) with the
+# market-power lens (dominance of the top firms).  Exactness: summing
+# per-term truncated shares would compound error, so the whole index is
+# ONE integer rational — HHI_e8 = (Σ rᵢ²)·10⁸ DIV (Σ rᵢ)² — with rᵢ² and
+# both products widened to DECIMAL(38,0).  Revenue is carried in 1e-4
+# units (price·(1−disc) is a scale-4 decimal, so ×10⁴ is EXACT — a ×100
+# residual-scale cast rounds in DuckDB but truncates in Spark, the
+# rel_pareto_coverage idiom).  rᵢ reaches ~10¹¹ at sf1 so rᵢ² ≈ 10²²:
+# int64-impossible, comfortable in 38 digits.  Plan: one fact pass → per
+# (nation, supplier) rollup (broadcast dim joins) → per-nation aggregate;
+# nothing after the first rollup grows with fact rows.
+# ---------------------------------------------------------------------------
+
+
+def rel_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("r_e4"))
+    )
+    return per.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r_e4").alias("total_rev_e4"),
+        F.expr(
+            "CAST(SUM(CAST(r_e4 AS DECIMAL(38,0)) * r_e4) * 100000000 "
+            "DIV (CAST(SUM(r_e4) AS DECIMAL(38,0)) * SUM(r_e4)) AS BIGINT)"
+        ).alias("hhi_e8"),
+    )
+
+
+REL_HHI_CONCENTRATION_SQL = """\
+WITH per AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              * 10000 AS BIGINT) AS r_e4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(r_e4) AS BIGINT) AS total_rev_e4,
+       CAST(SUM(CAST(r_e4 AS HUGEINT) * r_e4) * 100000000
+            // (CAST(SUM(r_e4) AS HUGEINT) * SUM(r_e4)) AS BIGINT) AS hhi_e8
+FROM per GROUP BY n_name"""
+
+
+register("rel_hhi_concentration", rel_hhi_concentration, REL_HHI_CONCENTRATION_SQL)

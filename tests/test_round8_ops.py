@@ -422,3 +422,19 @@ def test_burstiness_cleared_rational_is_exact(extra_zero_days, counts):
     var = Fraction(sum((Fraction(c) - mean) ** 2 for c in grid), n)
     d = var / mean
     assert d_e6 == d * 10**6 - (d * 10**6) % 1  # floor; D >= 0 always
+
+
+# ---------------------------------------------------------------------------
+# rel_hhi_concentration: the single-rational HHI must equal the exact
+# Σ share² in rationals (up to the final floor), and sit in (1/n, 1].
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10**11), min_size=1, max_size=30))
+def test_hhi_single_rational_matches_sum_of_squared_shares(revs):
+    tot = sum(revs)
+    hhi_e8 = sum(r * r for r in revs) * 10**8 // (tot * tot)
+    hhi = sum(Fraction(r, tot) ** 2 for r in revs)
+    assert hhi_e8 == hhi * 10**8 - (hhi * 10**8) % 1
+    assert Fraction(1, len(revs)) <= hhi <= 1
