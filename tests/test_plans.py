@@ -892,3 +892,17 @@ def test_bloom_decontaminate_filter_broadcasts(spark):
     plan = physical_plan(df)
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hhi_broadcast_dims_single_fact_scan(spark):
+    """rel_hhi_concentration joins both dims by broadcast, scans lineitem
+    once, and stays JVM — the per-nation index is computed on the
+    (nation, supplier) rollup, never the facts."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import olap
+
+    df = olap.rel_hhi_concentration(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert table_scan_count(df, "lineitem.parquet") == 1
