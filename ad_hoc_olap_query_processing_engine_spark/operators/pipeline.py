@@ -1147,3 +1147,79 @@ FROM s CROSS JOIN tot t"""
 
 
 register("pipe_temperature_mix", pipe_temperature_mix, PIPE_TEMPERATURE_MIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_dataset_checksum — ORDER-INDEPENDENT dataset fingerprint: the
+# snapshot-identity certificate a training pipeline stores beside every
+# corpus version ("is the table I trained on bit-identical to the one you
+# audited?").  Each row is canonically serialized (NULL-safe: NULLs map to
+# a reserved token, fields joined with '|' — a fingerprint contract, not a
+# parser; a crafted '|' collision is acceptable for audit purposes) and
+# md5-hashed; two independent 48-bit slices of the digest are folded with
+# BIT_XOR — commutative/associative, so the fingerprint is invariant to
+# row order, partitioning, and parallelism, and any single-row change
+# flips it with probability 1 - 2^-96.  XOR alone is blind to DUPLICATED
+# rows (x XOR x = 0), so the row count rides beside it — together they pin
+# multiset identity for practical auditing.  Reported per language plus a
+# corpus-total row (ROLLUP), so a partial re-crawl localizes to the
+# language that moved.  Map-only + one rollup aggregate: nothing grows
+# with data size past the scan.
+# ---------------------------------------------------------------------------
+
+_CK_NULL = "<NULL>"
+
+
+def pipe_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    row_ser = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit(_CK_NULL)),
+        F.coalesce(F.col("lang"), F.lit(_CK_NULL)),
+        F.coalesce(F.col("source"), F.lit(_CK_NULL)),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit(_CK_NULL)),
+    )
+    h = d.select("lang", F.md5(row_ser.cast("binary")).alias("hx")).select(
+        "lang",
+        F.conv(F.substring("hx", 1, 12), 16, 10).cast("bigint").alias("h_a"),
+        F.conv(F.substring("hx", 13, 12), 16, 10).cast("bigint").alias("h_b"),
+    )
+    return (
+        h.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h_a").alias("xor48_a"),
+            F.bit_xor("h_b").alias("xor48_b"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("__total__")).alias("scope"),
+            "n_rows",
+            "xor48_a",
+            "xor48_b",
+        )
+    )
+
+
+PIPE_DATASET_CHECKSUM_SQL = f"""\
+WITH h AS (
+  SELECT lang,
+         md5(CAST(doc_id AS VARCHAR) || '|' ||
+             COALESCE(text, '{_CK_NULL}') || '|' ||
+             COALESCE(lang, '{_CK_NULL}') || '|' ||
+             COALESCE(source, '{_CK_NULL}') || '|' ||
+             COALESCE(CAST(n_chars AS VARCHAR), '{_CK_NULL}')) AS hx
+  FROM documents),
+i AS (
+  SELECT lang,
+         ('0x' || substr(hx, 1, 12))::BIGINT  AS h_a,
+         ('0x' || substr(hx, 13, 12))::BIGINT AS h_b
+  FROM h)
+SELECT COALESCE(lang, '__total__') AS scope,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h_a) AS BIGINT) AS xor48_a,
+       CAST(bit_xor(h_b) AS BIGINT) AS xor48_b
+FROM i GROUP BY ROLLUP (lang)"""
+
+
+register("pipe_dataset_checksum", pipe_dataset_checksum, PIPE_DATASET_CHECKSUM_SQL)

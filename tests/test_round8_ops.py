@@ -438,3 +438,27 @@ def test_hhi_single_rational_matches_sum_of_squared_shares(revs):
     hhi = sum(Fraction(r, tot) ** 2 for r in revs)
     assert hhi_e8 == hhi * 10**8 - (hhi * 10**8) % 1
     assert Fraction(1, len(revs)) <= hhi <= 1
+
+
+# ---------------------------------------------------------------------------
+# pipe_dataset_checksum: the per-language fingerprints must FOLD to the
+# corpus total (XOR is associative/commutative; counts add) — the property
+# that makes the certificate mergeable across shards.
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_checksum_scopes_fold_to_total(spark):
+    from functools import reduce
+
+    from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+        pipe_dataset_checksum,
+    )
+
+    rows = pipe_dataset_checksum(spark, SF_SMALL).collect()
+    total = [r for r in rows if r.scope == "__total__"]
+    parts = [r for r in rows if r.scope != "__total__"]
+    assert len(total) == 1 and parts
+    t = total[0]
+    assert sum(p.n_rows for p in parts) == t.n_rows
+    assert reduce(lambda a, b: a ^ b, (p.xor48_a for p in parts)) == t.xor48_a
+    assert reduce(lambda a, b: a ^ b, (p.xor48_b for p in parts)) == t.xor48_b
