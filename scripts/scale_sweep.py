@@ -132,7 +132,41 @@ SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS first_node
 FROM {acc}
 GROUP BY dist"""
 
-    return {"dedup_cluster_cc": cc_sql, "graph_bfs_layers": bfs_sql}
+    # phi_q4: the driver oracle is sqlgen's deliberately NAIVE join-agg
+    # program — O(|sales|·|groups|) by construction, infeasible past sf0.01
+    # and the whole point at driver scale (it proves the optimized plan
+    # against the textbook semantics).  The scale tier instead states the
+    # FUSED complement identity the Spark WINDOW(anti) strategy uses:
+    # avg over OTHER customers of the same prod = (Σ_prod − Σ_own) /
+    # (n_prod − n_own), NULL when no other customer sold the prod.  Integer
+    # sums subtract exactly; the final double divisions of exact ints are
+    # bit-identical cross-engine.
+    from ad_hoc_olap_query_processing_engine_spark.sources.catalog import (
+        SALES_VIEW_SQL,
+    )
+
+    phi_q4_sql = f"""\
+WITH sales AS ({SALES_VIEW_SQL}),
+g AS (SELECT cust, prod,
+             CAST(SUM(quant) AS BIGINT) AS s1,
+             CAST(COUNT(quant) AS BIGINT) AS c1
+      FROM sales GROUP BY cust, prod),
+p AS (SELECT prod,
+             CAST(SUM(quant) AS BIGINT) AS sp,
+             CAST(COUNT(quant) AS BIGINT) AS cp
+      FROM sales GROUP BY prod)
+SELECT g.cust, g.prod,
+       CAST(g.s1 AS DOUBLE) / g.c1 AS avg_quant_sale,
+       CASE WHEN p.cp - g.c1 = 0 THEN NULL
+            ELSE CAST(p.sp - g.s1 AS DOUBLE) / (p.cp - g.c1) END
+         AS avg_quant_othrcustsale
+FROM g JOIN p USING (prod)"""
+
+    return {
+        "dedup_cluster_cc": cc_sql,
+        "graph_bfs_layers": bfs_sql,
+        "phi_q4": phi_q4_sql,
+    }
 
 
 def _oracle_df(con, sql: str) -> pd.DataFrame:
