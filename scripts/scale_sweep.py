@@ -362,7 +362,9 @@ def main() -> None:
             }
             print(f"{name}: MISMATCH {msg}", flush=True)
 
-    out_path = (
+    # SCALE_OUT overrides the evidence file (e.g. the sf10 exact tier writes
+    # SCALE_sf10_exact.json instead of merging sf10 rows into the sf1 file)
+    out_path = os.environ.get("SCALE_OUT") or (
         "/root/repo/SCALE_sf1_full.json" if spark_only else "/root/repo/SCALE_sf1.json"
     )
     # a targeted rerun (explicit names) MERGES into the existing sweep file
@@ -381,10 +383,10 @@ def main() -> None:
             pass
     total = round(sum(r["sec"] for r in results.values()), 1)
     out = {
-        "metric": "sf1_full_registry_spark_sec" if spark_only else "sf1_scale_sweep_sec",
+        "metric": ("full_registry_spark_sec" if spark_only else "scale_sweep_exact_sec"),
         "value": total,
         "unit": "sec",
-        "sf": 1.0,
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 1.0),
         "n_queries": len(results),
         "n_exact": sum(r["verdict"] == "exact_match" for r in results.values()),
         "n_rows_only": sum(r["verdict"] == "rows_only" for r in results.values()),
