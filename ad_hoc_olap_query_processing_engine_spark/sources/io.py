@@ -109,3 +109,33 @@ def lakehouse_available(spark: SparkSession, fmt: str = "delta") -> bool:
         # never in the Python exception type name
         msg = str(exc)
         return "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent PARTITION-LEVEL overwrite: replace only the partitions
+    present in ``df``, leaving sibling partitions untouched — the backfill
+    write path a warehouse re-runs one day/hour with (static overwrite mode
+    would clobber the WHOLE table root; append would duplicate the rerun).
+    Implemented with Spark's dynamic partitionOverwriteMode, set per-write
+    and restored, so the session default (vanilla driver sessions included)
+    is never mutated.  At 100 TB this is how late-arriving corrections land:
+    recompute one partition's rows, rewrite exactly that directory.
+    """
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf, "STATIC")
+    spark.conf.set(conf, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(conf, old)

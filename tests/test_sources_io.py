@@ -397,3 +397,42 @@ def test_parquet_compression_codec_roundtrip(spark, tmp_path):
             F.bit_xor(F.xxhash64(*sorted(back.columns))).alias("h")
         ).collect()[0].h
         assert digest == digest_src, codec
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """overwrite_partitions certifies the backfill write path: rewriting ONE
+    day's partition must replace exactly that directory — siblings keep
+    their bytes, the rerun doesn't append-duplicate, and the session's
+    overwrite mode is restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from ad_hoc_olap_query_processing_engine_spark.sources.io import (
+        overwrite_partitions,
+        write_table,
+    )
+
+    path = str(tmp_path / "events_by_day")
+    base = spark.createDataFrame(
+        [(d, i, d * 100 + i) for d in (1, 2, 3) for i in range(4)],
+        "day INT, k INT, v INT",
+    )
+    write_table(base, path, partition_by=["day"])
+
+    # recompute day 2 with DIFFERENT content (2 rows instead of 4)
+    fixed = spark.createDataFrame([(2, 0, 999), (2, 1, 998)], "day INT, k INT, v INT")
+    before_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    overwrite_partitions(spark, fixed, path, ["day"])
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        == before_mode
+    )
+
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("day") == 2).count() == 2  # replaced, not appended
+    assert sorted(
+        r.v for r in got.filter(F.col("day") == 2).collect()
+    ) == [998, 999]
+    for d in (1, 3):  # siblings untouched
+        assert sorted(r.v for r in got.filter(F.col("day") == d).collect()) == [
+            d * 100 + i for i in range(4)
+        ]
