@@ -335,23 +335,42 @@ register("rel_sales_opportunity", rel_sales_opportunity, REL_SALES_OPPORTUNITY_S
 HIER_TOP_NODES = 64
 
 
+def _run_recursive(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a recursive-CTE query under a raised cteRecursionRowLimit,
+    RESTORING the session default afterwards (the save/restore posture of
+    io.overwrite_partitions).  The walks here emit |parts| × log₂(max key)
+    rows — ~3.6e6 at sf1, over Spark's default limit of 1e6 (found by the
+    sf1 sweep: RECURSION_ROW_LIMIT_EXCEEDED).  They are DEPTH-bounded by
+    construction (node halves every level: ≤ 64 levels for any int64 key,
+    under the separate cteRecursionLevelLimit of 100), so the row limit is
+    the wrong guard for this shape — raise it to the int32 ceiling for the
+    duration of THIS query only.  Because Spark reads session confs at
+    execution (not DataFrame-build) time, the tiny aggregated result
+    (≤ 64 rows) is eagerly localCheckpoint-ed inside the raised window so
+    the returned DataFrame no longer depends on the conf and a later query
+    in the same session keeps the default recursion safety rail."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(2**31 - 1))
+    try:
+        return spark.sql(sql).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
-    # The ancestor walk emits |parts| × log₂(max key) rows — ~3.6e6 at sf1,
-    # over Spark's default cteRecursionRowLimit of 1e6 (found by the sf1
-    # sweep: RECURSION_ROW_LIMIT_EXCEEDED).  The walk is DEPTH-bounded by
-    # construction (node halves every level: ≤ 64 levels for any int64 key,
-    # under the separate cteRecursionLevelLimit of 100), so the row limit is
-    # the wrong guard for this shape — raise it to the int32 ceiling and let
-    # the level limit catch true non-termination.  Runtime-settable session
-    # conf, works on the driver's vanilla sessions.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    return spark.sql(f"""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "__hier_lineitem"
+    )
+    return _run_recursive(spark, f"""
         WITH RECURSIVE per_part AS (
           SELECT l_partkey AS pk,
                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
-          FROM lineitem GROUP BY l_partkey),
+          FROM __hier_lineitem GROUP BY l_partkey),
         anc(pk, node) AS (
           SELECT pk, pk AS node FROM per_part
           UNION ALL
@@ -411,12 +430,11 @@ register("rel_hierarchy_rollup", rel_hierarchy_rollup, REL_HIERARCHY_ROLLUP_SQL)
 
 
 def rel_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    return spark.sql("""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("__bom_part")
+    return _run_recursive(spark, """
         WITH RECURSIVE w(part, node, eff, d) AS (
           SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
-          FROM part WHERE p_partkey >= 1
+          FROM __bom_part WHERE p_partkey >= 1
           UNION ALL
           SELECT part, node DIV 2, eff * (node % 3 + 1), d + 1
           FROM w WHERE node > 1)

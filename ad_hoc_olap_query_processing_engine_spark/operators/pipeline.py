@@ -890,11 +890,14 @@ def _dp_thresholds() -> list[int]:
     import math
 
     alpha = math.exp(-1.0)  # epsilon = 1
-    # untruncated masses; fold tails onto +/-B, then normalize exactly to 1
+    # untruncated masses; fold tails onto +/-B.  tail = alpha^B/(1+alpha)
+    # IS P(X >= B) inclusive of k = B already, so the boundary gets exactly
+    # that mass (adding the k = B point mass again would double-count it);
+    # the masses then sum to 1 analytically and /total is fp-safety only.
     mass = {k: (1 - alpha) / (1 + alpha) * alpha ** abs(k)
             for k in range(-_DP_B + 1, _DP_B)}
     tail = alpha ** _DP_B / (1 + alpha)  # P(X <= -B) == P(X >= B)
-    mass[-_DP_B] = mass[_DP_B] = tail + (1 - alpha) / (1 + alpha) * alpha ** _DP_B
+    mass[-_DP_B] = mass[_DP_B] = tail
     total = sum(mass.values())
     acc, out = 0.0, []
     for k in range(-_DP_B, _DP_B + 1):
@@ -1174,7 +1177,7 @@ def pipe_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     row_ser = F.concat_ws(
         "|",
-        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("doc_id").cast("string"), F.lit(_CK_NULL)),
         F.coalesce(F.col("text"), F.lit(_CK_NULL)),
         F.coalesce(F.col("lang"), F.lit(_CK_NULL)),
         F.coalesce(F.col("source"), F.lit(_CK_NULL)),
@@ -1191,9 +1194,14 @@ def pipe_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor("h_a").alias("xor48_a"),
             F.bit_xor("h_b").alias("xor48_b"),
+            F.grouping("lang").alias("__g"),
         )
         .select(
-            F.coalesce(F.col("lang"), F.lit("__total__")).alias("scope"),
+            # GROUPING() tells the grand-total row apart from a genuine
+            # NULL-lang group (COALESCE alone would collide the two scopes)
+            F.when(F.col("__g") == 1, F.lit("__total__"))
+            .otherwise(F.coalesce(F.col("lang"), F.lit(_CK_NULL)))
+            .alias("scope"),
             "n_rows",
             "xor48_a",
             "xor48_b",
@@ -1204,7 +1212,7 @@ def pipe_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPE_DATASET_CHECKSUM_SQL = f"""\
 WITH h AS (
   SELECT lang,
-         md5(CAST(doc_id AS VARCHAR) || '|' ||
+         md5(COALESCE(CAST(doc_id AS VARCHAR), '{_CK_NULL}') || '|' ||
              COALESCE(text, '{_CK_NULL}') || '|' ||
              COALESCE(lang, '{_CK_NULL}') || '|' ||
              COALESCE(source, '{_CK_NULL}') || '|' ||
@@ -1215,7 +1223,8 @@ i AS (
          ('0x' || substr(hx, 1, 12))::BIGINT  AS h_a,
          ('0x' || substr(hx, 13, 12))::BIGINT AS h_b
   FROM h)
-SELECT COALESCE(lang, '__total__') AS scope,
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '__total__'
+            ELSE COALESCE(lang, '{_CK_NULL}') END AS scope,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(h_a) AS BIGINT) AS xor48_a,
        CAST(bit_xor(h_b) AS BIGINT) AS xor48_b

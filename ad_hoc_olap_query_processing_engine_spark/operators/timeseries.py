@@ -2080,13 +2080,17 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.expr(f"CAST({num} * 1000000 DIV {den} AS BIGINT)").alias("slope_e6"),
         F.expr(
-            f"CAST(({big.format('sy')} * {den} - {num} * sx) * 1000000 "
-            f"DIV ({big.format('n')} * {den}) AS BIGINT)"
+            f"CASE WHEN {den} = 0 THEN NULL "
+            f"ELSE CAST({num} * 1000000 DIV {den} AS BIGINT) END"
+        ).alias("slope_e6"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL "
+            f"ELSE CAST(({big.format('sy')} * {den} - {num} * sx) * 1000000 "
+            f"DIV ({big.format('n')} * {den}) AS BIGINT) END"
         ).alias("intercept_e6"),
         F.expr(
-            f"CASE WHEN {yvar} = 0 THEN NULL "
+            f"CASE WHEN {den} = 0 OR {yvar} = 0 THEN NULL "
             f"ELSE CAST({num} * {num} * 1000000 DIV ({den} * {yvar}) AS BIGINT) END"
         ).alias("r2_e6"),
     )
@@ -2108,15 +2112,19 @@ s AS (
          CAST(SUM(y * y) AS BIGINT) AS syy
   FROM daily GROUP BY event_type)
 SELECT event_type, n AS n_days,
-       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
-            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                      // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                      AS BIGINT) END
          AS slope_e6,
-       CAST((CAST(sy AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-             - (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * sx) * 1000000
-            // (CAST(n AS HUGEINT)
-                * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST((CAST(sy AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                       - (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * sx) * 1000000
+                      // (CAST(n AS HUGEINT)
+                          * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)) AS BIGINT) END
          AS intercept_e6,
-       CASE WHEN CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                 OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
             ELSE CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
                       * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
                       * 1000000

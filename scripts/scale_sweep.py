@@ -43,6 +43,19 @@ SF_DIR = os.environ["CROSSCHECK_SF_DIR"]
 ORACLE_TIMEOUT_S = int(os.environ.get("SCALE_ORACLE_TIMEOUT_S", "150"))
 
 
+def _parse_sf(sf_dir: str) -> float:
+    """Best-effort scale factor from the data dir name.  Defensive: a
+    nonconforming name (e.g. /tmp/mydata) must NOT raise at the very end
+    of a long sweep and discard completed evidence — fall back to 1.0."""
+    import re
+
+    m = re.search(r"sf([0-9]*\.?[0-9]+)", os.path.basename(sf_dir.rstrip("/")))
+    try:
+        return float(m.group(1)) if m else 1.0
+    except ValueError:  # pragma: no cover - regex already constrains this
+        return 1.0
+
+
 def scale_oracles() -> dict[str, str]:
     """sf1-feasible SCALE-TIER oracles for the iterative-graph queries whose
     driver oracles are deliberately naive and blow up at sf1 (the recursive
@@ -386,7 +399,7 @@ def main() -> None:
         "metric": ("full_registry_spark_sec" if spark_only else "scale_sweep_exact_sec"),
         "value": total,
         "unit": "sec",
-        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 1.0),
+        "sf": _parse_sf(SF_DIR),
         "n_queries": len(results),
         "n_exact": sum(r["verdict"] == "exact_match" for r in results.values()),
         "n_rows_only": sum(r["verdict"] == "rows_only" for r in results.values()),
