@@ -89,4 +89,4 @@ def test_oracle_and_queries_keys_align():
     # every oracle refers to a registered query; rows-only ops may lack one
     assert o <= q
     rows_only = q - o
-    assert rows_only <= {"embed_pca_project", "sim_ivf_kmeans"}
+    assert rows_only <= {"embed_pca_project"}

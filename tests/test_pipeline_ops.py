@@ -238,7 +238,7 @@ def test_ivf_ann_subset_of_brute(spark):
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
 
 
-def test_ivf_kmeans_library_path(spark):
+def test_ivf_kmeans_integer_lloyd(spark):
     brute = similarity.sim_brute_topk(spark, SF_SMALL).toPandas()
     ivf = similarity.sim_ivf_kmeans(spark, SF_SMALL).toPandas()
     brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.itertuples()}
@@ -247,6 +247,10 @@ def test_ivf_kmeans_library_path(spark):
     for r in ivf.itertuples():
         if (r.query_id, r.vec_id) in brute_scores:
             assert abs(brute_scores[(r.query_id, r.vec_id)] - r.score) < 1e-9
+    # learned-quantizer recall shouldn't collapse: probing IVF_PROBES of
+    # IVF_CLUSTERS cells must recover a meaningful share of brute top-k
+    hits = sum(1 for r in ivf.itertuples() if (r.query_id, r.vec_id) in brute_scores)
+    assert hits >= len(ivf) * 0.3, f"kmeans-IVF recall collapsed: {hits}/{len(ivf)}"
 
 
 def test_timebucket_gapfill_fills_gaps(spark):
@@ -766,3 +770,22 @@ def test_interval_coverage_bounds(spark):
     assert (out["n_islands"] >= 1).all() and (out["n_intervals"] >= out["n_islands"]).all()
     assert (out["covered_us"] >= out["n_islands"] * W_US).all()
     assert (out["covered_us"] <= out["n_intervals"] * W_US).all()
+
+
+def test_embed_gram_matrix_exact_vs_numpy(spark):
+    # the distributed integer Gram must equal a single-process numpy
+    # recompute exactly (int64 arithmetic end to end — no float order)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF_SMALL}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(emb.column(0).to_pylist()).astype("float64")
+    q = np.floor(x * 1000).astype("int64")
+    g = q.T @ q
+    out = similarity.embed_gram_matrix(spark, SF_SMALL).toPandas()
+    head = out[out.j == -1].set_index("i")
+    tri = out[out.j >= 0]
+    assert (head["n"] == len(q)).all()
+    assert (head["s"].sort_index().to_numpy() == q.sum(axis=0)).all()
+    for r in tri.sample(n=min(200, len(tri)), random_state=7).itertuples():
+        assert g[r.i, r.j] == r.g
