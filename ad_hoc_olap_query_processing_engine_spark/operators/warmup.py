@@ -1,0 +1,67 @@
+"""Family-index warmup for benchmarking (round-9 verdict ask #5).
+
+The engine maintains session-scoped materialized indexes shared across
+operator families (the warehouse pattern: an index is built once and many
+queries read it).  The bench harness runs queries alphabetically, so the
+FIRST consumer of each family used to be charged its family's one-time
+index build (dedup_cluster_cc carried the shingle/minhash build,
+graph_clustering_coeff the kNN-edge build, …) — totals were honest but
+per-query attribution was not.  ``warm_family_indexes`` pre-builds the
+shared indexes so per-query bench numbers measure the QUERY, with the
+build cost reported separately as the warmup phase.
+
+This is bench-harness plumbing only: the driver's correctness runs and
+real users never need it — every index builds lazily on first use.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (module, attr) builder functions; each takes (spark, sf_dir) and returns
+# the session-cached index (DataFrame builders are forced with count()).
+_BUILDERS: list[tuple[str, str]] = [
+    # dedup family: shingle postings feed MinHash/SimHash/containment;
+    # verified pairs feed LSH output, clustering and corpus filters
+    ("dedup", "shingle_postings"),
+    ("dedup", "verified_minhash_pairs"),
+    ("dedup", "pair_overlap_table"),
+    ("dedup", "capped_postings"),
+    # graph family: co-purchase and capped kNN edge tables
+    ("graph", "purchase_edges"),
+    ("graph", "knn_copurchase_edges"),
+    # ANN family: projections, IVF assignments, PQ/IVFPQ codebooks + codes
+    ("similarity", "srp_projections"),
+    ("similarity", "_ivf_assignments"),
+    ("similarity", "pq_codebook"),
+    ("similarity", "pq_codes"),
+    ("similarity", "_ivfpq_ccent"),
+    ("similarity", "_ivfpq_codebook"),
+    ("similarity", "ivfpq_codes"),
+    # text family: corpus bigram-LM fluency scores
+    ("text", "bigram_lm_scores"),
+]
+
+
+def warm_family_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Force-build every shared family index; returns {index: seconds}.
+    Failures are reported and skipped — a missing warmup only shifts cost
+    back onto the first consumer, never changes results."""
+    import importlib
+    import time
+
+    timings: dict[str, float] = {}
+    for mod_name, attr in _BUILDERS:
+        try:
+            mod = importlib.import_module(f"{__package__}.{mod_name}")
+            fn = getattr(mod, attr)
+            t0 = time.perf_counter()
+            out = fn(spark, sf_dir)
+            if isinstance(out, DataFrame):
+                out.count()
+            timings[f"{mod_name}.{attr}"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - defensive bench path
+            print(f"warmup: {mod_name}.{attr} failed: {exc}", file=sys.stderr)
+    return timings

