@@ -962,3 +962,60 @@ GROUP BY canonical_url"""
 
 
 register("dedup_url_canonical", dedup_url_canonical, DEDUP_URL_CANONICAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit_distance — the EDIT-DISTANCE verification tier on top of the
+# LSH pipeline: MinHash/Jaccard certifies SET overlap but is blind to token
+# order ("a b c ... z" and its reversal share every unigram); the curation
+# step that decides merge-vs-keep wants a sequence-aware score for the
+# (bounded) near-dup pair list.  For every verified near-dup pair, compute
+# the Levenshtein distance over the first EDIT_PREFIX characters (the cap
+# bounds the O(m·n) DP per pair no matter how long documents get) plus the
+# normalized distance in exact bps (dist·10⁴ DIV max(len_a, len_b, 1)).
+# Spark's levenshtein() and DuckDB's levenshtein() implement the identical
+# unit-cost DP, so the scores hash-match exactly.
+# Scale shape: the pair list is the session-cached verified-pairs index
+# (rows = true near-dups, never all-pairs); two doc_id-keyed joins attach
+# the prefixes; per-pair cost is capped at EDIT_PREFIX² cell updates.
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX = 200
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = verified_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    t = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("p")
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"),
+            F.expr(
+                "CAST(CAST(levenshtein(pa, pb) AS BIGINT) * 10000 "
+                "DIV GREATEST(length(pa), length(pb), 1) AS BIGINT)"
+            ).alias("dist_bps"),
+        )
+    )
+
+
+def _edit_distance_sql() -> str:
+    return f"""\
+WITH {_minhash_ctes()},
+t AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS p FROM documents)
+SELECT v.doc_a, v.doc_b,
+       CAST(levenshtein(ta.p, tb.p) AS BIGINT) AS edit_dist,
+       CAST(CAST(levenshtein(ta.p, tb.p) AS BIGINT) * 10000
+            // GREATEST(len(ta.p), len(tb.p), 1) AS BIGINT) AS dist_bps
+FROM vpairs v
+JOIN t ta ON ta.doc_id = v.doc_a
+JOIN t tb ON tb.doc_id = v.doc_b"""
+
+
+register("dedup_edit_distance", dedup_edit_distance, _edit_distance_sql())

@@ -457,3 +457,73 @@ WHERE list_sum(list_transform(range(4), j ->
 
 
 register("mm_ahash_dedup", mm_ahash_dedup, MM_AHASH_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# mm_chunk_manifest — the SHARD/CHUNK manifest for large binary payloads:
+# training loaders store multimodal blobs as fixed-size chunks (tar-shard /
+# object-store range reads) and keep a manifest of (media_id, chunk_idx,
+# offset, length, digest).  This op derives that manifest relationally:
+# chunk boundaries by pure integer arithmetic (CEIL(n_bytes / CHUNK) chunks,
+# last one ragged), content digests via md5 over each chunk's bytes (the
+# corpus payload is ASCII, so the char-level substring IS the byte slice in
+# both engines — the same ASCII contract as mm_byte_stats).  Everything is
+# JVM expressions: sequence → transform → posexplode, no Python, no shuffle;
+# rows fan out n_bytes/CHUNK per blob — the manifest's own size.
+# ---------------------------------------------------------------------------
+
+MM_CHUNK_BYTES = 64  # small so the fixture's ~100-300 byte docs multi-chunk
+
+
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+    n = F.col("meta.n_bytes")
+    n_chunks = F.ceil(n / F.lit(float(MM_CHUNK_BYTES))).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    txt = F.col("payload").cast("string")  # ASCII: chars == bytes
+    return (
+        p.select(
+            "media_id",
+            n.alias("n_bytes"),
+            n_chunks.alias("n_chunks"),
+            F.posexplode(idxs).alias("_pos", "chunk_idx"),
+            txt.alias("_txt"),
+        )
+        .select(
+            "media_id",
+            "n_chunks",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * MM_CHUNK_BYTES).cast("bigint").alias("offset"),
+            F.least(
+                F.lit(MM_CHUNK_BYTES).cast("bigint"),
+                F.col("n_bytes") - F.col("chunk_idx") * MM_CHUNK_BYTES,
+            ).alias("chunk_len"),
+            F.md5(
+                F.substring(
+                    F.col("_txt"), F.col("chunk_idx") * MM_CHUNK_BYTES + 1, MM_CHUNK_BYTES
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+MM_CHUNK_MANIFEST_SQL = f"""\
+WITH b AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         CAST(CEIL(octet_length(CAST(text AS BLOB)) / {MM_CHUNK_BYTES}.0) AS INT)
+           AS n_chunks
+  FROM documents)
+SELECT media_id, n_chunks,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {MM_CHUNK_BYTES} AS BIGINT) AS offset,
+       CAST(LEAST({MM_CHUNK_BYTES}, n_bytes - i * {MM_CHUNK_BYTES}) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(i * {MM_CHUNK_BYTES} + 1 AS INT), {MM_CHUNK_BYTES}))
+         AS chunk_md5
+FROM b, unnest(range(0, n_chunks)) AS u(i)"""
+
+
+register("mm_chunk_manifest", mm_chunk_manifest, MM_CHUNK_MANIFEST_SQL)

@@ -1232,3 +1232,66 @@ FROM i GROUP BY ROLLUP (lang)"""
 
 
 register("pipe_dataset_checksum", pipe_dataset_checksum, PIPE_DATASET_CHECKSUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe_epoch_shuffle — the data-loader's DETERMINISTIC epoch shuffle
+# (complements pipe_shard_shuffle, which assigns ONE static shard+position
+# layout: here the ORDER must change per epoch while staying reproducible —
+# multi-epoch training re-permutes the corpus every pass): each
+# training epoch reads the corpus in the order of md5('epoch'||e||':'||doc_id)
+# (a reproducible permutation per epoch, different across epochs — the
+# standard seeded-shuffle contract, expressed relationally so any worker can
+# compute its own slice without coordination).  Because the order IS the
+# hash order, a contiguous position range is exactly a hash-prefix range —
+# so the permutation is certified WITHOUT any global sort: bucket = first
+# byte of the hash (256 contiguous order slices), and per (epoch, bucket)
+# the report carries the slice size plus an order-independent BIT_XOR
+# fingerprint of doc_ids.  Identical hashes in both engines make the whole
+# report hash-exact, and disjoint epochs provably differ (different buckets
+# ↔ different membership fingerprints).  Scale shape: map-only hash + one
+# bounded aggregate (512 output rows for 2 epochs) — no sort, no window, no
+# shuffle beyond the rollup; at 100 TB a loader shards by the same hash
+# prefix and never materializes a global order.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+
+
+def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    epochs = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("epoch"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    bucketed = epochs.select(
+        "epoch",
+        "doc_id",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor("doc_id").alias("xor_doc_ids"),
+    )
+
+
+PIPE_EPOCH_SHUFFLE_SQL = f"""\
+WITH b AS (
+  SELECT e.e AS epoch, doc_id,
+         ('0x' || substr(md5('epoch' || e.e || ':' || doc_id), 1, 2))::INT AS bucket
+  FROM documents CROSS JOIN range(0, {SHUFFLE_EPOCHS}) e(e))
+SELECT CAST(epoch AS INT) AS epoch, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_ids
+FROM b GROUP BY epoch, bucket"""
+
+
+register("pipe_epoch_shuffle", pipe_epoch_shuffle, PIPE_EPOCH_SHUFFLE_SQL)

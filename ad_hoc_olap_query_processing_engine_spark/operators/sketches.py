@@ -267,3 +267,105 @@ GROUP BY 1"""
 
 
 register("func_bitmap_rollup", func_bitmap_rollup, FUNC_BITMAP_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# func_countmin_sketch — a COUNT-MIN sketch built RELATIONALLY (the same
+# derandomized-md5 discipline as pipe_bloom_decontaminate's relational Bloom
+# filter): K=4 hash rows × W=1024 buckets, position h_k(u) = 32 bits of
+# md5('cms'||k||':'||u) mod W, counts from one fan-out-K hash aggregate.
+# Because BOTH engines derive identical positions, the sketch — and every
+# estimate read from it, overcounts included — is deterministic and fully
+# hash-compared; the count-min guarantee (est ≥ true, overestimate bounded
+# by collisions) is asserted from the data in tests, not assumed.
+# Reported: the top-10 heaviest users' true counts beside their sketch
+# estimates (est = MIN over the K rows).  Scale shape: the sketch is K×W =
+# 4,096 rows REGARDLESS of corpus size (mergeable across shards by adding
+# counts — the streaming/tiered-rollup property), the build is one map-side
+# fan-out + hash aggregate, and probes join against the broadcast sketch.
+# ---------------------------------------------------------------------------
+
+CMS_K = 4
+CMS_W = 1024
+CMS_TOP = 10
+
+
+def _cms_bucket(k_col, user_col) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        k_col.cast("string"),
+                        F.lit(":"),
+                        user_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def func_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select("user_id")
+    pos = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in range(CMS_K)])).alias("k"),
+    ).select("k", _cms_bucket(F.col("k"), F.col("user_id")).alias("b"))
+    sketch = pos.groupBy("k", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "user_id",
+        "true_n",
+        F.explode(F.array(*[F.lit(k) for k in range(CMS_K)])).alias("k"),
+    ).withColumn("b", _cms_bucket(F.col("k"), F.col("user_id")))
+    est = (
+        probes.join(F.broadcast(sketch), ["k", "b"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount_n"),
+    )
+
+
+FUNC_COUNTMIN_SKETCH_SQL = f"""\
+WITH pos AS (
+  SELECT k.k AS k,
+         ('0x' || substr(md5('cms' || k.k || ':' || user_id), 1, 8))::BIGINT
+           % {CMS_W} AS b
+  FROM events CROSS JOIN range(0, {CMS_K}) k(k)),
+sketch AS (SELECT k, b, COUNT(*) AS cnt FROM pos GROUP BY k, b),
+top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+  ORDER BY true_n DESC, user_id LIMIT {CMS_TOP}),
+est AS (
+  SELECT t.user_id, t.true_n, MIN(s.cnt) AS est_n
+  FROM top t
+  CROSS JOIN range(0, {CMS_K}) k(k)
+  JOIN sketch s
+    ON s.k = k.k
+   AND s.b = ('0x' || substr(md5('cms' || k.k || ':' || t.user_id), 1, 8))::BIGINT
+              % {CMS_W}
+  GROUP BY t.user_id, t.true_n)
+SELECT user_id, true_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS overcount_n
+FROM est"""
+
+
+register("func_countmin_sketch", func_countmin_sketch, FUNC_COUNTMIN_SKETCH_SQL)

@@ -1594,3 +1594,73 @@ LIMIT {RAKE_TOP_K}"""
 
 
 register("text_rake_keywords", text_rake_keywords, _rake_sql())
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — the MEMORIZATION/NOVELTY screen: per language, how
+# much of each document's shingle set is unique to that document vs shared
+# with the rest of the corpus (a doc whose n-grams mostly appear elsewhere
+# is boilerplate/templated/memorized; training pipelines downweight or audit
+# those).  Per doc: T = distinct word-3-gram shingles, U = shingles with
+# corpus document-frequency 1.  Report per lang: corpus novelty in exact bps
+# (ΣU·10⁴ DIV ΣT) and the count of "memorized" docs (U·5 < T, i.e. novelty
+# below 20%).  All-integer arithmetic, hash-exact.
+# Scale shape: reads the session-cached shingle posting index (the dedup
+# family's maintained artifact — built once, shared), one posting-keyed
+# join for document frequencies, then doc- and lang-grain hash aggregates;
+# no windows, no all-pairs, nothing grows past the posting table.
+# ---------------------------------------------------------------------------
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_postings
+
+    sh = shingle_postings(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("u"),
+        )
+    )
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("total_shingles"),
+            F.sum("u").alias("unique_shingles"),
+            F.expr("CAST(SUM(u) * 10000 DIV SUM(t) AS BIGINT)").alias("novelty_bps"),
+            F.sum(F.when(F.col("u") * 5 < F.col("t"), 1).otherwise(0)).alias(
+                "n_memorized_docs"
+            ),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from .dedup import _SHINGLES_SQL
+
+    return f"""\
+WITH sh AS ({_SHINGLES_SQL}),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS t,
+         SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS u
+  FROM sh JOIN dfreq USING (s) GROUP BY sh.doc_id)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.t) AS BIGINT) AS total_shingles,
+       CAST(SUM(p.u) AS BIGINT) AS unique_shingles,
+       CAST(CAST(SUM(p.u) AS HUGEINT) * 10000 // SUM(p.t) AS BIGINT) AS novelty_bps,
+       CAST(SUM(CASE WHEN p.u * 5 < p.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_memorized_docs
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+
+
+register("text_ngram_novelty", text_ngram_novelty, _ngram_novelty_sql())

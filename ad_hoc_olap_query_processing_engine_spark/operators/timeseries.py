@@ -2198,3 +2198,168 @@ FROM pu CROSS JOIN span t"""
 
 
 register("ts_burstiness", ts_burstiness, TS_BURSTINESS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rel_position_attribution — U-SHAPED (position-based) multi-touch
+# attribution, the sequel to rel_attribution's first-touch rule: each
+# purchase's credit is split 40% to the first touch, 40% to the last, and
+# 20% across the middles — the standard position-based model.  All credit
+# arithmetic is EXACT integer bps: 1 touch → 10000, 2 → 5000/5000, n ≥ 3 →
+# 4000/4000 ends and the middle 2000 bps split by truncating division with
+# the remainder assigned deterministically to the EARLIEST middles (the
+# largest-remainder discipline of rel_largest_remainder_alloc), so every
+# purchase's credits sum to exactly 10000.  Attributed revenue rides the
+# exact micro-unit value (value·bps DIV 10⁴ per touch — truncation is
+# identical in both engines).
+# Scale shape: one user_id-keyed self-join bounded by the 7-day window
+# (touches per purchase are a per-user-activity constant, never corpus-
+# sized), one pid-keyed window for position ranks, one channel rollup.
+# ---------------------------------------------------------------------------
+
+
+def rel_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("vmic"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("us").alias("pus"),
+        F.col("vmic").alias("pvmic"),
+    )
+    touch = e.join(
+        p,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("us") < F.col("pus"))
+        & (F.col("us") >= F.col("pus") - ATTR_WINDOW_US),
+    ).select("pid", "pvmic", F.col("event_type").alias("channel"), "us", "event_id")
+    w = W.partitionBy("pid").orderBy("us", "event_id")
+    ranked = touch.select(
+        "pid",
+        "pvmic",
+        "channel",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("pid")).alias("n"),
+    )
+    credit = ranked.withColumn(
+        "bps",
+        F.expr(
+            "CASE WHEN n = 1 THEN 10000 "
+            "WHEN n = 2 THEN 5000 "
+            "WHEN i = 0 OR i = n - 1 THEN 4000 "
+            "ELSE 2000 DIV (n - 2) "
+            "     + CASE WHEN i - 1 < 2000 % (n - 2) THEN 1 ELSE 0 END END"
+        ),
+    )
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("bps").alias("credit_bps_total"),
+        F.expr(
+            "CAST(SUM(CAST(pvmic AS DECIMAL(38,0)) * bps DIV 10000) AS BIGINT)"
+        ).alias("attributed_micros"),
+    )
+
+
+REL_POSITION_ATTRIBUTION_SQL = f"""\
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic
+  FROM events),
+p AS (
+  SELECT event_id AS pid, user_id AS puser, us AS pus, vmic AS pvmic
+  FROM e WHERE event_type = 'purchase'),
+touch AS (
+  SELECT p.pid, p.pvmic, t.event_type AS channel, t.us, t.event_id
+  FROM p JOIN e t
+    ON t.user_id = p.puser
+   AND t.us < p.pus
+   AND t.us >= p.pus - {ATTR_WINDOW_US}),
+ranked AS (
+  SELECT pid, pvmic, channel,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY us, event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM touch),
+credit AS (
+  SELECT pid, pvmic, channel,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN i = 0 OR i = n - 1 THEN 4000
+              ELSE 2000 // (n - 2)
+                   + CASE WHEN i - 1 < 2000 % (n - 2) THEN 1 ELSE 0 END END AS bps
+  FROM ranked)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(bps) AS BIGINT) AS credit_bps_total,
+       CAST(SUM(CAST(pvmic AS HUGEINT) * bps // 10000) AS BIGINT)
+         AS attributed_micros
+FROM credit GROUP BY channel"""
+
+
+register(
+    "rel_position_attribution", rel_position_attribution, REL_POSITION_ATTRIBUTION_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# ts_lag_features — the FEATURE-STORE table a training pipeline derives from
+# raw events: per (user, active day), the day's event count plus calendar-
+# aware lag features — previous-day count (0 when the user was silent
+# yesterday: a RANGE frame over the integer day offset, NOT a ROWS lag,
+# which would silently skip gaps) and the trailing-7-calendar-day count.
+# All integers, hash-exact; day offsets from the fixture anchor keep the
+# RANGE keys small.  Scale shape: one (user, day) rollup then one
+# user-partitioned RANGE window — a single hash exchange; output grows with
+# active user-days (the feature table's own grain), never events.
+# ---------------------------------------------------------------------------
+
+
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_ANCHOR).cast("date")).alias(
+            "d"
+        ),
+    )
+    daily = e.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("user_id").orderBy("d")
+    return daily.select(
+        "user_id",
+        "d",
+        "n_events",
+        F.coalesce(
+            F.sum("n_events").over(w.rangeBetween(-1, -1)), F.lit(0)
+        ).alias("prev_day_events"),
+        F.sum("n_events").over(w.rangeBetween(-6, 0)).alias("trailing_7d_events"),
+    )
+
+
+TS_LAG_FEATURES_SQL = f"""\
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_OLS_ANCHOR}', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT user_id, d, n_events,
+       CAST(COALESCE(SUM(n_events) OVER (
+              PARTITION BY user_id ORDER BY d
+              RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS prev_day_events,
+       CAST(SUM(n_events) OVER (
+              PARTITION BY user_id ORDER BY d
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_7d_events
+FROM daily"""
+
+
+register("ts_lag_features", ts_lag_features, TS_LAG_FEATURES_SQL)
