@@ -58,6 +58,7 @@ def _evidence_order(names: list[str]) -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, tuple[int, bool]] = {}
+    latest_rows_only: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:
@@ -74,14 +75,26 @@ def _evidence_order(names: list[str]) -> list[str]:
                 and (row.get("hash_match") or row.get("err") == "no_oracle")
             )
             latest[name] = (rnd, green)
+            latest_rows_only[name] = bool(row and row.get("err") == "no_oracle")
 
     reg_idx = {n: i for i, n in enumerate(names)}
+
+    # a query whose only green evidence is a rows-only row ("no_oracle") but
+    # which NOW carries an oracle has never been hash-checked under its
+    # current contract — treat it like a new registration (tier 1) so the
+    # upgraded oracle gets driver evidence the round it lands
+    try:
+        has_oracle = set(oracle_sql())
+    except Exception:
+        has_oracle = set()
 
     def key(n: str) -> tuple[int, int, int]:
         rnd_green = latest.get(n)
         if rnd_green is None:
             return (1, 0, reg_idx[n])  # never checked
         rnd, green = rnd_green
+        if green and latest_rows_only.get(n) and n in has_oracle:
+            return (1, 0, reg_idx[n])  # oracle upgraded: needs a hash row
         return (2 if green else 0, rnd, reg_idx[n])
 
     return sorted(names, key=key)

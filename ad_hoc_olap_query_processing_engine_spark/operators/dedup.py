@@ -311,11 +311,29 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
+# Mega-bucket guard (found by the sf30 probe): a bucket of B near-identical
+# documents — boilerplate pages, mirrored sites, replicated shards — makes
+# the naive bucket self-join emit B²/2 candidate pairs (300 clones → 45k
+# pairs PER bucket; the probe's pair table hit 10⁸ rows and blew the 1 GiB
+# result ceiling).  The standard sorted-neighborhood cap bounds this: order
+# bucket members by doc_id and pair each member only with its next
+# LSH_BUCKET_WINDOW neighbors — B·W pairs, linear in bucket size.  Chain
+# pairs keep every mega-bucket CONNECTED, so dedup_cluster_cc's clusters
+# are unchanged; the emitted pair LIST for buckets larger than W+1 is
+# intentionally partial (LSH recall is < 1 by design, and the cap is far
+# above any driver/bench bucket — max observed: 4 at sf0.01, 18 at sf0.1 —
+# so small-scale outputs are bit-identical).  Mirrored in the SQL oracle.
+LSH_BUCKET_WINDOW = 32
+
+
 def minhash_pairs(sh: DataFrame) -> DataFrame:
     """Verified near-dup pairs from (persisted) shingle postings: MinHash
-    signatures → banded LSH buckets → exact-Jaccard verification of the
-    candidates only. Shared by ``dedup_minhash_lsh`` (emits the pairs) and
-    ``dedup_cluster_cc`` (unions them into duplicate clusters)."""
+    signatures → banded LSH buckets (sorted-neighborhood capped) →
+    exact-Jaccard verification of the candidates only. Shared by
+    ``dedup_minhash_lsh`` (emits the pairs), ``dedup_cluster_cc`` (unions
+    them into duplicate clusters) and ``dedup_lsh_recall_report``."""
+    from pyspark.sql import Window as W
+
     sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
     r = NUM_HASHES // BANDS
     band_keys = F.array(
@@ -326,6 +344,9 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
     )
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
+    ).withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -333,7 +354,8 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("b.rk") > F.col("a.rk"))
+            & (F.col("b.rk") <= F.col("a.rk") + LSH_BUCKET_WINDOW),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -373,10 +395,15 @@ sig AS (
   FROM hashed GROUP BY doc_id),
 bands AS (
 {band_selects}),
+rbands AS (
+  SELECT doc_id, band, key,
+         ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+  FROM bands),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+  FROM rbands a JOIN rbands b
+    ON a.band = b.band AND a.key = b.key
+   AND b.rk > a.rk AND b.rk <= a.rk + {LSH_BUCKET_WINDOW}),
 {_pair_jaccard_ctes("cand")}"""
 
 

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode funnels every task result through the driver; the 1g
+        # default is the first ceiling any multi-GB probe hits (sf30 sweep)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
     )
     for k, val in (extra_conf or {}).items():
         builder = builder.config(k, val)

@@ -73,13 +73,26 @@ def test_real_history_orders_stalest_first():
 
     here = os.path.dirname(os.path.abspath(entry.__file__))
     latest: dict[str, int] = {}
+    rows_only_latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
-        for name in json.load(open(path)):
+        for name, row in json.load(open(path)).items():
             latest[name] = rnd
-    # never-checked sorts before all green evidence
-    head_rounds = [latest.get(n, -1) for n in names[:50]]
-    tail_rounds = [latest.get(n, -1) for n in names[50:]]
+            rows_only_latest[name] = bool(row and row.get("err") == "no_oracle")
+    # never-checked sorts before all green evidence; a query whose latest
+    # row was rows-only but which now carries an oracle counts as never
+    # hash-checked under its current contract (the oracle-upgrade rule)
+    has_oracle = set(entry.oracle_sql())
+
+    def eff_round(n: str) -> int:
+        if n not in latest:
+            return -1
+        if rows_only_latest.get(n) and n in has_oracle:
+            return -1
+        return latest[n]
+
+    head_rounds = [eff_round(n) for n in names[:50]]
+    tail_rounds = [eff_round(n) for n in names[50:]]
     assert max(head_rounds) <= min(tail_rounds)
 
 
