@@ -792,3 +792,72 @@ FROM loc"""
 
 
 register("graph_clustering_coeff", graph_clustering_coeff, GRAPH_CLUSTERING_COEFF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# graph_resource_alloc — RESOURCE-ALLOCATION link prediction (Zhou/Lü/Zhang):
+# RA(p,q) = Σ_{z ∈ N(p)∩N(q)} 1/deg(z).  Common-neighbor COUNTS (above)
+# treat a 2-degree bridge and a 500-degree hub as equal evidence; RA
+# downweights hubs by each shared neighbor's degree — the standard fix, and
+# the member of the Adamic-Adar family that stays EXACT in integers
+# (1/log deg needs a transcendental; 1/deg is one truncating division per
+# shared neighbor: Σ (10⁶ DIV deg z), identical in both engines).
+# Same scale shape as graph_common_neighbors: wedge self-join on the
+# degree-capped kNN edge index (never all-pairs — the cap bounds per-node
+# fan-out), anti-join to keep non-edges, top-K by score.
+# ---------------------------------------------------------------------------
+
+RA_TOP_K = 20
+
+
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    zdeg = deg.select(F.col("a").alias("z"), F.col("deg").alias("zdeg"))
+    s1 = sym.select(F.col("b").alias("z"), F.col("a").alias("p"))
+    s2 = sym.select(F.col("b").alias("z"), F.col("a").alias("q"))
+    wedges = s1.join(s2, "z").filter(F.col("p") < F.col("q"))
+    scored = (
+        wedges.join(zdeg, "z")
+        .groupBy("p", "q")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000 DIV zdeg")).alias("ra_e6"),
+        )
+    )
+    nonedge = scored.join(
+        edges,
+        (scored.p == edges.a) & (scored.q == edges.b),
+        "left_anti",
+    )
+    return nonedge.select("p", "q", "cn", "ra_e6").orderBy(
+        F.desc("ra_e6"), F.asc("p"), F.asc("q")
+    ).limit(RA_TOP_K)
+
+
+GRAPH_RESOURCE_ALLOC_SQL = f"""\
+WITH {_KNN_EDGES_CTES},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+wedges AS (
+  SELECT s1.a AS p, s2.a AS q, s1.b AS z
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a),
+scored AS (
+  SELECT w.p, w.q,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_e6
+  FROM wedges w JOIN deg dz ON dz.a = w.z
+  GROUP BY w.p, w.q),
+nonedge AS (
+  SELECT s.p, s.q, s.cn, s.ra_e6
+  FROM scored s LEFT JOIN edges e ON e.a = s.p AND e.b = s.q
+  WHERE e.a IS NULL)
+SELECT p, q, cn, ra_e6 FROM nonedge
+ORDER BY ra_e6 DESC, p ASC, q ASC
+LIMIT {RA_TOP_K}"""
+
+
+register("graph_resource_alloc", graph_resource_alloc, GRAPH_RESOURCE_ALLOC_SQL)
