@@ -271,7 +271,26 @@ ROUND8_LATE = [
     "ts_runs_test",
     "embed_hubness_report",
 ]
-DEFAULT_SET = list(dict.fromkeys(SLOWEST + FIXED_POINT + GOLDENS + ROUND8_LATE))
+# round-9 additions + the dedup family whose sf1 outputs changed under the
+# LSH mega-bucket cap (refresh the exact evidence at the capped contract)
+ROUND9 = [
+    "sim_ivf_kmeans",
+    "embed_gram_matrix",
+    "func_countmin_sketch",
+    "pipe_epoch_shuffle",
+    "text_ngram_novelty",
+    "dedup_edit_distance",
+    "rel_position_attribution",
+    "ts_lag_features",
+    "mm_chunk_manifest",
+    "graph_resource_alloc",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall_report",
+    "pipe_corpus_filter",
+]
+DEFAULT_SET = list(
+    dict.fromkeys(SLOWEST + FIXED_POINT + GOLDENS + ROUND8_LATE + ROUND9)
+)
 
 
 def main() -> None:
