@@ -175,10 +175,35 @@ SELECT g.cust, g.prod,
          AS avg_quant_othrcustsale
 FROM g JOIN p USING (prod)"""
 
+    # pipe_corpus_filter: same materialized CC core as dedup_cluster_cc
+    # (the registered oracle's recursive walk emits Σ component² rows — the
+    # 10-clone sf1 groups push it past any budget), composed with the
+    # registered quality CTE; only the walk formulation changes.
+    from ad_hoc_olap_query_processing_engine_spark.operators.text import (
+        TEXT_QUALITY_SQL,
+    )
+
+    corpus_filter_sql = f"""\
+WITH {_minhash_ctes()},
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM vpairs),
+lab0 AS MATERIALIZED (
+  SELECT u, LEAST(u, MIN(v)) AS l FROM edges GROUP BY u),
+{cc_body},
+nonkeep AS (SELECT u AS doc_id FROM {prev} WHERE u <> l),
+q AS ({TEXT_QUALITY_SQL})
+SELECT d.doc_id, d.lang, q.n_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+WHERE q.keep AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)"""
+
     return {
         "dedup_cluster_cc": cc_sql,
         "graph_bfs_layers": bfs_sql,
         "phi_q4": phi_q4_sql,
+        "pipe_corpus_filter": corpus_filter_sql,
     }
 
 
