@@ -2491,3 +2491,78 @@ FROM deg GROUP BY in_degree"""
 
 
 register("embed_hubness_report", embed_hubness_report, EMBED_HUBNESS_REPORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# embed_cosine_calibration — the SEPARABILITY/calibration report for an
+# embedding space: over the capped eval universe (vec_id < CALIB_CAP, the
+# embed_hubness_report contract — exact all-pairs ground truth is an EVAL
+# artifact computed on a fixed slice, never the corpus), histogram every
+# pair's cosine into CALIB_BUCKETS fixed-width bins, split by whether the
+# pair shares a label.  A well-calibrated space puts same-label mass to the
+# right of cross-label mass; retrieval thresholds (sim_range_search's τ)
+# are read off exactly this table.  Cosines use the shared rounded-to-4dp
+# contract (bit-identical across engines — the rerank-tail precedent);
+# bucket = floor(round(cos,4)·10), clamped to [-10, 9].
+# ---------------------------------------------------------------------------
+
+CALIB_CAP = 200
+CALIB_BUCKETS = 10  # per unit: bucket width 0.1
+
+
+def embed_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < CALIB_CAP)
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    )
+    bucket = F.greatest(
+        F.lit(-CALIB_BUCKETS),
+        F.least(
+            F.lit(CALIB_BUCKETS - 1),
+            F.floor(cos * CALIB_BUCKETS).cast("int"),
+        ),
+    ).cast("int")
+    return (
+        pairs.select(
+            (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("same_label", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+EMBED_COSINE_CALIBRATION_SQL = f"""\
+WITH u AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < {CALIB_CAP}),
+pairs AS (
+  SELECT CAST(a.label = b.label AS INT) AS same_label,
+         ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+SELECT same_label,
+       CAST(GREATEST(-{CALIB_BUCKETS},
+                     LEAST({CALIB_BUCKETS - 1},
+                           CAST(FLOOR(cos * {CALIB_BUCKETS}) AS INT))) AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1, 2"""
+
+
+register(
+    "embed_cosine_calibration", embed_cosine_calibration, EMBED_COSINE_CALIBRATION_SQL
+)

@@ -1664,3 +1664,160 @@ GROUP BY d.lang"""
 
 
 register("text_ngram_novelty", text_ngram_novelty, _ngram_novelty_sql())
+
+
+# ---------------------------------------------------------------------------
+# pipe_tokenizer_fertility — the multilingual TOKENIZER-FAIRNESS audit:
+# fertility = BPE tokens emitted per whitespace word, reported per language
+# (and per source within language).  High-fertility languages pay more
+# compute per word and fit less text per context window — the standard
+# pre-training equity report (XLM-R, BLOOM both publish it).  Reuses the
+# trained BPE vocabulary (text_bpe_merges' inner loop) and the per-word
+# symbol counts; all ratios exact integer bps.  Scale shape: vocabulary is
+# corpus-bounded and broadcast; one explode + two hash aggregates.
+# ---------------------------------------------------------------------------
+
+
+def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur, _merges = _bpe_train(spark, sf_dir)
+    vocab = cur.select("word", F.size(F.split("spell", _BPE_SEP)).alias("n_sym"))
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 10000 DIV n_words").alias("fertility_bps"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return f"""\
+{_bpe_train_ctes()},
+vocab AS (
+  SELECT word, len(string_split(spell, '{_BPE_SEP}')) AS n_sym FROM s2),
+w AS (
+  SELECT lang, source, w AS word
+  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(n_sym) AS HUGEINT) * 10000 // COUNT(*) AS BIGINT)
+         AS fertility_bps
+FROM w JOIN vocab USING (word)
+GROUP BY lang, source"""
+
+
+register("pipe_tokenizer_fertility", pipe_tokenizer_fertility, _tokenizer_fertility_sql())
+
+
+# ---------------------------------------------------------------------------
+# text_chi2_keywords — DISTINCTIVE VOCABULARY per source: for each (source,
+# word), the χ² statistic of the 2×2 contingency (occurrences in source vs
+# elsewhere × this word vs other words), keeping the top-5 positively-
+# associated words per source — the corpus-drift / domain-signature report
+# (what vocabulary makes `source` different?).  The contingency cells
+# a,b,c,d are exact int64 counts; χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is
+# then evaluated in DOUBLE with an IDENTICAL operation order in both
+# engines (each step is correctly-rounded IEEE over the same operands —
+# the phi_q4 fused-identity precedent), rounded to 4 dp.  Words below
+# CHI2_MIN_COUNT occurrences in the source are floored out (χ² is unstable
+# on rare cells).  Scale shape: one explode → (source, word) hash rollup →
+# broadcast word totals — no windows over raw tokens, top-5 per source via
+# rank on the small aggregate.
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_COUNT = 5
+CHI2_TOP_K = 5
+
+
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a_sw"))
+    wtot = sw.groupBy("word").agg(F.sum("a_sw").alias("w_tot"))
+    stot = sw.groupBy("source").agg(F.sum("a_sw").alias("s_tot"))
+    ntot = sw.agg(F.sum("a_sw").alias("n_tot"))
+    cells = (
+        sw.join(F.broadcast(wtot), "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ntot))
+        .filter(F.col("a_sw") >= CHI2_MIN_COUNT)
+        .selectExpr(
+            "source",
+            "word",
+            "a_sw AS a",
+            "w_tot - a_sw AS b",
+            "s_tot - a_sw AS c",
+            "n_tot - w_tot - s_tot + a_sw AS d",
+            "n_tot",
+        )
+        .filter(F.expr("a * d > b * c"))  # positive association only
+    )
+    chi2 = F.expr(
+        "ROUND(CAST(n_tot AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)"
+        " * CAST(a * d - b * c AS DOUBLE)"
+        " / CAST((a + b) * (c + d) AS DOUBLE)"
+        " / CAST((a + c) * (b + d) AS DOUBLE), 4)"
+    )
+    from pyspark.sql import Window as W
+
+    ranked = cells.withColumn("chi2", chi2).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("chi2"), F.asc("word"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= CHI2_TOP_K).select(
+        "source", "rank", "word", F.col("a").alias("n_in_source"), "chi2"
+    )
+
+
+TEXT_CHI2_KEYWORDS_SQL = f"""\
+WITH w AS (
+  SELECT source, w AS word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a_sw FROM w GROUP BY 1, 2),
+wt AS (SELECT word, CAST(SUM(a_sw) AS BIGINT) AS w_tot FROM sw GROUP BY word),
+st AS (SELECT source, CAST(SUM(a_sw) AS BIGINT) AS s_tot FROM sw GROUP BY source),
+nt AS (SELECT CAST(SUM(a_sw) AS BIGINT) AS n_tot FROM sw),
+cells AS (
+  SELECT sw.source, sw.word,
+         a_sw AS a, w_tot - a_sw AS b, s_tot - a_sw AS c,
+         n_tot - w_tot - s_tot + a_sw AS d, n_tot
+  FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN nt
+  WHERE a_sw >= {CHI2_MIN_COUNT} AND a_sw * (n_tot - w_tot - s_tot + a_sw)
+        > (w_tot - a_sw) * (s_tot - a_sw)),
+scored AS (
+  SELECT source, word, a,
+         ROUND(CAST(n_tot AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE)
+               / CAST((a + b) * (c + d) AS DOUBLE)
+               / CAST((a + c) * (b + d) AS DOUBLE), 4) AS chi2
+  FROM cells),
+ranked AS (
+  SELECT source, word, a, chi2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, word ASC) AS rank
+  FROM scored)
+SELECT source, CAST(rank AS INT) AS rank, word, a AS n_in_source, chi2
+FROM ranked WHERE rank <= {CHI2_TOP_K}"""
+
+
+register("text_chi2_keywords", text_chi2_keywords, TEXT_CHI2_KEYWORDS_SQL)

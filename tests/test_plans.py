@@ -536,6 +536,7 @@ _BNLJ_ALLOWED = {
     "rel_basket_affinity",
     "embed_knn_classify",
     "embed_hubness_report",  # brute all-pairs INSIDE the deterministic HUB_CAP universe (eval op, sample-only by design)
+    "embed_cosine_calibration",  # all-pairs INSIDE the deterministic CALIB_CAP=200 universe (19,900 pairs — the hubness eval contract)
     "embed_matryoshka_eval",
     "func_timebucket",
     "phi_q7",
@@ -549,6 +550,7 @@ _BNLJ_ALLOWED = {
     "rel_gini_spend",  # same bounded shapes as pareto: 1-row bounds crossJoin + 64×64 bucket-offset θ-join
     "ts_runs_test",  # 1-row global-median scalar crossJoin (the pareto bounds shape)
     "ts_burstiness",  # 1-row day-span scalar crossJoin (the pareto bounds shape)
+    "text_chi2_keywords",  # 1-row corpus-total scalar crossJoin (the pareto bounds shape)
     "pipe_temperature_mix",  # 1-row totals scalar crossJoin (the pipe_doc_mixture shape)
     "rel_sales_opportunity",
     "sim_brute_topk",
