@@ -199,11 +199,56 @@ FROM documents d
 JOIN q ON q.doc_id = d.doc_id
 WHERE q.keep AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)"""
 
+    # graph_resource_alloc: identical formulation to the driver oracle, but
+    # with every multiply-referenced CTE AS MATERIALIZED (the kcore lesson:
+    # DuckDB INLINES referenced CTEs — `edges` appears in sym twice plus the
+    # anti-join, so the whole co-purchase self-join re-ran per reference and
+    # spilled >42 GB at sf1).
+    from ad_hoc_olap_query_processing_engine_spark.operators.graph import (
+        RA_TOP_K,
+        TRI_KNN,
+    )
+
+    resource_alloc_sql = f"""\
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT i1.pk AS a, i2.pk AS b, COUNT(*) AS cnt
+  FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+  GROUP BY 1, 2),
+nbrs AS MATERIALIZED (
+  SELECT a AS x, b AS y, cnt FROM pairs
+  UNION ALL SELECT b, a, cnt FROM pairs),
+edges AS MATERIALIZED (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, y ASC) AS rn
+        FROM nbrs)
+  WHERE rn <= {TRI_KNN}),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+wedges AS MATERIALIZED (
+  SELECT s1.a AS p, s2.a AS q, s1.b AS z
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a),
+scored AS MATERIALIZED (
+  SELECT w.p, w.q,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_e6
+  FROM wedges w JOIN deg dz ON dz.a = w.z
+  GROUP BY w.p, w.q),
+nonedge AS (
+  SELECT s.p, s.q, s.cn, s.ra_e6
+  FROM scored s LEFT JOIN edges e ON e.a = s.p AND e.b = s.q
+  WHERE e.a IS NULL)
+SELECT p, q, cn, ra_e6 FROM nonedge
+ORDER BY ra_e6 DESC, p ASC, q ASC
+LIMIT {RA_TOP_K}"""
+
     return {
         "dedup_cluster_cc": cc_sql,
         "graph_bfs_layers": bfs_sql,
         "phi_q4": phi_q4_sql,
         "pipe_corpus_filter": corpus_filter_sql,
+        "graph_resource_alloc": resource_alloc_sql,
     }
 
 
