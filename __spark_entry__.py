@@ -50,7 +50,7 @@ def _phi_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # round's new CORRECTNESS file automatically rotates the next round's head.
 
 
-def _evidence_order(names: list[str]) -> list[str]:
+def _evidence_order(names: list[str], has_oracle: set[str]) -> list[str]:
     import glob
     import json
     import os
@@ -82,11 +82,11 @@ def _evidence_order(names: list[str]) -> list[str]:
     # a query whose only green evidence is a rows-only row ("no_oracle") but
     # which NOW carries an oracle has never been hash-checked under its
     # current contract — treat it like a new registration (tier 1) so the
-    # upgraded oracle gets driver evidence the round it lands
-    try:
-        has_oracle = set(oracle_sql())
-    except Exception:
-        has_oracle = set()
+    # upgraded oracle gets driver evidence the round it lands.  The oracle
+    # key set is passed IN (not re-derived via oracle_sql()) so the ordering
+    # helpers never call back into the contract functions — the previous
+    # oracle_sql() → _prioritize → _evidence_order → oracle_sql() cycle did
+    # ~250× redundant work and terminated only on RecursionError.
 
     def key(n: str) -> tuple[int, int, int]:
         rnd_green = latest.get(n)
@@ -100,8 +100,18 @@ def _evidence_order(names: list[str]) -> list[str]:
     return sorted(names, key=key)
 
 
-def _prioritize(full: dict) -> dict:
-    return {n: full[n] for n in _evidence_order(list(full))}
+def _prioritize(full: dict, has_oracle: set[str]) -> dict:
+    return {n: full[n] for n in _evidence_order(list(full), has_oracle)}
+
+
+def _oracle_names() -> set[str]:
+    """Key set of every query that carries a DuckDB oracle (Φ goldens all
+    do; registry entries only when ``op.oracle`` is not None)."""
+    from ad_hoc_olap_query_processing_engine_spark.operators import registry
+
+    return set(all_phi_queries()) | {
+        name for name, op in registry.all_ops().items() if op.oracle is not None
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -113,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ad_hoc_olap_query_processing_engine_spark.operators import registry
 
     out.update(registry.spark_queries())
-    return _prioritize(out)
+    return _prioritize(out, _oracle_names())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -127,4 +137,5 @@ def oracle_sql() -> dict[str, str]:
     from ad_hoc_olap_query_processing_engine_spark.operators import registry
 
     out.update(registry.oracle_sqls())
-    return _prioritize(out)
+    # the dict being ordered IS the oracle set here
+    return _prioritize(out, set(out))

@@ -318,11 +318,17 @@ def _minhash_cols() -> list[Column]:
 # result ceiling).  The standard sorted-neighborhood cap bounds this: order
 # bucket members by doc_id and pair each member only with its next
 # LSH_BUCKET_WINDOW neighbors — B·W pairs, linear in bucket size.  Chain
-# pairs keep every mega-bucket CONNECTED, so dedup_cluster_cc's clusters
-# are unchanged; the emitted pair LIST for buckets larger than W+1 is
-# intentionally partial (LSH recall is < 1 by design, and the cap is far
-# above any driver/bench bucket — max observed: 4 at sf0.01, 18 at sf0.1 —
-# so small-scale outputs are bit-identical).  Mirrored in the SQL oracle.
+# pairs keep a mega-bucket connected in the CANDIDATE graph, and — for the
+# near-identical buckets the guard exists for (every adjacent pair passes
+# the Jaccard threshold) — in the verified graph too, so dedup_cluster_cc's
+# clusters match the uncapped contract there.  A bucket that is
+# LSH-collided but NOT near-identical can lose >W-apart pairs whose chain
+# links fail verification, so its clusters may differ from the uncapped
+# ideal; cross-engine parity still holds because the oracle mirrors the
+# cap.  The emitted pair LIST for buckets larger than W+1 is intentionally
+# partial (LSH recall is < 1 by design, and the cap is far above any
+# driver/bench bucket — max observed: 4 at sf0.01, 18 at sf0.1 — so
+# small-scale outputs are bit-identical).  Mirrored in the SQL oracle.
 LSH_BUCKET_WINDOW = 32
 
 

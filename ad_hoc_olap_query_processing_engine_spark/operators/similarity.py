@@ -1068,38 +1068,49 @@ def _gram_reduce(e: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _pca_fit_from_reduced(red, dim: int, n_pc: int):
+    """Driver-side tail of the PCA fit: reduced Gram rows → (mean,
+    components).  Pure function over the (i, j, g, n, s) rows _gram_reduce
+    emits, so the ENTIRE driver-side surface of embed_pca_project —
+    triangle mirroring, mean/covariance assembly, eigh, eigenvalue-desc
+    ordering, sign pinning — is pinned by the closed-form fixture test
+    (tests/test_round10_ops.py::test_pca_fit_closed_form); the distributed
+    part is oracled by embed_gram_matrix."""
+    import numpy as np
+
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for row in red:
+        if row["j"] == -1:
+            s[row["i"]] = row["s"]
+            if row["i"] == 0:
+                n = row["n"]
+        else:
+            g[row["i"], row["j"]] = row["g"]
+            g[row["j"], row["i"]] = row["g"]  # mirror the upper triangle
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:n_pc]].T  # (n_pc, dim)
+    # pin sign: the largest-|w| coordinate of each component is positive
+    for k in range(n_pc):
+        if comps[k, np.argmax(np.abs(comps[k]))] < 0:
+            comps[k] = -comps[k]
+    return mu.tolist(), comps.tolist()
+
+
 def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
     """Driver-side eigh over the reduced Gram. Returns (mean, components) as
     plain Python lists; cached per sf_dir via the shared session cache so the
     fit job runs once per session, not once per query."""
-    import numpy as np
-
     from .session_cache import session_cached
 
     def build():
         e = load_table(spark, "embeddings", sf_dir)
         dim = _peek_dim(sf_dir)
         red = _gram_reduce(e, dim).collect()
-        g = np.zeros((dim, dim))
-        s = np.zeros(dim)
-        n = 0
-        for row in red:
-            if row["j"] == -1:
-                s[row["i"]] = row["s"]
-                if row["i"] == 0:
-                    n = row["n"]
-            else:
-                g[row["i"], row["j"]] = row["g"]
-                g[row["j"], row["i"]] = row["g"]  # mirror the upper triangle
-        mu = s / n
-        cov = (g - n * np.outer(mu, mu)) / (n - 1)
-        vals, vecs = np.linalg.eigh(cov)
-        comps = vecs[:, np.argsort(vals)[::-1][:n_pc]].T  # (n_pc, dim)
-        # pin sign: the largest-|w| coordinate of each component is positive
-        for k in range(n_pc):
-            if comps[k, np.argmax(np.abs(comps[k]))] < 0:
-                comps[k] = -comps[k]
-        return mu.tolist(), comps.tolist()
+        return _pca_fit_from_reduced(red, dim, n_pc)
 
     # cached value is a (mean, components) tuple, not a DataFrame — _drop's
     # tolerant unpersist makes that safe on eviction

@@ -110,9 +110,20 @@ def _read_stream(spark: SparkSession, data_dir: str) -> DataFrame:
 
 
 def _run_to_completion(agg: DataFrame, spark: SparkSession, mode: str, name: str):
-    """Start → drain → stop; returns (result_df, progress_list)."""
+    """Start → drain → stop; returns (result_df, progress_list).
+
+    ``q.recentProgress`` is a RING buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100): with one
+    file per micro-batch, a run above ~98 files would silently drop the
+    earliest batches' progress and the input-row conservation assertion
+    would fail spuriously.  Raise the cap well above any cert's batch
+    count so the accounting sums EVERY micro-batch."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     try:
         q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     finally:
@@ -122,6 +133,11 @@ def _run_to_completion(agg: DataFrame, spark: SparkSession, mode: str, name: str
         progress = [p for p in q.recentProgress if p is not None]
     finally:
         q.stop()
+        # the retention conf is consulted on EVERY progress update, not
+        # captured at start — restore only once the query has stopped
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_prog
+        )
     return spark.table(name), progress
 
 
@@ -238,5 +254,197 @@ def stateful_volume_cert(spark: SparkSession, data_dir: str, gen: dict) -> dict:
     }
     assert n_input == gen["n_rows"], report
     assert n_diff == 0, report
+    report["verdict"] = "PASS"
+    return report
+
+
+# ---------------------------------------------------------------------------
+# stream-stream JOIN volume cert (round-9 verdict ask #2): the remaining
+# stateful corner after the session-window + applyInPandasWithState certs.
+# Two file streams — impressions (left) and clicks (right) — flow through a
+# watermarked RANGED left-outer join; the cert asserts, from the engine's
+# own progress metrics plus an exact batch recomputation:
+#   * row conservation (numInputRows across both sources == rows generated),
+#   * designed-late clicks are dropped by the watermark — and because each
+#     late click TARGETS a real unclicked impression, a drop failure would
+#     surface as a matched row where batch parity expects a null-match (the
+#     drop is asserted twice: metric AND output),
+#   * null-match emission is exact: every unclicked impression emits exactly
+#     one outer row once the watermark passes its join range — equal to the
+#     batch left-outer join over the on-time rows,
+#   * BOTH sides' state stays bounded by the watermark horizon (a few file
+#     windows), never growing with the stream length — the no-OOM property.
+# ---------------------------------------------------------------------------
+
+JOIN_SPAN_S = 3_600  # each file covers 1 h of event time
+JOIN_RANGE = "15 minutes"  # click must land within this of the impression
+JOIN_WATERMARK = "30 minutes"
+JOIN_LATE_FROM = 5  # click files >= this carry designed-late clicks
+CLICK_DELAY_MAX_S = 600  # on-time click delay: imp_ts + (imp_id % 600)
+
+
+def generate_join_stream_files(
+    left_dir: str,
+    right_dir: str,
+    n_files: int = 40,
+    imps_per_file: int = 25_000,
+    late_per_file: int = 50,
+) -> dict:
+    """Deterministic impression/click stream pair (no RNG).
+
+    Impression imp_id = i*imps_per_file + k at ts = window_i_start + k % 3600.
+    EVEN imp_ids get one on-time click at imp_ts + (imp_id % 600) — always
+    inside the 15-minute join range.  ODD imp_ids get no on-time click; for
+    click files i >= JOIN_LATE_FROM, the first `late_per_file` odd
+    impressions OF FILE i-4 get a click at imp_ts + 300 — in join range but
+    ~4 h behind the watermark, so it MUST be dropped (and its target must
+    surface as a null-match, same as batch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(left_dir, exist_ok=True)
+    os.makedirs(right_dir, exist_ok=True)
+    n_imps = n_clicks = n_late = 0
+
+    def _write(path: str, imp_ids, users, tss, file_idx: int, with_user: bool):
+        cols = {"imp_id": pa.array(imp_ids, pa.int64())}
+        if with_user:
+            cols["user_id"] = pa.array(users, pa.int64())
+        cols["ts"] = pa.array([v * 1_000_000 for v in tss], pa.timestamp("us", "UTC"))
+        pq.write_table(pa.table(cols), path)
+        os.utime(path, (BASE_EPOCH + file_idx, BASE_EPOCH + file_idx))
+
+    for i in range(n_files):
+        base = BASE_EPOCH + i * JOIN_SPAN_S
+        imp_ids, users, tss = [], [], []
+        c_ids, c_tss = [], []
+        for k in range(imps_per_file):
+            imp_id = i * imps_per_file + k
+            ts = base + (k % JOIN_SPAN_S)
+            imp_ids.append(imp_id)
+            users.append(imp_id % 1_000)
+            tss.append(ts)
+            if imp_id % 2 == 0:  # on-time click, always in join range
+                c_ids.append(imp_id)
+                c_tss.append(ts + (imp_id % CLICK_DELAY_MAX_S))
+        if i >= JOIN_LATE_FROM:
+            # late clicks target ODD (= unclicked) impressions of file i-4:
+            # in join range relative to the impression, hours behind the
+            # watermark relative to the stream
+            src = i - 4
+            added = 0
+            for k in range(imps_per_file):
+                imp_id = src * imps_per_file + k
+                if imp_id % 2 == 1:
+                    c_ids.append(imp_id)
+                    c_tss.append(BASE_EPOCH + src * JOIN_SPAN_S + (k % JOIN_SPAN_S) + 300)
+                    added += 1
+                    if added >= late_per_file:
+                        break
+            n_late += added
+        n_imps += len(imp_ids)
+        n_clicks += len(c_ids)
+        _write(os.path.join(left_dir, f"f{i:04d}.parquet"), imp_ids, users, tss, i, True)
+        _write(os.path.join(right_dir, f"f{i:04d}.parquet"), c_ids, None, c_tss, i, False)
+
+    # far-future flush on BOTH sides pushes the global (min-of-sources)
+    # watermark past every impression's join range so append mode emits all
+    # pending null-matches; markers use negative ids that match nothing
+    flush_ts = BASE_EPOCH + (n_files + 10) * JOIN_SPAN_S
+    _write(os.path.join(left_dir, f"f{n_files:04d}_flush.parquet"),
+           [-1], [-1], [flush_ts], n_files, True)
+    _write(os.path.join(right_dir, f"f{n_files:04d}_flush.parquet"),
+           [-2], None, [flush_ts], n_files, False)
+    return {
+        "n_files": n_files + 1,
+        "n_imps": n_imps + 1,
+        "n_clicks": n_clicks + 1,
+        "n_rows": n_imps + n_clicks + 2,
+        "n_late_clicks": n_late,
+    }
+
+
+def _join_select(j: DataFrame) -> DataFrame:
+    return j.select(
+        "imp_id",
+        "user_id",
+        F.col("ts").cast("long").alias("imp_ts"),
+        F.col("click_ts").cast("long").alias("click_ts"),
+    )
+
+
+def join_volume_cert(
+    spark: SparkSession, left_dir: str, right_dir: str, gen: dict
+) -> dict:
+    """Watermarked ranged left-outer stream-stream join at volume."""
+    imp = _read_stream(spark, left_dir).withWatermark("ts", JOIN_WATERMARK)
+    clk = (
+        _read_stream(spark, right_dir)
+        .withColumnRenamed("imp_id", "c_imp_id")
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", JOIN_WATERMARK)
+    )
+    cond = F.expr(
+        f"imp_id = c_imp_id AND click_ts >= ts "
+        f"AND click_ts <= ts + interval {JOIN_RANGE}"
+    )
+    j = imp.join(clk, cond, "leftOuter")
+    out, progress = _run_to_completion(_join_select(j), spark, "append", "vol_join")
+    emitted = out.filter(F.col("imp_id") >= 0).cache()
+
+    n_input = sum(int(p["numInputRows"]) for p in progress)
+    dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    peak_state = max(
+        (int(so.get("numRowsTotal", 0)) for p in progress
+         for so in p.get("stateOperators", [])),
+        default=0,
+    )
+
+    # exact parity: batch left-outer join over the ON-TIME rows (even
+    # imp_ids are the only on-time clicks, by construction)
+    bimp = spark.read.parquet(left_dir).filter(F.col("imp_id") >= 0)
+    bclk = (
+        spark.read.parquet(right_dir)
+        .filter((F.col("imp_id") >= 0) & (F.col("imp_id") % 2 == 0))
+        .withColumnRenamed("imp_id", "c_imp_id")
+        .withColumnRenamed("ts", "click_ts")
+    )
+    expected = _join_select(bimp.join(bclk, cond, "leftOuter"))
+
+    n_expected = expected.count()
+    n_got = emitted.count()
+    n_diff = emitted.exceptAll(expected).count() + expected.exceptAll(emitted).count()
+    n_null_match = emitted.filter(F.col("click_ts").isNull()).count()
+    n_odd = (gen["n_imps"] - 1 + 1) // 2  # odd imp_ids among real impressions
+    emitted.unpersist()
+
+    report = {
+        "query": "stream-stream ranged left-outer join append",
+        "rows_generated": gen["n_rows"],
+        "rows_input": n_input,
+        "late_clicks_designed": gen["n_late_clicks"],
+        "rows_dropped_by_watermark": dropped,
+        "rows_expected": n_expected,
+        "rows_emitted": n_got,
+        "rows_diff": n_diff,
+        "null_matches_emitted": n_null_match,
+        "null_matches_expected": n_odd,
+        "peak_state_rows": peak_state,
+        "n_batches": len(progress),
+    }
+    assert n_input == gen["n_rows"], report
+    assert dropped == gen["n_late_clicks"], report
+    assert n_diff == 0 and n_got == n_expected, report
+    # every odd impression must emit exactly one null-match outer row — a
+    # late click that survived the watermark would break this AND n_diff
+    assert n_null_match == n_odd, report
+    # two-sided state bounded by the watermark horizon: ~2 h of impressions
+    # + clicks in flight (plus flush/late slack), never the full stream
+    per_window = gen["n_imps"] // max(1, gen["n_files"] - 1)
+    assert peak_state < 5 * per_window + 10_000, report
     report["verdict"] = "PASS"
     return report

@@ -41,12 +41,31 @@ def main() -> None:
         t0 = time.time()
         stateful = vc.stateful_volume_cert(spark, data_dir, gen)
         t_state = round(time.time() - t0, 1)
+        # stream-stream ranged left-outer join (round-9 verdict ask #2):
+        # sized so the join pass alone streams ~1.5M rows
+        left = tempfile.mkdtemp(prefix="stream_join_l_")
+        right = tempfile.mkdtemp(prefix="stream_join_r_")
+        try:
+            t0 = time.time()
+            jgen = vc.generate_join_stream_files(
+                left, right, n_files=n_files, imps_per_file=25_000
+            )
+            t_jgen = round(time.time() - t0, 1)
+            t0 = time.time()
+            join = vc.join_volume_cert(spark, left, right, jgen)
+            t_join = round(time.time() - t0, 1)
+        finally:
+            shutil.rmtree(left, ignore_errors=True)
+            shutil.rmtree(right, ignore_errors=True)
         out = {
             "metric": "stream_volume_cert",
             "generated": gen,
             "gen_sec": t_gen,
             "session_cert": {**session, "sec": t_sess},
             "stateful_cert": {**stateful, "sec": t_state},
+            "join_generated": jgen,
+            "join_gen_sec": t_jgen,
+            "join_cert": {**join, "sec": t_join},
         }
         # the repo root is one level up from scripts/
         path = os.path.join(

@@ -44,7 +44,10 @@ def test_evidence_order_policy(tmp_path, monkeypatch):
         "rows_only",
         "was_red_then_green",
     ]
-    got = entry._evidence_order(names)
+    # no query in this synthetic fixture carries an oracle — rows_only must
+    # NOT be promoted to tier 1 (that promotion is exercised below with a
+    # non-empty oracle set)
+    got = entry._evidence_order(names, has_oracle=set())
     assert got == [
         # tier 0: latest row red
         "latest_red",
@@ -57,6 +60,33 @@ def test_evidence_order_policy(tmp_path, monkeypatch):
         "rows_only",
         "was_red_then_green",
     ]
+
+    # oracle-upgrade rule: a green rows-only row whose query NOW carries an
+    # oracle has never been hash-checked under its current contract — it is
+    # promoted to tier 1 (never-checked)
+    got_up = entry._evidence_order(names, has_oracle={"rows_only"})
+    assert got_up.index("rows_only") < got_up.index("old_green")
+    assert got_up[0] == "latest_red"  # red still outranks the promotion
+
+
+def test_evidence_order_no_contract_recursion(monkeypatch):
+    """_evidence_order must never call back into queries()/oracle_sql() —
+    the r9 cycle did ~250× redundant work and was stack-depth dependent
+    (ADVICE r9, medium)."""
+    import sys
+
+    def boom(*a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("ordering helper called a contract function")
+
+    monkeypatch.setattr(entry, "queries", boom)
+    monkeypatch.setattr(entry, "oracle_sql", boom)
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(60)
+    try:
+        out = entry._evidence_order(["a", "b"], has_oracle={"a"})
+    finally:
+        sys.setrecursionlimit(limit)
+    assert sorted(out) == ["a", "b"]
 
 
 def test_real_history_orders_stalest_first():

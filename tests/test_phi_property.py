@@ -331,3 +331,107 @@ def test_property_suite_exercised_every_strategy():
         "group_join+gcond",
         "join",
     }, _SEEN_STRATEGIES
+
+
+# ---------------------------------------------------------------------------
+# round-10 verdict ask #7: multi-GV specs that mix ALL FIVE compilation
+# strategies in ONE query (phi_q10-style composition) under random σ/θ and
+# HAVING.  The strategy classifier is the one piece of custom planner logic
+# where a silent misclassification would produce a wrong-but-plausible
+# answer; single-strategy examples can't catch cross-strategy interaction
+# bugs (shared scan-0 fusion, group-table reuse, staged JOIN_AGG ordering,
+# the single-fact-scan guarantee under mixed plans).
+# ---------------------------------------------------------------------------
+
+_SEEN_COMPOSED: set[frozenset] = set()
+
+
+@st.composite
+def phi_composed_specs(draw) -> str:
+    """One query, five GVs — one forced into each strategy family:
+    same→COND_AGG, θ(month)→WINDOW, pinned rowcond→FACT_WINDOW,
+    two-θ/g0-θ→GROUP_JOIN, dep→staged JOIN_AGG.  The first four appear in
+    random order; the dependent GV is last (it references an earlier one)."""
+    v = ["year", "month"]
+    g0 = ["min_day", draw(st.sampled_from(["avg_quant", "sum_quant", "max_quant"]))]
+    kinds = ["same", "theta", "pinned_rowcond", draw(st.sampled_from(["two_theta", "g0_theta"]))]
+    kinds = draw(st.permutations(kinds)) + ["dep"]
+    gv_names, slots = [], []
+    for i, kind in enumerate(kinds, start=1):
+        fn = draw(st.sampled_from(FNS))
+        name = f"{fn}_quant_{i}"
+        if kind == "same":
+            conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+        elif kind == "theta":
+            op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds = [f"{{MF.year.{name}}}[=]{{year}}",
+                     f"{{MF.month.{name}}}[{op}]{{month}}"]
+        elif kind == "pinned_rowcond":
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+            conds.append(f"{{MF.{g0[0]}.{name}}}[{op}]{{quant}}")
+        elif kind == "two_theta":
+            op1 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            op2 = draw(st.sampled_from(["<", "<=", ">", ">="]))
+            conds = [f"{{MF.year.{name}}}[{op1}]{{year}}",
+                     f"{{MF.month.{name}}}[{op2}]{{month}}"]
+        elif kind == "g0_theta":
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            conds = [f"{{MF.year.{name}}}[=]{{year}}",
+                     f"{{MF.{g0[0]}.{name}}}[{op}]{{month}}"]
+        else:  # dep: reference an EARLIER GV's aggregate → staged JOIN_AGG
+            prev = gv_names[draw(st.integers(0, len(gv_names) - 1))]
+            conds = [f"{{MF.{g}.{name}}}[=]{{{g}}}" for g in v]
+            conds.append(f"{{MF.{prev}.{name}}}[{draw(st.sampled_from(['<', '>=']))}]{{quant}}")
+        if draw(st.booleans()):  # random σ on top of every shape
+            if draw(st.booleans()):
+                conds.append(f"{{state}}[=]{{{draw(st.sampled_from(STATES))}}}")
+            else:
+                conds.append(f"{{quant}}[>]{{{draw(st.integers(-10, 40))}}}")
+        gv_names.append(name)
+        slots.append(":".join(conds))
+    select = v + g0 + gv_names
+    lines = [",".join(select), "5", ",".join(v), ",".join(gv_names)]
+    if draw(st.booleans()):  # random WHERE
+        slots.append(f"{{year}}[==]{{{draw(st.sampled_from([1996, 1997]))}}}")
+    lines.append(",".join(slots))
+    if draw(st.booleans()):  # random flat HAVING over any GV/g0 field
+        terms = [
+            f"{{MF.{draw(st.sampled_from(gv_names + g0))},{draw(st.sampled_from(['>', '<', '>=']))},{draw(st.integers(0, 30))}}}"
+            for _ in range(draw(st.integers(1, 3)))
+        ]
+        line = terms[0]
+        for t in terms[1:]:
+            line += f" {draw(st.sampled_from(['[&&]', '[||]']))} {t}"
+        lines.append(line)
+    return "\n".join(lines)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=phi_composed_specs())
+def test_composed_strategies_match_oracle(spec, prop_ctx):
+    sdf, con = prop_ctx
+    q = parse_query(spec.splitlines(), known_cols=COLS)
+    g0_names = frozenset(a.name for a in q.group0)
+    strategies = frozenset(
+        classify_gv(gv, q.group_attrs, dict(sdf.dtypes), g0_names).strategy
+        for gv in q.gvs
+    )
+    # the generator FORCES one GV per family — a classifier drift that
+    # collapses two families shows up here before it can mis-plan
+    assert strategies == {
+        "cond_agg", "window", "fact_window", "group_join", "join",
+    }, strategies
+    _SEEN_COMPOSED.add(strategies)
+    got = compile_phi(q, sdf).toPandas()
+    exp = con.sql(phi_to_sql(q, relation_name="sales_fixture")).fetchdf()
+    assert_frames_match(got, exp)
+
+
+def test_composed_suite_ran():
+    assert _SEEN_COMPOSED, "composed-strategy suite generated no examples"

@@ -157,3 +157,21 @@ def test_chunk_manifest_conserves_bytes(spark):
     got_chunks = (out.groupby("media_id")["chunk_idx"].max() + 1).astype("int64")
     declared = out.groupby("media_id")["n_chunks"].first().astype("int64")
     assert (got_chunks == declared).all()
+
+
+def test_multimodal_ascii_contract(spark):
+    """The multimodal tier's byte ops (mm_byte_stats, mm_chunk_manifest,
+    mm_sig_* …) slice with CHARACTER functions (substring/substr) but size
+    with BYTE functions (octet_length) — identical in both engines ONLY if
+    the corpus is ASCII (1 char == 1 byte).  A non-ASCII document would make
+    both engines wrong THE SAME WAY, so the driver hash check cannot catch
+    it; this test pins the contract explicitly at every local SF dir."""
+    from .conftest import SF_ORACLE
+
+    for sf_dir in (SF_SMALL, SF_ORACLE, "/root/testdata/sf0.1"):
+        bad = (
+            load_table(spark, "documents", sf_dir)
+            .filter(F.octet_length("text") != F.length("text"))
+            .count()
+        )
+        assert bad == 0, f"non-ASCII documents at {sf_dir}: {bad}"

@@ -29,3 +29,24 @@ def test_stream_volume_cert_small(spark):
         assert stateful["users_diff"] == 0
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def test_stream_stream_join_volume_cert_small(spark):
+    left = tempfile.mkdtemp(prefix="stream_join_l_")
+    right = tempfile.mkdtemp(prefix="stream_join_r_")
+    try:
+        gen = vc.generate_join_stream_files(
+            left, right, n_files=8, imps_per_file=600, late_per_file=20
+        )
+        report = vc.join_volume_cert(spark, left, right, gen)
+        # re-pin the headline properties so a weakened cert can't pass
+        assert report["verdict"] == "PASS"
+        assert report["rows_input"] == gen["n_rows"]
+        assert report["rows_dropped_by_watermark"] == gen["n_late_clicks"] > 0
+        assert report["rows_diff"] == 0
+        assert report["null_matches_emitted"] == report["null_matches_expected"] > 0
+        # two-sided state must be a fraction of the rows streamed
+        assert report["peak_state_rows"] < gen["n_rows"] // 2
+    finally:
+        shutil.rmtree(left, ignore_errors=True)
+        shutil.rmtree(right, ignore_errors=True)
