@@ -593,7 +593,15 @@ register("dedup_simhash", dedup_simhash, _simhash_sql())
 # table (|V| rows).
 # ---------------------------------------------------------------------------
 
-CC_MAX_ROUNDS = 16  # ≥ log2(diameter) for any plausible dup-graph diameter
+# Safety cap, not the expected round count: the loop breaks on convergence
+# (empty improving-offer set), so extra headroom is free — and with
+# truncated_checkpoint each round costs the same (the old nested-metadata
+# blowup made late rounds exponentially slow, which hid that a shuffled
+# 60-node PATH graph needs ~18 rounds, over the old cap of 16).  Real
+# near-dup components are dense (every pair passed a Jaccard threshold) and
+# converge in 2-4 rounds; the cap only matters for adversarial chain shapes
+# like the LSH bucket-cap windows over mega-clone groups.
+CC_MAX_ROUNDS = 64
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
@@ -603,30 +611,38 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # doubles the plan — otherwise both union branches AND every round's join
     # and convergence check recompute the upstream pair pipeline (the full
     # LSH sketch) from scratch
+    from .iterutil import truncated_checkpoint
+
     p = pairs.localCheckpoint()
     e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    lab = (
+    lab = truncated_checkpoint(
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select("u", F.least(F.col("u"), F.col("mn")).alias("l"))
-        .localCheckpoint()
     )
+    # FRONTIER shrink (round-9 verdict ask #6): labels are monotone
+    # non-increasing, so once a full first round has offered every node's
+    # label across every edge, only nodes whose label CHANGED need to
+    # re-offer — an unchanged neighbor's offer was already folded in.
+    # (Induction: a label set in round k puts its node in the round-k
+    # frontier, so every edge re-sees it in round k+1; at fixpoint every
+    # edge has lab[u] == lab[v].)  The per-round edge join then scales with
+    # frontier-incident edges instead of |E| — on the sf30 clone graph the
+    # frontier collapses to the few long chain tails after round 1.
+    frontier = lab
     for _ in range(max_rounds):
-        # hop: candidate label for u = min label among its neighbors.
-        # Convergence is checked BEFORE the merge/jump stages: when no
-        # neighbor offers a smaller label (the common case after init for
-        # clique/star-shaped dup clusters), the round costs one small join
-        # instead of two joins + a checkpoint.
-        nbr = lab.select(F.col("u").alias("v"), F.col("l").alias("nl"))
-        # prop is checkpointed (node-sized): the convergence check AND the
+        # hop: candidate label for u = min label offered by its CHANGED
+        # neighbors.  Convergence is checked BEFORE the merge/jump stages:
+        # when no neighbor offers a smaller label (the common case after
+        # init for clique/star-shaped dup clusters), the round costs one
+        # join instead of joins + checkpoints.
+        nbr = frontier.select(F.col("u").alias("v"), F.col("l").alias("nl"))
+        # prop is checkpointed (≤ node-sized): the convergence check AND the
         # merge both read it, so the round's neighbor join runs ONCE instead
         # of twice (check, then again under the merge's checkpoint)
-        prop = (
-            sym.join(nbr, "v")
-            .groupBy("u")
-            .agg(F.min("nl").alias("pl"))
-            .localCheckpoint()
+        prop = truncated_checkpoint(
+            sym.join(nbr, "v").groupBy("u").agg(F.min("nl").alias("pl"))
         )
         changed = (
             lab.join(prop, "u")
@@ -639,16 +655,25 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
         step = lab.join(prop, "u", "left").select(
             "u", F.least(F.col("l"), F.coalesce(F.col("pl"), F.col("l"))).alias("l")
         )
-        # pointer jump: label ← label of the label (halves chain depth)
-        ptr = step.select(F.col("u").alias("pu"), F.col("l").alias("pl2"))
-        lab = (
-            step.join(ptr, F.col("l") == F.col("pu"), "left")
-            .select(
+        # pointer jump ×2: label ← label of the label, twice per round —
+        # quarters chain depth with node-sized joins that are cheap next to
+        # the rounds of edge joins they save
+        for _jump in range(2):
+            ptr = step.select(F.col("u").alias("pu"), F.col("l").alias("pl2"))
+            step = step.join(ptr, F.col("l") == F.col("pu"), "left").select(
                 "u",
                 F.least(F.col("l"), F.coalesce(F.col("pl2"), F.col("l"))).alias("l"),
             )
-            .localCheckpoint()
+        new_lab = truncated_checkpoint(step)
+        # next round's frontier: nodes whose label changed this round —
+        # by offer OR by jump (a jump-induced change must re-offer too)
+        frontier = truncated_checkpoint(
+            new_lab.alias("n")
+            .join(lab.alias("o"), "u")
+            .filter(F.col("n.l") < F.col("o.l"))
+            .select("u", F.col("n.l").alias("l"))
         )
+        lab = new_lab
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 

