@@ -150,27 +150,58 @@ SELECT doc_a, doc_b, jaccard FROM vpairs"""
 def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs only (never the full pair space).
 
-    Set-array formulation: each doc's (already-distinct) shingles collect
-    into ONE array row, candidates join the two array columns, and the
-    intersection is row-local ``array_intersect`` (hash-set, O(|a|+|b|) per
-    pair). Versus re-joining the exploded posting rows per candidate — which
-    shuffles |candidates| × |avg shingles| rows — this moves only |docs|
-    array rows (payload bounded by document length) and |candidates| pairs;
-    the groupBy is exchange-free when ``sh`` is doc_id-partitioned
-    (shingle_postings persists that way)."""
-    sets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("__ss"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__ss").alias("__sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__ss").alias("__sb"))
+    Verification is run ONCE PER DISTINCT SET-FINGERPRINT PAIR, not once
+    per candidate pair (the canonicalize-then-verify shape of a production
+    dedup stage).  Each doc's (already-distinct) shingles collect into one
+    sorted array whose md5 over the joined elements is the SET FINGERPRINT
+    — equal sets, equal fingerprint.  Candidate pairs then carry only the
+    two 32-byte fingerprints through the pair shuffles; the array payloads
+    join only on the (≤ |distinct sets|) fingerprint-pair table, and the
+    verdict joins back to pairs by fingerprint keys.
+
+    Why: the previous formulation joined the array columns directly onto
+    every candidate row, so the inter-join shuffle carried
+    |candidates| × |avg set payload| bytes — the sf100 probe (5M docs as
+    1000-clone groups, 160M windowed candidates × ~1.5 KB arrays ≈ 240 GB
+    of shuffle) died on disk.  With fingerprint canonicalization the array
+    shuffle is bounded by DISTINCT sets (sf100: the same ~5k sets as
+    sf0.1), pair shuffles carry 64 B of keys per row, and on an all-unique
+    corpus it degrades gracefully to exactly the old volume.  Values are
+    unchanged: identical sets have identical Jaccard, so per-class
+    verification returns the same number the per-pair verification did,
+    and the DuckDB oracle keeps its independent per-pair form.  Both sets
+    joins are MERGE-hinted: they are corpus-sized, so Catalyst's static
+    post-aggregate "small" estimate must not pick broadcast (died at sf100
+    with "Not enough memory to build and broadcast"), and a shuffled-hash
+    build must not hold a partition of deserialized rows as one in-memory
+    map (single-task OOM once AQE coalesced the fat fingerprint rows into
+    64 MB-serialized partitions).  Sort-merge spills gracefully at every
+    scale; the sort keys are 32-byte digests."""
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("__ss")
+    ).withColumn("__fp", F.md5(F.concat_ws("\x1f", F.col("__ss")).cast("binary")))
+    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
+    fb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
+    keyed = cand.join(fa.hint("merge"), "doc_a").join(fb.hint("merge"), "doc_b")
+    reps = sets.select("__fp", "__ss").dropDuplicates(["__fp"])
+    fpairs = keyed.select("__fa", "__fb").distinct()
     c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     jac = F.col("__c") / (F.size("__sa") + F.size("__sb") - F.col("__c"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    verdicts = (
+        fpairs.join(
+            reps.select(F.col("__fp").alias("__fa"), F.col("__ss").alias("__sa")),
+            "__fa",
+        )
+        .join(
+            reps.select(F.col("__fp").alias("__fb"), F.col("__ss").alias("__sb")),
+            "__fb",
+        )
         .withColumn("__c", c)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("__fa", "__fb", "jaccard")
     )
+    return keyed.join(verdicts, ["__fa", "__fb"]).select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -615,7 +646,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
 
     p = pairs.localCheckpoint()
     e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # sym is read by EVERY round's neighbor join on v — persist it
+    # pre-partitioned on the join key so rounds shuffle only the (small,
+    # frontier-sized) label side instead of re-exchanging the full edge
+    # list per round.  At sf100 (320M symmetric edges) the per-round edge
+    # shuffle was the disk-spill driver (ENOSPC, found by the probe); here
+    # it becomes a one-time build cost.
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .persist()
+    )
     lab = truncated_checkpoint(
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
@@ -674,6 +715,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
             .select("u", F.col("n.l").alias("l"))
         )
         lab = new_lab
+    sym.unpersist()  # labels are checkpointed; the edge cache served only the loop
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 

@@ -25,7 +25,14 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # parallelism-sized at bench scale; the sfN probes override via env
+        # (the cluster-realistic knob — at sf100 the 28-partition default
+        # left per-task shuffled-hash maps and aggregate buffers too big
+        # for one task's memory slice: single-task OOM, found by the probe)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8))),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
