@@ -169,31 +169,46 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     corpus it degrades gracefully to exactly the old volume.  Values are
     unchanged: identical sets have identical Jaccard, so per-class
     verification returns the same number the per-pair verification did,
-    and the DuckDB oracle keeps its independent per-pair form.  Both sets
-    joins are MERGE-hinted: they are corpus-sized, so Catalyst's static
-    post-aggregate "small" estimate must not pick broadcast (died at sf100
-    with "Not enough memory to build and broadcast"), and a shuffled-hash
-    build must not hold a partition of deserialized rows as one in-memory
-    map (single-task OOM once AQE coalesced the fat fingerprint rows into
-    64 MB-serialized partitions).  Sort-merge spills gracefully at every
-    scale; the sort keys are 32-byte digests."""
+    and the DuckDB oracle keeps its independent per-pair form.
+
+    Join-strategy pins (each earned by an sf100 failure): the narrow
+    (doc_id, fingerprint) sides are SHUFFLE_HASH — 56-byte rows build
+    ~MB-sized per-partition maps and the 149M-row pair table streams
+    through without the two full sorts a merge join would pay (Catalyst's
+    static post-aggregate "small" estimate must not pick broadcast: 5M-doc
+    build side died with "Not enough memory to build and broadcast").  The
+    ARRAY-carrying representative rows never touch a pair-sized shuffle:
+    representatives are chosen as min-doc_id per fingerprint on the narrow
+    table, arrays attach via one doc_id join off the (doc_id-partitioned)
+    sets aggregate, and the verdict join is MERGE-hinted — spillable, and
+    bounded by |distinct fingerprint classes|, not |pairs|."""
     sets = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("__ss")
     ).withColumn("__fp", F.md5(F.concat_ws("\x1f", F.col("__ss")).cast("binary")))
-    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
-    fb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
-    keyed = cand.join(fa.hint("merge"), "doc_a").join(fb.hint("merge"), "doc_b")
-    reps = sets.select("__fp", "__ss").dropDuplicates(["__fp"])
+    fps = sets.select("doc_id", "__fp")  # narrow: no array payload
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
+    keyed = cand.join(fa.hint("shuffle_hash"), "doc_a").join(
+        fb.hint("shuffle_hash"), "doc_b"
+    )
+    rep_ids = fps.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    reps = sets.join(rep_ids.select("doc_id").hint("shuffle_hash"), "doc_id").select(
+        "__fp", "__ss"
+    )
     fpairs = keyed.select("__fa", "__fb").distinct()
     c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     jac = F.col("__c") / (F.size("__sa") + F.size("__sb") - F.col("__c"))
     verdicts = (
         fpairs.join(
-            reps.select(F.col("__fp").alias("__fa"), F.col("__ss").alias("__sa")),
+            reps.select(F.col("__fp").alias("__fa"), F.col("__ss").alias("__sa")).hint(
+                "merge"
+            ),
             "__fa",
         )
         .join(
-            reps.select(F.col("__fp").alias("__fb"), F.col("__ss").alias("__sb")),
+            reps.select(F.col("__fp").alias("__fb"), F.col("__ss").alias("__sb")).hint(
+                "merge"
+            ),
             "__fb",
         )
         .withColumn("__c", c)
@@ -379,13 +394,33 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
-    ).withColumn(
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    # BUCKET-CLASS dedup before the window join (sf100 probe finding): two
+    # buckets with the same member set emit the SAME windowed pairs (rk
+    # orders by doc_id, so ordering — hence pairing — is a function of
+    # membership alone), and on clone-heavy corpora all 8 bands bucket
+    # identically, so the naive per-band window join shuffles its pair
+    # multiset 8× into the DISTINCT (1.28B pre-distinct rows at sf100 —
+    # the disk-spill driver).  Grouping buckets by a membership digest and
+    # windowing ONE representative per class leaves the DISTINCT result
+    # bit-identical (each class keeps ≥1 representative; duplicates add
+    # nothing) while cutting the heavy join to |distinct bucket classes|.
+    # All-unique corpora degrade gracefully: every bucket is its own class
+    # and the only cost is one extra aggregate over the bands table.  The
+    # oracle keeps the naive all-bands form — same DISTINCT pairs.
+    bucket_cls = bands.groupBy("band", "key").agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            ).cast("binary")
+        ).alias("__bh")
+    )
+    reps = bucket_cls.dropDuplicates(["__bh"]).select("band", "key")
+    rbands = bands.join(reps, ["band", "key"]).withColumn(
         "rk",
         F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = rbands.alias("a"), rbands.alias("b")
     cand = (
         a.join(
             b,
@@ -642,9 +677,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # doubles the plan — otherwise both union branches AND every round's join
     # and convergence check recompute the upstream pair pipeline (the full
     # LSH sketch) from scratch
-    from .iterutil import truncated_checkpoint
+    from .iterutil import reclaim_shuffles, truncated_checkpoint
 
     p = pairs.localCheckpoint()
+    # the (possibly huge) pair-building pipeline is now materialized; its
+    # shuffle files are dead weight for the whole iteration — reclaim them
+    reclaim_shuffles(p)
     e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     # sym is read by EVERY round's neighbor join on v — persist it
     # pre-partitioned on the join key so rounds shuffle only the (small,
@@ -715,6 +753,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
             .select("u", F.col("n.l").alias("l"))
         )
         lab = new_lab
+        reclaim_shuffles(lab)  # each round's finished shuffles are garbage
     sym.unpersist()  # labels are checkpointed; the edge cache served only the loop
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
 

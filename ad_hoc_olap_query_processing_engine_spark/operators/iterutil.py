@@ -27,6 +27,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def reclaim_shuffles(df: DataFrame) -> None:
+    """Nudge the JVM so Spark's ContextCleaner reclaims shuffle files whose
+    RDDs are no longer referenced.  Long iterative jobs otherwise carry
+    EVERY upstream stage's shuffle files to job end, because a 48g heap
+    that is barely used never runs a full GC and the cleaner is driven by
+    weak references: at the sf100 probe the dead LSH-pipeline shuffles
+    (~35 GB) starved the CC rounds of local scratch (ENOSPC).  On cluster
+    NVMe this is latency-neutral housekeeping; on bounded scratch it is
+    the difference between fitting and failing.
+
+    Order matters: Py4J pins a JVM-side strong reference for every object
+    handle Python still holds, and those are released by PYTHON
+    finalizers — so collect Python first, then ask the JVM to GC (which
+    lets the weak-reference-driven ContextCleaner enqueue the dead
+    shuffles/RDDs for deletion)."""
+    import gc
+
+    gc.collect()
+    try:
+        df.sparkSession.sparkContext._jvm.System.gc()  # noqa: SLF001
+    except Exception:  # pragma: no cover - cleanup is best-effort
+        pass
+
+
 def truncated_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint + strip captured plan metadata (see module doc)."""
     c = df.localCheckpoint()
