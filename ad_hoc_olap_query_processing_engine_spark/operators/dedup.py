@@ -107,9 +107,21 @@ def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The verified near-dup pair table is likewise shared downstream (pair list →
 # dedup_minhash_lsh output, cluster_cc input, corpus-filter input) — the
-# second maintained index of the family. Tiny by construction (one row per
-# verified near-dup pair), so localCheckpoint materializes it eagerly and
-# later consumers skip the whole sketch pipeline.
+# second maintained index of the family. localCheckpoint materializes it
+# eagerly so later consumers skip the whole sketch pipeline — but DISK_ONLY
+# (round-11 sf100 fix): the default MEMORY_AND_DISK level fills the
+# PROTECTED storage half of unified memory (spark.memory.storageFraction)
+# with pair blocks WHILE the producing stage's sorts and aggregates are
+# still running, shrinking the execution pool they can draw on — at sf100
+# (~160M pair rows) the producing stage died with UNABLE_TO_ACQUIRE_MEMORY.
+# The pair table is scanned sequentially by every consumer, so disk-backed
+# blocks cost one streamed read and zero memory contention.
+
+
+def _disk_checkpoint(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +129,7 @@ def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verified_minhash_pairs",
         spark,
         sf_dir,
-        lambda: minhash_pairs(shingle_postings(spark, sf_dir)).localCheckpoint(),
+        lambda: _disk_checkpoint(minhash_pairs(shingle_postings(spark, sf_dir))),
     )
 
 
@@ -147,52 +159,57 @@ def _pair_jaccard_sql(cand_cte: str) -> str:
 SELECT doc_a, doc_b, jaccard FROM vpairs"""
 
 
-def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs only (never the full pair space).
+def _set_fingerprints(sh: DataFrame) -> DataFrame:
+    """(doc_id, __ss, __fp): each doc's (already-distinct) shingles collected
+    into one sorted array plus its 32-byte SET FINGERPRINT — equal sets,
+    equal fingerprint.  The encoding is INJECTIVE (round-11 advice): each
+    shingle is length-prefixed before the '\\x1f'-join, so a shingle that
+    itself contains the separator byte cannot alias a different set onto
+    the same fingerprint.  Off the doc_id-partitioned posting index this
+    aggregate plans NO exchange."""
+    elem = F.transform(
+        F.col("__ss"), lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("__ss")
+    ).withColumn("__fp", F.md5(F.concat_ws("\x1f", elem).cast("binary")))
 
-    Verification is run ONCE PER DISTINCT SET-FINGERPRINT PAIR, not once
-    per candidate pair (the canonicalize-then-verify shape of a production
-    dedup stage).  Each doc's (already-distinct) shingles collect into one
-    sorted array whose md5 over the joined elements is the SET FINGERPRINT
-    — equal sets, equal fingerprint.  Candidate pairs then carry only the
-    two 32-byte fingerprints through the pair shuffles; the array payloads
-    join only on the (≤ |distinct sets|) fingerprint-pair table, and the
-    verdict joins back to pairs by fingerprint keys.
 
-    Why: the previous formulation joined the array columns directly onto
-    every candidate row, so the inter-join shuffle carried
+def _verify_keyed(sets: DataFrame, keyed: DataFrame) -> DataFrame:
+    """Exact Jaccard for fingerprint-keyed candidate pairs (doc_a, doc_b,
+    __fa, __fb) — run ONCE PER DISTINCT SET-FINGERPRINT PAIR, not once per
+    candidate pair (the canonicalize-then-verify shape of a production
+    dedup stage).  Pairs carry only the two 32-byte fingerprints; the array
+    payloads join only on the (≤ |distinct sets|) fingerprint-pair table,
+    and the verdict joins back to pairs by fingerprint keys.
+
+    Why: joining array columns directly onto every candidate row shuffles
     |candidates| × |avg set payload| bytes — the sf100 probe (5M docs as
     1000-clone groups, 160M windowed candidates × ~1.5 KB arrays ≈ 240 GB
     of shuffle) died on disk.  With fingerprint canonicalization the array
     shuffle is bounded by DISTINCT sets (sf100: the same ~5k sets as
-    sf0.1), pair shuffles carry 64 B of keys per row, and on an all-unique
-    corpus it degrades gracefully to exactly the old volume.  Values are
-    unchanged: identical sets have identical Jaccard, so per-class
-    verification returns the same number the per-pair verification did,
-    and the DuckDB oracle keeps its independent per-pair form.
+    sf0.1).  Values are unchanged: identical sets have identical Jaccard,
+    so per-class verification returns the same number per-pair
+    verification would, and the DuckDB oracle keeps its independent
+    per-pair form.
 
-    Join-strategy pins (each earned by an sf100 failure): the narrow
-    (doc_id, fingerprint) sides are SHUFFLE_HASH — 56-byte rows build
-    ~MB-sized per-partition maps and the 149M-row pair table streams
-    through without the two full sorts a merge join would pay (Catalyst's
-    static post-aggregate "small" estimate must not pick broadcast: 5M-doc
-    build side died with "Not enough memory to build and broadcast").  The
-    ARRAY-carrying representative rows never touch a pair-sized shuffle:
-    representatives are chosen as min-doc_id per fingerprint on the narrow
-    table, arrays attach via one doc_id join off the (doc_id-partitioned)
-    sets aggregate, and the verdict join is MERGE-hinted — spillable, and
-    bounded by |distinct fingerprint classes|, not |pairs|."""
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("__ss")
-    ).withColumn("__fp", F.md5(F.concat_ws("\x1f", F.col("__ss")).cast("binary")))
+    Join-strategy pins (each earned by an sf100 failure, then revised by
+    the round-11 re-run): every join that can carry a corpus-sized build
+    side is MERGE-hinted — spillable.  Broadcast must not be picked
+    statically (Catalyst's post-aggregate "small" estimate broadcast a
+    5M-doc build side: "Not enough memory to build and broadcast"), and
+    SHUFFLE_HASH (the round-10 pin) is no better: its build-side hash map
+    is NON-SPILLABLE, so 32 concurrent tasks' maps plus the stage's
+    sort/aggregate buffers exhausted the execution pool
+    (UNABLE_TO_ACQUIRE_MEMORY, sf100 probe).  The ARRAY-carrying
+    representative rows never touch a pair-sized shuffle: representatives
+    are chosen as min-doc_id per fingerprint on the narrow table, arrays
+    attach via one doc_id join off the (doc_id-partitioned) sets
+    aggregate, and the verdict join is bounded by |distinct fingerprint
+    classes|, not |pairs|."""
     fps = sets.select("doc_id", "__fp")  # narrow: no array payload
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
-    keyed = cand.join(fa.hint("shuffle_hash"), "doc_a").join(
-        fb.hint("shuffle_hash"), "doc_b"
-    )
     rep_ids = fps.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    reps = sets.join(rep_ids.select("doc_id").hint("shuffle_hash"), "doc_id").select(
+    reps = sets.join(rep_ids.select("doc_id").hint("merge"), "doc_id").select(
         "__fp", "__ss"
     )
     fpairs = keyed.select("__fa", "__fb").distinct()
@@ -217,6 +234,19 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
         .select("__fa", "__fb", "jaccard")
     )
     return keyed.join(verdicts, ["__fa", "__fb"]).select("doc_a", "doc_b", "jaccard")
+
+
+def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for bare (doc_a, doc_b) candidate pairs: attach the set
+    fingerprints (two merge-hinted joins against the narrow per-doc
+    fingerprint table — spillable even when cand is pair-sized), then
+    verify once per distinct fingerprint pair via _verify_keyed."""
+    sets = _set_fingerprints(sh)
+    fps = sets.select("doc_id", "__fp")
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
+    keyed = cand.join(fa.hint("merge"), "doc_a").join(fb.hint("merge"), "doc_b")
+    return _verify_keyed(sets, keyed)
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +320,7 @@ def pair_overlap_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = _capped(shingle_postings(spark, sf_dir)).persist()
-        out = _overlap_from_capped(sh).localCheckpoint()  # eager materialize
+        out = _disk_checkpoint(_overlap_from_capped(sh))  # eager materialize
         # the capped-posting persist only served this build; free it
         sh.unpersist()
         return out
@@ -408,20 +438,45 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
     # All-unique corpora degrade gracefully: every bucket is its own class
     # and the only cost is one extra aggregate over the bands table.  The
     # oracle keeps the naive all-bands form — same DISTINCT pairs.
+    #
+    # The digest is ORDER-FREE AND O(1)-STATE (round-11 fix): the round-10
+    # collect_list form buffered every member doc_id of a bucket in ONE
+    # aggregation buffer before hashing — a degenerate hot band key with
+    # millions of members builds a multi-MB row in a single task, the exact
+    # defect class LSH_BUCKET_WINDOW exists for.  Membership is a SET
+    # (bands emits one row per (doc, band)), so a commutative combine over
+    # per-member hashes identifies it without materializing it:
+    # (count, XOR of xxhash64, exact DECIMAL sum of xxhash64) — three
+    # fixed-width values per bucket, ~2^-128 collision odds, the same risk
+    # profile as the md5 it replaces.  Equal membership ⟹ equal triple;
+    # window pairs are a function of membership alone (rk orders by
+    # doc_id), so class-dedup on the triple is sound — and the aggregate
+    # is a plain spillable HashAggregate instead of an object aggregate
+    # growing arrays (also ~2× cheaper on the bench's all-unique corpus,
+    # recovering the round-10 dedup_lsh_recall_report regression).
+    mh = F.xxhash64(F.col("doc_id"))
     bucket_cls = bands.groupBy("band", "key").agg(
-        F.md5(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
-            ).cast("binary")
-        ).alias("__bh")
+        F.count(F.lit(1)).alias("__bn"),
+        F.bit_xor(mh).alias("__bx"),
+        F.sum(mh.cast("decimal(38,0)")).alias("__bs"),
     )
-    reps = bucket_cls.dropDuplicates(["__bh"]).select("band", "key")
-    rbands = bands.join(reps, ["band", "key"]).withColumn(
-        "rk",
-        F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
+    reps = bucket_cls.dropDuplicates(["__bn", "__bx", "__bs"]).select("band", "key")
+    # Attach the set fingerprint to bucket MEMBERS (corpus-sized join, once)
+    # instead of to candidate PAIRS (pair-sized join, twice) — round-11
+    # restructure: the window join then emits fingerprint-keyed pairs
+    # directly, removing the two sorts of the (possibly 160M-row) pair
+    # table against the 5M-doc fingerprint table that the sf100 probe paid.
+    sets = _set_fingerprints(sh)
+    rbands = (
+        bands.join(reps, ["band", "key"])
+        .join(sets.select("doc_id", "__fp").hint("merge"), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
+        )
     )
     a, b = rbands.alias("a"), rbands.alias("b")
-    cand = (
+    keyed = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -429,10 +484,15 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
             & (F.col("b.rk") > F.col("a.rk"))
             & (F.col("b.rk") <= F.col("a.rk") + LSH_BUCKET_WINDOW),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
+        )
+        .distinct()  # (doc_a, doc_b) determines (__fa, __fb): same cardinality
     )
-    return _verify_candidates(sh, cand)
+    return _verify_keyed(sets, keyed)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,7 +739,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # LSH sketch) from scratch
     from .iterutil import reclaim_shuffles, truncated_checkpoint
 
-    p = pairs.localCheckpoint()
+    # DISK_ONLY: the pair list is read twice (forward/reverse union) and
+    # never again; memory-resident blocks would only steal execution memory
+    # from the loop's joins (sf100 lesson — see verified_minhash_pairs)
+    p = _disk_checkpoint(pairs)
     # the (possibly huge) pair-building pipeline is now materialized; its
     # shuffle files are dead weight for the whole iteration — reclaim them
     reclaim_shuffles(p)

@@ -124,17 +124,21 @@ def _run_to_completion(agg: DataFrame, spark: SparkSession, mode: str, name: str
     )
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    # ONE try/finally owns both conf restores (round-11 advice #3): with the
+    # progress-retention restore only on the post-start path, a start()
+    # failure leaked numRecentProgressUpdates=10000 for the session's life.
+    # The retention conf is consulted on EVERY progress update, not captured
+    # at start, so it is restored only once the query has stopped.
+    q = None
     try:
         q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
         q.processAllAvailable()
         progress = [p for p in q.recentProgress if p is not None]
     finally:
-        q.stop()
-        # the retention conf is consulted on EVERY progress update, not
-        # captured at start — restore only once the query has stopped
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(
             "spark.sql.streaming.numRecentProgressUpdates", prev_prog
         )
@@ -419,7 +423,10 @@ def join_volume_cert(
     n_got = emitted.count()
     n_diff = emitted.exceptAll(expected).count() + expected.exceptAll(emitted).count()
     n_null_match = emitted.filter(F.col("click_ts").isNull()).count()
-    n_odd = (gen["n_imps"] - 1 + 1) // 2  # odd imp_ids among real impressions
+    # odd imp_ids among the real impressions: ids are 0..(n_imps-1)-1 (the
+    # gen count includes one flush sentinel), so the odd count is floor(N/2)
+    # — the old ceil form was off by one whenever N was odd (round-11 #4)
+    n_odd = (gen["n_imps"] - 1) // 2
     emitted.unpersist()
 
     report = {

@@ -114,7 +114,17 @@ sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_i
 SELECT c.doc_id, c.cluster_id,
        CAST(c.doc_id = c.cluster_id AS INT) AS is_keeper,
        s.cluster_size
-FROM cc c JOIN sizes s USING (cluster_id)"""
+FROM cc c JOIN sizes s USING (cluster_id)
+WHERE (SELECT CASE WHEN EXISTS (
+         SELECT 1 FROM lab{CC_ORACLE_ROUNDS} a
+         JOIN lab{CC_ORACLE_ROUNDS - 1} b ON a.u = b.u AND a.l <> b.l)
+       THEN error('cc oracle under-converged at {CC_ORACLE_ROUNDS} rounds')
+       ELSE TRUE END)"""
+    # The WHERE guard (round-11 advice): a fixed {CC_ORACLE_ROUNDS}-round
+    # unroll can under-converge on adversarial chain shapes (shuffled paths
+    # from the LSH bucket-window cap need ~18 rounds at 60 nodes); asserting
+    # the last two rounds' labels agree turns a silent spurious MISMATCH
+    # into a loud oracle error naming the real cause.
 
     # graph_bfs_layers: same frontier unroll as the driver oracle, but with
     # pairs/edges/every round MATERIALIZED and the visited-set test as an
@@ -380,13 +390,35 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     names = args or (list(entry.queries()) if spark_only else DEFAULT_SET)
     qs = entry.queries()
-    oracles = entry.oracle_sql()
-    overrides = scale_oracles()
+    # spark-only probes never read the oracles — skip resolving them (the
+    # lazy embed_pca_project oracle scans the embeddings table at the probe
+    # scale factor to bake its fit literals; pointless work here)
+    oracles = {} if spark_only else entry.oracle_sql()
+    overrides = {} if spark_only else scale_oracles()
     oracles.update(overrides)
     for n in overrides:
         if n in names:
             print(f"{n}: using sf1-feasible SCALE-TIER oracle", flush=True)
-    spark = get_spark(app_name="scale-sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Size shuffle partitions from INPUT BYTES, not CPU count (round-11
+    # sf100 fix): the session default (max(cpus, 8) = 32) squeezes a
+    # 600M-row probe's shuffles through 32 partitions — per-task sort and
+    # aggregate footprints grow with bytes/partition until one task's
+    # slice of the execution pool can't hold a page and the stage dies
+    # with UNABLE_TO_ACQUIRE_MEMORY.  ~32 MB of compressed input per
+    # shuffle partition keeps per-task state flat as sf grows (the same
+    # arithmetic a cluster operator does from table stats); AQE coalesces
+    # the small queries back down, so over-partitioning costs nothing.
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        input_bytes = sum(
+            os.path.getsize(os.path.join(SF_DIR, f))
+            for f in os.listdir(SF_DIR)
+            if f.endswith(".parquet")
+        )
+        parts = max(cpus, min(2048, input_bytes // (32 << 20)))
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(parts)
+        print(f"shuffle partitions: {parts} ({input_bytes >> 20} MB input)", flush=True)
+    spark = get_spark(app_name="scale-sweep", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     con.sql(f"SET memory_limit = '{os.environ.get('SCALE_ORACLE_MEM', '24GB')}'")
