@@ -79,6 +79,26 @@ def _evidence_order(names: list[str], has_oracle: set[str]) -> list[str]:
 
     reg_idx = {n: i for i, n in enumerate(names)}
 
+    # REVALIDATE.json (round-10 verdict ask #3): {name: watermark_round} —
+    # a query whose IMPLEMENTATION was rewritten gets re-prioritized until
+    # it has driver evidence from a round AFTER the watermark; then the
+    # entry is inert (self-expiring — no manual cleanup, safe to leave in
+    # place).  Green small-scale evidence that PRE-dates a rewrite isn't
+    # evidence about the shipped code; the rotation can't see code changes,
+    # so the rewrite records one.
+    revalidate: dict[str, int] = {}
+    try:
+        with open(os.path.join(here, "REVALIDATE.json")) as fh:
+            revalidate = {k: int(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        pass
+
+    # Φ staleness ceiling (round-10 verdict ask #6): the Φ goldens ARE the
+    # reference-parity surface — they must never drift more than ~4 rounds
+    # without driver evidence, even when the plain oldest-first rotation
+    # would schedule them later.  current round ≈ max evidence round + 1.
+    cur_round = max((r for r, _ in latest.values()), default=0) + 1
+
     # a query whose only green evidence is a rows-only row ("no_oracle") but
     # which NOW carries an oracle has never been hash-checked under its
     # current contract — treat it like a new registration (tier 1) so the
@@ -87,15 +107,26 @@ def _evidence_order(names: list[str], has_oracle: set[str]) -> list[str]:
     # helpers never call back into the contract functions — the previous
     # oracle_sql() → _prioritize → _evidence_order → oracle_sql() cycle did
     # ~250× redundant work and terminated only on RecursionError.
+    #
+    # Tier order: 0 = latest row red; 1 = rewritten code awaiting
+    # post-watermark evidence (REVALIDATE); 2 = never checked / oracle
+    # upgraded; 3 = Φ parity golden ≥4 rounds stale; 4 = green, oldest
+    # evidence first.
 
     def key(n: str) -> tuple[int, int, int]:
         rnd_green = latest.get(n)
         if rnd_green is None:
-            return (1, 0, reg_idx[n])  # never checked
+            return (2, 0, reg_idx[n])  # never checked
         rnd, green = rnd_green
+        if not green:
+            return (0, rnd, reg_idx[n])
+        if rnd <= revalidate.get(n, -1):
+            return (1, rnd, reg_idx[n])  # rewritten: evidence pre-dates code
         if green and latest_rows_only.get(n) and n in has_oracle:
-            return (1, 0, reg_idx[n])  # oracle upgraded: needs a hash row
-        return (2 if green else 0, rnd, reg_idx[n])
+            return (2, 0, reg_idx[n])  # oracle upgraded: needs a hash row
+        if n.startswith("phi_q") and cur_round - rnd >= 4:
+            return (3, rnd, reg_idx[n])  # parity surface staleness ceiling
+        return (4, rnd, reg_idx[n])
 
     return sorted(names, key=key)
 

@@ -121,9 +121,36 @@ def test_real_history_orders_stalest_first():
             return -1
         return latest[n]
 
-    head_rounds = [eff_round(n) for n in names[:50]]
-    tail_rounds = [eff_round(n) for n in names[50:]]
+    # Documented exceptions to strict oldest-first (round 11): queries whose
+    # implementation was rewritten re-prioritize via REVALIDATE.json until
+    # they carry post-watermark evidence, and Φ parity goldens ≥4 rounds
+    # stale jump the queue (both tiers sort ahead of plain green rotation).
+    revalidate = {}
+    reval_path = os.path.join(here, "REVALIDATE.json")
+    if os.path.exists(reval_path):
+        revalidate = {k: int(v) for k, v in json.load(open(reval_path)).items()}
+    cur_round = max(latest.values(), default=0) + 1
+
+    def exempt(n: str) -> bool:
+        if n in latest and latest[n] <= revalidate.get(n, -1):
+            return True
+        return n.startswith("phi_q") and n in latest and cur_round - latest[n] >= 4
+
+    head_rounds = [eff_round(n) for n in names[:50] if not exempt(n)]
+    tail_rounds = [eff_round(n) for n in names[50:] if not exempt(n)]
     assert max(head_rounds) <= min(tail_rounds)
+
+
+def test_revalidate_names_are_registered():
+    """Every REVALIDATE.json key must be a registered query (a typo would
+    silently prioritize nothing)."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    path = os.path.join(here, "REVALIDATE.json")
+    if not os.path.exists(path):
+        return
+    assert set(json.load(open(path))) <= set(entry.queries())
 
 
 def test_oracle_and_queries_keys_align():
@@ -131,5 +158,8 @@ def test_oracle_and_queries_keys_align():
     o = set(entry.oracle_sql())
     # every oracle refers to a registered query; rows-only ops may lack one
     assert o <= q
+    # round 11: embed_pca_project graduated to hash-checked — nothing is
+    # rows-only anymore; keep the check so a future rows-only op is a
+    # deliberate decision here, not an accident
     rows_only = q - o
-    assert rows_only <= {"embed_pca_project"}
+    assert rows_only == set()
