@@ -16,17 +16,26 @@ from pyspark.sql import DataFrame, SparkSession
 Runner = Callable[[SparkSession, str], DataFrame]
 
 
+# An oracle is either a static ANSI-SQL string, a LAZY oracle — a callable
+# over the sf_dir that bakes data-derived literals (e.g. the PCA fit) into
+# the SQL at oracle_sqls() time — or None for the driver's weaker rows-only
+# check.  Lazy oracles resolve against $CROSSCHECK_SF_DIR (default: the
+# driver's compare scale, /root/testdata/sf0.01), the same env the
+# crosscheck and scale-sweep harnesses already steer by.
+Oracle = str | Callable[[str], str] | None
+
+
 @dataclass(frozen=True)
 class Op:
     name: str
     run: Runner
-    oracle: str | None  # ANSI SQL for DuckDB, or None for rows-only check
+    oracle: Oracle
 
 
 _REGISTRY: dict[str, Op] = {}
 
 
-def register(name: str, run: Runner, oracle: str | None) -> None:
+def register(name: str, run: Runner, oracle: Oracle) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate operator registration: {name}")
     _REGISTRY[name] = Op(name=name, run=run, oracle=oracle)
@@ -67,4 +76,11 @@ def spark_queries() -> dict[str, Runner]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: op.oracle for name, op in all_ops().items() if op.oracle is not None}
+    import os
+
+    sf_dir = os.environ.get("CROSSCHECK_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        name: op.oracle(sf_dir) if callable(op.oracle) else op.oracle
+        for name, op in all_ops().items()
+        if op.oracle is not None
+    }

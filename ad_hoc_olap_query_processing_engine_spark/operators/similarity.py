@@ -1016,25 +1016,41 @@ register("embed_knn_classify", embed_knn_classify, EMBED_KNN_CLASSIFY_SQL)
 #      driver over that 64×64 = 32 KB result — the same fit-on-reduced-state
 #      contract as sim_ivf_kmeans' sampled coarse quantizer (the distributed
 #      plan reduces the data, the driver fits the tiny model).
-#   2. TRANSFORM: mean and components travel as LITERAL arrays baked into
-#      the plan (they are dim-sized constants, smaller than any broadcast);
-#      pc_k = Σ_d (x_d − μ_d)·w_kd evaluates with zip_with + aggregate —
-#      JVM higher-order functions, shuffle-FREE map work, and the in-index-
-#      order fold makes each row's projection bit-deterministic (the earlier
-#      groupBy formulation summed in partition order).
+#   2. TRANSFORM: the quantized components travel as LITERAL arrays baked
+#      into the plan (they are dim-sized constants, smaller than any
+#      broadcast); pc_k ∝ Σ_d q_d·w_kd − b_k evaluates with zip_with +
+#      aggregate — JVM higher-order functions, shuffle-FREE map work.
 #
-# Eigenvector sign is pinned (largest-|w| coordinate made positive) so the
-# output is deterministic up to float reduction order. No SQL oracle: the
-# eigendecomposition is not expressible in DuckDB SQL — registered rows-only
-# (the driver contract allows this for linear-algebra fits; the Gram
-# REDUCTION itself is oracled separately as embed_gram_matrix).
+# QUANTIZED-EXACT (round 11 — graduates the last rows-only query to
+# hash-checked): the reduction runs in exact int64 space (q = floor(x·QS),
+# the same quantization every embed_* oracle uses), so the reduced Gram is
+# bit-identical regardless of partitioning; the driver eigh is then a
+# deterministic pure function of it (pinned by the closed-form fixtures in
+# tests/test_round10_ops.py), and its components quantize to integers
+# (round(w·PCA_WSCALE)).  The projection output is therefore EXACT integer
+# arithmetic end-to-end: pc_k_q = Σ_d q_d·w_qkd − b_qk, where
+# b_qk = round(Σ_d μ_d·w_qkd) centers it (μ in q-space).  pc_k_q equals
+# QS·WSCALE·(x−μ)·w_k up to the documented quantization (≤ dim·WSCALE
+# absolute, i.e. ~1e-3 relative on unit-normed data) — and is bounded by
+# dim·QS·WSCALE ≈ 2^36 regardless of corpus size, so int64 holds at any SF.
+# The ORACLE is lazy (a callable over sf_dir): it derives the identical
+# reduced Gram INDEPENDENTLY via DuckDB SQL (unnest self-join, exact
+# integers), runs the same pure fit tail, and bakes the quantized components
+# into the SQL as literals — the distributed reduction and the projection
+# are cross-engine hash-checked; the only shared code is the driver-side
+# eigh tail, which the closed-form fixtures pin.
 # ---------------------------------------------------------------------------
+
+PCA_WSCALE = 10**6  # round(w·1e6): component weights as exact int64 literals
 
 
 def _gram_reduce(e: DataFrame, dim: int) -> DataFrame:
-    """(i, j, g, n, s) partial sums per Arrow batch: g = Σ x_i·x_j over the
-    batch's rows, plus row count n and per-dim sums s (sparse across batches,
-    dense after the groupBy)."""
+    """(i, j, g, n, s) exact-int64 partial sums per Arrow batch over the
+    quantized embeddings q = floor(x·QUANT_SCALE): g = Σ q_i·q_j for the
+    upper triangle, plus row count n and per-dim sums s in head rows
+    (j = -1).  Shared by the PCA fit and embed_gram_matrix (its oracle
+    face) — integer sums commute, so the merged result is bit-identical
+    under any partitioning."""
     import numpy as np
     import pandas as pd
 
@@ -1042,26 +1058,27 @@ def _gram_reduce(e: DataFrame, dim: int) -> DataFrame:
         iu, ju = np.triu_indices(dim)  # symmetric: ship the upper triangle only
         for pdf in batches:
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            g = x.T @ x
+            q = np.floor(x * QUANT_SCALE).astype("int64")
+            g = q.T @ q  # exact int64 matmul
             out = pd.DataFrame(
                 {"i": iu.astype("int32"), "j": ju.astype("int32"), "g": g[iu, ju]}
             )
-            out["n"] = 0
-            out["s"] = 0.0
+            out["n"] = np.int64(0)
+            out["s"] = np.int64(0)
             head = pd.DataFrame(
                 {
                     "i": np.arange(dim, dtype="int32"),
                     "j": np.full(dim, -1, dtype="int32"),
-                    "g": 0.0,
-                    "n": len(x),
-                    "s": x.sum(axis=0),
+                    "g": np.int64(0),
+                    "n": np.int64(len(q)),
+                    "s": q.sum(axis=0),
                 }
             )
             # row (0, -1) carries the batch count; rows (d, -1) the col sums
             yield pd.concat([head, out], ignore_index=True)
 
     parts = e.select("embedding").mapInPandas(
-        kernel, schema="i int, j int, g double, n long, s double"
+        kernel, schema="i int, j int, g long, n long, s long"
     )
     return parts.groupBy("i", "j").agg(
         F.sum("g").alias("g"), F.sum("n").alias("n"), F.sum("s").alias("s")
@@ -1100,10 +1117,22 @@ def _pca_fit_from_reduced(red, dim: int, n_pc: int):
     return mu.tolist(), comps.tolist()
 
 
+def _quantized_model(mu, comps):
+    """(Wq, Bq) integer model from a fitted (mean, components) pair: weights
+    rounded to PCA_WSCALE, centering offsets b_k = round(Σ_d μ_d·w_qkd).
+    Pure and shared by the Spark fit and the lazy oracle generator — both
+    call it on bit-identical eigh output (the reduced Gram is exact-integer
+    in both engines), so the baked literals agree."""
+    wq = [[int(round(w * PCA_WSCALE)) for w in comp] for comp in comps]
+    bq = [int(round(sum(m * w for m, w in zip(mu, row)))) for row in wq]
+    return wq, bq
+
+
 def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
-    """Driver-side eigh over the reduced Gram. Returns (mean, components) as
-    plain Python lists; cached per sf_dir via the shared session cache so the
-    fit job runs once per session, not once per query."""
+    """Driver-side eigh over the exact-integer reduced Gram. Returns (mean,
+    components) in q-space (eigenvectors are scale-invariant, so they equal
+    the x-space components); cached per sf_dir via the shared session cache
+    so the fit job runs once per session, not once per query."""
     from .session_cache import session_cached
 
     def build():
@@ -1119,69 +1148,89 @@ def _fit_components(spark: SparkSession, sf_dir: str, n_pc: int = 2):
 
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    mu, comps = _fit_components(spark, sf_dir)
-    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
-    centered = F.zip_with("embedding", mu_arr, lambda x, m: x.cast("double") - m)
-    projections = [
-        _dot(centered, F.array(*[F.lit(float(w)) for w in comps[k]])).alias(f"pc{k + 1}")
-        for k in range(len(comps))
-    ]
+    wq, bq = _quantized_model(*_fit_components(spark, sf_dir))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
+    )
+    projections = []
+    for k, (row, b) in enumerate(zip(wq, bq)):
+        warr = F.array(*[F.lit(int(w)).cast("bigint") for w in row])
+        dot = F.aggregate(
+            F.zip_with(q, warr, lambda a, w: a * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        projections.append((dot - F.lit(b).cast("bigint")).alias(f"pc{k + 1}_q"))
     return e.select("vec_id", "label", *projections)
 
 
-register("embed_pca_project", embed_pca_project, None)
+def _pca_project_oracle(sf_dir: str) -> str:
+    """LAZY oracle for embed_pca_project (resolved per sf_dir at
+    oracle_sql() time): derive the reduced Gram independently in DuckDB
+    (exact-integer unnest self-join — no Spark anywhere), run the same pure
+    eigh tail, bake the quantized components as VALUES literals, and emit
+    the projection as plain integer SQL."""
+    import duckdb
+
+    dim = _peek_dim(sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""\
+WITH elems AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS v,
+         CAST(i AS INT) - 1 AS d
+  FROM '{path}', unnest(range(1, len(embedding) + 1)) AS u(i))
+SELECT a.d AS i, b.d AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS g,
+       CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s
+FROM elems a JOIN elems b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY a.d, b.d
+UNION ALL
+SELECT d AS i, -1 AS j, CAST(0 AS BIGINT) AS g,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+FROM elems GROUP BY d"""
+    ).fetchall()
+    red = [dict(zip(("i", "j", "g", "n", "s"), r)) for r in rows]
+    wq, bq = _quantized_model(*_pca_fit_from_reduced(red, dim, n_pc=2))
+    values = ",\n    ".join(
+        f"({d}, {wq[0][d]}, {wq[1][d]})" for d in range(dim)
+    )
+    return f"""\
+WITH comp(d, w1, w2) AS (VALUES
+    {values}),
+elems AS (
+  SELECT vec_id, label, CAST(i AS INT) - 1 AS d,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+SELECT e.vec_id, e.label,
+       CAST(SUM(e.q * c.w1) - {bq[0]} AS BIGINT) AS pc1_q,
+       CAST(SUM(e.q * c.w2) - {bq[1]} AS BIGINT) AS pc2_q
+FROM elems e JOIN comp c ON e.d = c.d
+GROUP BY e.vec_id, e.label"""
+
+
+register("embed_pca_project", embed_pca_project, _pca_project_oracle)
 
 
 # ---------------------------------------------------------------------------
-# embed_gram_matrix — the ORACLE for embed_pca_project's distributed Gram
-# REDUCTION (the round-8 verdict ask): the same mapInPandas partial-sum
-# kernel shape (per-Arrow-batch Gram + count + column sums, merged by one
-# groupBy), run in EXACT integer space (q = floor(x·QUANT_SCALE), int64
-# matmul — no float reduction order anywhere) so DuckDB mirrors it to fixed
-# point with a SUM-of-products self-join.  With this row green, the only
-# unverified code left in embed_pca_project is the d×d driver eigh (a numpy
-# call over a 32 KB matrix); the distributed plan — batch partials, merge
-# keys, triangle layout, count/sum head rows — is hash-checked.
+# embed_gram_matrix — the ORACLE face of the distributed Gram REDUCTION
+# (the round-8 verdict ask): since round 11 it IS _gram_reduce, the exact
+# same quantized-int64 mapInPandas kernel embed_pca_project's fit collects
+# (per-Arrow-batch q-Gram + count + column sums, merged by one groupBy —
+# no float reduction order anywhere), so DuckDB mirrors it to fixed point
+# with a SUM-of-products self-join and this row hash-checks the fit's
+# entire distributed input: batch partials, merge keys, triangle layout,
+# count/sum head rows.
 # Output contract: upper triangle (i ≤ j) rows carry g = Σ q_i·q_j; head
 # rows (i, -1) carry n = corpus row count and s = Σ q_i.
 # ---------------------------------------------------------------------------
 
 
 def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, "embeddings", sf_dir)
-    dim = _peek_dim(sf_dir)
-
-    def kernel(batches):
-        iu, ju = np.triu_indices(dim)  # symmetric: ship the upper triangle only
-        for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            q = np.floor(x * QUANT_SCALE).astype("int64")
-            g = q.T @ q  # exact int64 matmul
-            out = pd.DataFrame(
-                {"i": iu.astype("int32"), "j": ju.astype("int32"), "g": g[iu, ju]}
-            )
-            out["n"] = np.int64(0)
-            out["s"] = np.int64(0)
-            head = pd.DataFrame(
-                {
-                    "i": np.arange(dim, dtype="int32"),
-                    "j": np.full(dim, -1, dtype="int32"),
-                    "g": np.int64(0),
-                    "n": np.int64(len(q)),
-                    "s": q.sum(axis=0),
-                }
-            )
-            yield pd.concat([head, out], ignore_index=True)
-
-    parts = e.select("embedding").mapInPandas(
-        kernel, schema="i int, j int, g long, n long, s long"
-    )
-    return parts.groupBy("i", "j").agg(
-        F.sum("g").alias("g"), F.sum("n").alias("n"), F.sum("s").alias("s")
-    )
+    return _gram_reduce(e, _peek_dim(sf_dir))
 
 
 EMBED_GRAM_MATRIX_SQL = f"""\

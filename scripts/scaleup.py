@@ -54,9 +54,20 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scaledata/sf1"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # STREAM large COPYs instead of buffering them (sf100 lesson: with
+    # insertion order preserved, DuckDB materialized the whole 600M-row
+    # lineitem cross join in memory — >100 GB RSS — before writing a byte;
+    # row order inside the output file is irrelevant to every consumer)
+    con.sql("SET preserve_insertion_order = false")
+    con.sql("SET memory_limit = '24GB'")
+    os.makedirs(f"{out}/.duck_tmp", exist_ok=True)
+    con.sql(f"SET temp_directory = '{out}/.duck_tmp'")
     for table, keys in KEYED.items():
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
+        if os.path.exists(dst) and os.path.getsize(dst) > 0:
+            print(f"{table}: exists, skipped")  # resumable after a kill
+            continue
         if not keys:  # fixed dims: copy through
             con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
         else:

@@ -18,5 +18,8 @@ def test_op_matches_oracle(name, op, spark, duck):
     if op.oracle is None:
         assert len(got) >= 0  # rows-only smoke (approximate/streaming ops)
         return
-    exp = duck(SF_SMALL).sql(op.oracle).fetchdf()
+    # lazy oracles (callable over sf_dir) bake data-derived literals — here
+    # they must resolve at the SAME sf the Spark side ran at
+    oracle = op.oracle(SF_SMALL) if callable(op.oracle) else op.oracle
+    exp = duck(SF_SMALL).sql(oracle).fetchdf()
     assert_frames_match(got, exp)

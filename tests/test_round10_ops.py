@@ -80,24 +80,31 @@ def test_pca_fit_closed_form_nonzero_mean():
 
 
 def test_gram_reduce_exact_on_integers(spark):
-    """Full-path check of the distributed reduction feeding the fit: for
-    small-integer embeddings every product is float64-exact, so the
-    assembled Gram/count/sums must equal numpy's X'X bit-for-bit."""
+    """Full-path check of the distributed reduction feeding the fit: the
+    round-11 kernel quantizes q = floor(x·QUANT_SCALE) and reduces in int64,
+    so the assembled Gram/count/sums must equal numpy's Q'Q exactly."""
+    from ad_hoc_olap_query_processing_engine_spark.operators.similarity import (
+        QUANT_SCALE,
+    )
+
     rng = np.random.RandomState(7)
     x = rng.randint(-5, 6, size=(23, DIM)).astype("float64")
     df = spark.createDataFrame(
         [([float(v) for v in row],) for row in x], "embedding array<double>"
     ).repartition(4)  # multiple Arrow batches -> the merge groupBy is real
     red = {(r["i"], r["j"]): r for r in _gram_reduce(df, DIM).collect()}
-    expected = x.T @ x
+    q = np.floor(x * QUANT_SCALE).astype("int64")
+    expected = q.T @ q
     for i in range(DIM):
         for j in range(i, DIM):
             assert red[(i, j)]["g"] == expected[i, j]
-        assert red[(i, -1)]["s"] == x[:, i].sum()
+        assert red[(i, -1)]["s"] == q[:, i].sum()
     assert red[(0, -1)]["n"] == len(x)
-    # and the fit over the real reduction matches a direct numpy PCA
+    # and the fit over the real reduction matches a direct numpy PCA: the
+    # q-space mean scales by QUANT_SCALE; eigenvectors are scale-invariant
+    # (cov_q = QUANT_SCALE²·cov_x), so they satisfy cov_x's eigen-equation
     mu, comps = _pca_fit_from_reduced(red.values(), DIM, n_pc=2)
-    assert np.abs(np.array(mu) - x.mean(axis=0)).max() < 1e-12
+    assert np.abs(np.array(mu) / QUANT_SCALE - x.mean(axis=0)).max() < 1e-12
     cov = np.cov(x, rowvar=False)
     got = np.array(comps)
     for k in range(2):
