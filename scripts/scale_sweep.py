@@ -424,8 +424,13 @@ def main() -> None:
     con.sql(f"SET memory_limit = '{os.environ.get('SCALE_ORACLE_MEM', '24GB')}'")
     con.sql("SET temp_directory = '/root/repo/.scaledata/duck_tmp'")
     con.sql(f"SET max_temp_directory_size = '{os.environ.get('SCALE_ORACLE_TEMP', '40GB')}'")
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    if not spark_only:
+        # spark-only probes never query the oracle connection; skipping the
+        # views also lets a probe run against a PARTIAL data dir (e.g. the
+        # sf100 dedup reruns need only the documents table on a disk budget
+        # where 600M-row lineitem would crowd out the shuffle spill)
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     results: dict[str, dict] = {}
     failures = []
@@ -536,9 +541,13 @@ def main() -> None:
     }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
+    # `failures` covers the MERGED file (it feeds n_fail — a targeted rerun
+    # must not mask an older red row); the console line reports this run
+    run_fail = [n for n in failures if n in names]
     print(
-        f"\n{len(names) - len(failures)}/{len(names)} green at sf1 "
-        f"({total}s total); failures: {failures}"
+        f"\n{len(names) - len(run_fail)}/{len(names)} green this run at "
+        f"sf{_parse_sf(SF_DIR)} ({total}s file total); "
+        f"this run's failures: {run_fail}; file failures: {failures}"
     )
     sys.exit(1 if failures else 0)
 
