@@ -124,12 +124,48 @@ def _disk_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
+# Below this corpus size the pair-path merge hints come OFF and the planner
+# (static + AQE) picks freely — at bench scale every side of these joins is
+# a few thousand rows and a forced sort-merge join costs ~3× the natural
+# broadcast plan (the round-11 dedup_lsh_recall_report regression).  Above
+# it the hints pin spillable sort-merge: Catalyst's post-aggregate size
+# estimate has broadcast a 5M-doc build side at sf100 ("Not enough memory
+# to build and broadcast"), and a ShuffledHashJoin build map is
+# non-spillable.  The threshold reads the documents parquet footer (a
+# driver-side file read, same trick as similarity._peek_dim); unknown
+# corpora default to BIG — the scale-safe direction.
+PAIR_HINT_MIN_DOCS = 200_000
+
+
+def _corpus_is_big(sf_dir: str) -> bool:
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+        return meta.num_rows >= PAIR_HINT_MIN_DOCS
+    except Exception:
+        return True
+
+
+def _spillable(df: DataFrame, big: bool) -> DataFrame:
+    """Merge-hint a pair-path join side when the corpus is big (spillable
+    sort-merge, never a broadcast misestimate or a non-spillable hash
+    build); leave the planner free when it is small."""
+    return df.hint("merge") if big else df
+
+
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(
         "verified_minhash_pairs",
         spark,
         sf_dir,
-        lambda: _disk_checkpoint(minhash_pairs(shingle_postings(spark, sf_dir))),
+        lambda: _disk_checkpoint(
+            minhash_pairs(
+                shingle_postings(spark, sf_dir), big=_corpus_is_big(sf_dir)
+            )
+        ),
     )
 
 
@@ -175,7 +211,7 @@ def _set_fingerprints(sh: DataFrame) -> DataFrame:
     ).withColumn("__fp", F.md5(F.concat_ws("\x1f", elem).cast("binary")))
 
 
-def _verify_keyed(sets: DataFrame, keyed: DataFrame) -> DataFrame:
+def _verify_keyed(sets: DataFrame, keyed: DataFrame, big: bool = True) -> DataFrame:
     """Exact Jaccard for fingerprint-keyed candidate pairs (doc_a, doc_b,
     __fa, __fb) — run ONCE PER DISTINCT SET-FINGERPRINT PAIR, not once per
     candidate pair (the canonicalize-then-verify shape of a production
@@ -209,7 +245,7 @@ def _verify_keyed(sets: DataFrame, keyed: DataFrame) -> DataFrame:
     classes|, not |pairs|."""
     fps = sets.select("doc_id", "__fp")  # narrow: no array payload
     rep_ids = fps.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    reps = sets.join(rep_ids.select("doc_id").hint("merge"), "doc_id").select(
+    reps = sets.join(_spillable(rep_ids.select("doc_id"), big), "doc_id").select(
         "__fp", "__ss"
     )
     fpairs = keyed.select("__fa", "__fb").distinct()
@@ -217,14 +253,16 @@ def _verify_keyed(sets: DataFrame, keyed: DataFrame) -> DataFrame:
     jac = F.col("__c") / (F.size("__sa") + F.size("__sb") - F.col("__c"))
     verdicts = (
         fpairs.join(
-            reps.select(F.col("__fp").alias("__fa"), F.col("__ss").alias("__sa")).hint(
-                "merge"
+            _spillable(
+                reps.select(F.col("__fp").alias("__fa"), F.col("__ss").alias("__sa")),
+                big,
             ),
             "__fa",
         )
         .join(
-            reps.select(F.col("__fp").alias("__fb"), F.col("__ss").alias("__sb")).hint(
-                "merge"
+            _spillable(
+                reps.select(F.col("__fp").alias("__fb"), F.col("__ss").alias("__sb")),
+                big,
             ),
             "__fb",
         )
@@ -236,7 +274,7 @@ def _verify_keyed(sets: DataFrame, keyed: DataFrame) -> DataFrame:
     return keyed.join(verdicts, ["__fa", "__fb"]).select("doc_a", "doc_b", "jaccard")
 
 
-def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_candidates(sh: DataFrame, cand: DataFrame, big: bool = True) -> DataFrame:
     """Exact Jaccard for bare (doc_a, doc_b) candidate pairs: attach the set
     fingerprints (two merge-hinted joins against the narrow per-doc
     fingerprint table — spillable even when cand is pair-sized), then
@@ -245,8 +283,8 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     fps = sets.select("doc_id", "__fp")
     fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("__fp").alias("__fa"))
     fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("__fp").alias("__fb"))
-    keyed = cand.join(fa.hint("merge"), "doc_a").join(fb.hint("merge"), "doc_b")
-    return _verify_keyed(sets, keyed)
+    keyed = cand.join(_spillable(fa, big), "doc_a").join(_spillable(fb, big), "doc_b")
+    return _verify_keyed(sets, keyed, big=big)
 
 
 # ---------------------------------------------------------------------------
@@ -408,12 +446,45 @@ def _minhash_cols() -> list[Column]:
 LSH_BUCKET_WINDOW = 32
 
 
-def minhash_pairs(sh: DataFrame) -> DataFrame:
+def _verify_pairs_small(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Per-pair exact Jaccard for SMALL corpora: join each side's shingle
+    array straight onto the candidate pairs and leave the planner free
+    (it broadcasts the per-doc array table).  Values are identical to the
+    canonicalized big-corpus verify — both compute the exact Jaccard of the
+    same two shingle sets — this shape just skips the fingerprint machinery
+    a few-thousand-doc corpus doesn't need."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("__ss"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__ss").alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__ss").alias("__sb"))
+    c = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    jac = F.col("__c") / (F.size("__sa") + F.size("__sb") - F.col("__c"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("__c", c)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_pairs(sh: DataFrame, big: bool = True) -> DataFrame:
     """Verified near-dup pairs from (persisted) shingle postings: MinHash
     signatures → banded LSH buckets (sorted-neighborhood capped) →
     exact-Jaccard verification of the candidates only. Shared by
     ``dedup_minhash_lsh`` (emits the pairs), ``dedup_cluster_cc`` (unions
-    them into duplicate clusters) and ``dedup_lsh_recall_report``."""
+    them into duplicate clusters) and ``dedup_lsh_recall_report``.
+
+    ``big`` selects the PHYSICAL shape only — same DISTINCT pairs, same
+    Jaccard values, pinned by test_minhash_small_and_big_paths_agree.
+    Small corpora (< PAIR_HINT_MIN_DOCS) run the one-shot banded plan:
+    window every bucket, verify per pair, no persists, planner free — the
+    whole sketch is one job at bench scale.  Big corpora add bucket-class
+    dedup, fingerprint canonicalization, spillable-join pins and DISK_ONLY
+    materialization of the shared subtrees — each earned by an sf100
+    failure; at bench scale the same machinery was a 3-4× slowdown
+    (round-11 profiling), which is exactly the size-adaptive plan choice a
+    cluster optimizer makes from table stats."""
     from pyspark.sql import Window as W
 
     sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
@@ -425,6 +496,25 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    if not big:
+        rb = bands.withColumn(
+            "rk", F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id"))
+        )
+        a, b = rb.alias("a"), rb.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("b.rk") > F.col("a.rk"))
+                & (F.col("b.rk") <= F.col("a.rk") + LSH_BUCKET_WINDOW),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        return _verify_pairs_small(sh, cand)
     # BUCKET-CLASS dedup before the window join (sf100 probe finding): two
     # buckets with the same member set emit the SAME windowed pairs (rk
     # orders by doc_id, so ordering — hence pairing — is a function of
@@ -454,7 +544,19 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
     # is a plain spillable HashAggregate instead of an object aggregate
     # growing arrays (also ~2× cheaper on the bench's all-unique corpus,
     # recovering the round-10 dedup_lsh_recall_report regression).
+    from pyspark.storagelevel import StorageLevel
+
     mh = F.xxhash64(F.col("doc_id"))
+    # bands feeds TWO subtrees (the bucket-class aggregate and the rbands
+    # join) and sets feeds two more (rbands and the verify's representative
+    # build) — with differing projections above each use, Catalyst plans NO
+    # ReusedExchange and the whole signature pipeline recomputes once per
+    # consumer (round-11 profiling: the sketch ran 2-3× inside one query,
+    # 10-14 s instead of ~6 at sf0.1, and the same multiplier inside the
+    # sf100 probes).  DISK_ONLY persists materialize each exactly once;
+    # disk, not memory, so corpus-sized blocks never steal execution memory
+    # from the producing stage's sorts (the sf100 lesson).
+    bands = bands.persist(StorageLevel.DISK_ONLY)
     bucket_cls = bands.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("__bn"),
         F.bit_xor(mh).alias("__bx"),
@@ -466,17 +568,19 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
     # restructure: the window join then emits fingerprint-keyed pairs
     # directly, removing the two sorts of the (possibly 160M-row) pair
     # table against the 5M-doc fingerprint table that the sf100 probe paid.
-    sets = _set_fingerprints(sh)
+    sets = _set_fingerprints(sh).persist(StorageLevel.DISK_ONLY)
     rbands = (
         bands.join(reps, ["band", "key"])
-        .join(sets.select("doc_id", "__fp").hint("merge"), "doc_id")
+        .join(_spillable(sets.select("doc_id", "__fp"), big), "doc_id")
         .withColumn(
             "rk",
             F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
         )
     )
     a, b = rbands.alias("a"), rbands.alias("b")
-    keyed = (
+    # the verify joins read keyed TWICE (distinct fingerprint pairs + the
+    # verdict join back); checkpoint it eagerly so the window join runs once
+    keyed = _disk_checkpoint(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -492,7 +596,10 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
         )
         .distinct()  # (doc_a, doc_b) determines (__fa, __fb): same cardinality
     )
-    return _verify_keyed(sets, keyed)
+    # keyed is materialized: bands served only its build (sets still feeds
+    # the verify below — its persist lives until the session cache evicts)
+    bands.unpersist()
+    return _verify_keyed(sets, keyed, big=big)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,7 +1142,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BAND_CASE.format(c="c", u="__u")).alias("band"),
         )
     )
-    lsh = minhash_pairs(sh).select(
+    lsh = minhash_pairs(sh, big=_corpus_is_big(sf_dir)).select(
         "doc_a", "doc_b", F.lit(1).alias("__found")
     )
     return (

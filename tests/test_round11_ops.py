@@ -83,6 +83,23 @@ def test_set_fingerprint_injective_on_separator_shingles(spark):
     assert got == []  # disjoint sets: Jaccard 0, below threshold
 
 
+def test_minhash_small_and_big_paths_agree(spark):
+    """``big`` selects the physical shape only: the one-shot small-corpus
+    plan and the canonicalized/persisted big-corpus plan must emit the same
+    (doc_a, doc_b, jaccard) rows on a mixed fixture (clone groups of
+    different sizes + uniques + a mega group over the bucket window)."""
+    docs = (
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 41)]
+        + [(100 + i, "pack my box with five dozen liquor jugs") for i in range(3)]
+        + [(200 + i, f"unique document number {i} with its own words") for i in range(5)]
+    )
+    sh = _shingles(spark.createDataFrame(docs, ["doc_id", "text"]))
+    small = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_pairs(sh, big=False).collect()}
+    bigp = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_pairs(sh, big=True).collect()}
+    assert small == bigp
+    assert small  # non-degenerate fixture
+
+
 def test_verify_candidates_has_no_nonspillable_build(spark):
     """Physical pin for the sf100 fix: the pair-path joins must not plan a
     ShuffledHashJoin (non-spillable build map) or a statically-misestimated
