@@ -854,6 +854,22 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # shuffle files are dead weight for the whole iteration — reclaim them
     reclaim_shuffles(p)
     e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # GRAPH-SIZED loop partitioning (round 11): the session's shuffle
+    # partition count is sized for the INPUT CORPUS (bytes-derived in the
+    # scale probes), but every structure this loop touches is GRAPH-sized —
+    # edges and labels, orders of magnitude narrower than the documents
+    # that produced them.  Inheriting the corpus width over-partitions the
+    # per-round joins and costs per-round fixed overhead that dominates at
+    # middle scale (sf30: 863 s at 156 corpus-derived partitions vs 583 s
+    # at 32 — measured, round 11).  The pair table is already materialized
+    # (checkpoint above), so its exact cardinality is one cheap scan; size
+    # the loop's edge partitioning at ~32 MB/partition of symmetric edges,
+    # never above what the session would have used.
+    n_pairs = p.count()
+    spark = p.sparkSession
+    cpus = spark.sparkContext.defaultParallelism
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_loop = max(cpus, min(session_parts, (2 * n_pairs * 16) // (32 << 20) + 1))
     # sym is read by EVERY round's neighbor join on v — persist it
     # pre-partitioned on the join key so rounds shuffle only the (small,
     # frontier-sized) label side instead of re-exchanging the full edge
@@ -862,7 +878,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # it becomes a one-time build cost.
     sym = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition("v")
+        .repartition(n_loop, "v")
         .persist()
     )
     lab = truncated_checkpoint(
