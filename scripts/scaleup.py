@@ -65,11 +65,19 @@ def main() -> None:
     for table, keys in KEYED.items():
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
+        # COPY goes to a temp path and renames on success (ADVICE r11):
+        # DuckDB writes the destination directly, so a kill mid-write left a
+        # non-empty TRUNCATED file the resume skip then trusted forever,
+        # poisoning every probe at that scale.  rename() is atomic within
+        # the directory, so `dst` either doesn't exist or is complete.
+        tmp = f"{out}/.{table}.parquet.tmp"
         if os.path.exists(dst) and os.path.getsize(dst) > 0:
             print(f"{table}: exists, skipped")  # resumable after a kill
             continue
+        if os.path.exists(tmp):
+            os.remove(tmp)  # leftover from a killed run
         if not keys:  # fixed dims: copy through
-            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{tmp}' (FORMAT PARQUET)")
         else:
             cols = ", ".join(
                 f"{c} + rep * {OFF} AS {c}" if c in keys else c
@@ -81,9 +89,10 @@ def main() -> None:
             con.sql(
                 f"COPY (SELECT {cols} FROM '{src}' "
                 f"CROSS JOIN (SELECT UNNEST(RANGE({k})) AS rep) reps) "
-                f"TO '{dst}' (FORMAT PARQUET)"
+                f"TO '{tmp}' (FORMAT PARQUET)"
             )
-        n = con.sql(f"SELECT COUNT(*) FROM '{dst}'").fetchone()[0]
+        n = con.sql(f"SELECT COUNT(*) FROM '{tmp}'").fetchone()[0]
+        os.rename(tmp, dst)
         print(f"{table}: {n} rows -> {dst}")
 
 
