@@ -1013,8 +1013,24 @@ def connected_components(pairs: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     return lab.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, cluster_id) labels of the verified near-dup
+    pair graph — the family's third maintained artifact (pair table →
+    clusters → every consumer: cluster listing, survivorship election,
+    corpus filter).  The loop's final label table is already materialized
+    by truncated_checkpoint, so caching it costs nothing beyond the
+    reference; without it each consumer re-ran the whole iterative loop
+    (at sf100: ~3 runs × ~20 rounds of joins over a 320M-edge graph)."""
+    return session_cached(
+        "cc_labels",
+        spark,
+        sf_dir,
+        lambda: connected_components(verified_minhash_pairs(spark, sf_dir)),
+    )
+
+
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc = connected_components(verified_minhash_pairs(spark, sf_dir))
+    cc = cc_labels(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     # no broadcast hint: sizes has one row per duplicate CLUSTER — at corpus
     # scale that is not broadcast-sized; AQE picks broadcast when it is
@@ -1118,7 +1134,7 @@ register("dedup_fuzzy_name", dedup_fuzzy_name, DEDUP_FUZZY_NAME_SQL)
 
 
 def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc = connected_components(verified_minhash_pairs(spark, sf_dir))
+    cc = cc_labels(spark, sf_dir)
     d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     members = cc.join(d, "doc_id")
     best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))

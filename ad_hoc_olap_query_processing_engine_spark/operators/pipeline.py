@@ -28,9 +28,8 @@ from ..sources.catalog import load_table
 from .dedup import (
     _SHINGLES_SQL,
     _minhash_ctes,
-    connected_components,
+    cc_labels,
     shingle_postings,
-    verified_minhash_pairs,
 )
 from .registry import register
 from .text import TEXT_QUALITY_SQL, quality_frame
@@ -38,7 +37,7 @@ from .text import TEXT_QUALITY_SQL, quality_frame
 
 def pipe_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    cc = connected_components(verified_minhash_pairs(spark, sf_dir))
+    cc = cc_labels(spark, sf_dir)
     nonkeep = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     q = quality_frame(d).filter(F.col("keep"))
     # no broadcast hint: the non-keeper set is a duplicate-rate fraction of

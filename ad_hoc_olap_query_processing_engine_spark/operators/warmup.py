@@ -33,6 +33,9 @@ _BUILDERS: list[tuple[str, str]] = [
     # the prebuild the report re-ran the full capped sketch per invocation
     # (round-11 bench variance, 3.3 ↔ 7.0 s)
     ("dedup", "verified_minhash_pairs_capped"),
+    # CC labels: shared by dedup_cluster_cc, dedup_survivorship and
+    # pipe_corpus_filter (round 12 — previously each re-ran the loop)
+    ("dedup", "cc_labels"),
     # graph family: co-purchase and capped kNN edge tables
     ("graph", "purchase_edges"),
     ("graph", "knn_copurchase_edges"),
@@ -55,8 +58,10 @@ def warm_family_indexes(
     """Force-build every shared family index; returns {index: seconds}.
     Failures are reported and skipped — a missing warmup only shifts cost
     back onto the first consumer, never changes results.  ``modules``
-    restricts the build to the named operator modules (the scale sweep's
-    --family=dedup mode: an sf100 dedup probe shouldn't pay ANN codebooks)."""
+    restricts the build: each entry is an operator module name ("dedup") or
+    a single builder ("dedup.verified_minhash_pairs") — the scale sweep's
+    --family mode, so an sf100 dedup probe pays neither the ANN codebooks
+    nor the exact-pair overlap index its queries never read."""
     import importlib
     import time
 
@@ -64,7 +69,10 @@ def warm_family_indexes(
     builders = (
         _BUILDERS
         if modules is None
-        else [b for b in _BUILDERS if b[0] in modules]
+        else [
+            b for b in _BUILDERS
+            if b[0] in modules or f"{b[0]}.{b[1]}" in modules
+        ]
     )
     for mod_name, attr in builders:
         try:

@@ -582,6 +582,11 @@ def main() -> None:
                         results[n] = merged
                     else:
                         r["amortized"] = True
+            # keep prior extra evidence keys (e.g. sec_at_32_partitions)
+            # that this run's row doesn't redefine
+            for n, r in results.items():
+                if n in prior:
+                    results[n] = {**prior[n], **r}
             prior.update(results)
             results = prior
             failures = [
