@@ -139,9 +139,11 @@ PAIR_HINT_MIN_DOCS = 200_000
 
 def _corpus_is_big(sf_dir: str) -> bool:
     # Catch only what a missing/unreadable footer actually raises (ADVICE
-    # r11): a broad except silently forced the 3-4× slower big-corpus plan
-    # at bench scale on a typo'd sf_dir with no signal.  pyarrow raises
-    # OSError (ArrowInvalid subclasses it) for absent/corrupt files.
+    # r11 + r12): a broad except silently forced the 3-4× slower big-corpus
+    # plan at bench scale on a typo'd sf_dir with no signal.  pyarrow raises
+    # OSError for absent files, but a corrupt/truncated footer raises
+    # pyarrow.ArrowInvalid, which subclasses ValueError (NOT OSError) — both
+    # must degrade to the scale-safe big plan per the contract above.
     try:
         import os
 
@@ -149,7 +151,7 @@ def _corpus_is_big(sf_dir: str) -> bool:
 
         meta = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
         return meta.num_rows >= PAIR_HINT_MIN_DOCS
-    except (OSError, ImportError) as exc:
+    except (OSError, ValueError, ImportError) as exc:
         import sys
 
         print(
@@ -228,22 +230,30 @@ def _set_fingerprints(sh: DataFrame) -> DataFrame:
     32-char md5 hex string (~40 serialized): the fingerprints ride every
     row of the pair-path's window self-join, DISTINCT and disk persist
     (sf30 profile: that phase was 426 s of a 680 s sketch), so key width
-    is shuffle volume.  Simultaneous 64+64-bit collision odds are the same
-    2^-128-per-pair class as the md5 it replaces.  Off the
-    doc_id-partitioned posting index this aggregate plans NO exchange."""
+    is shuffle volume.  The two halves hash STRUCTURALLY DIFFERENT byte
+    streams (ascending vs descending element order, plus a salt), not two
+    seeds of one stream — XXH64 admits seed-independent collisions, so
+    seed-variants alone would correlate (ADVICE r12).  On random corpora
+    the per-pair collision odds are ~2^-128; XXH64 is non-cryptographic,
+    so for ADVERSARIAL corpora this is a best-effort bound, not the md5
+    guarantee it replaced.  Off the doc_id-partitioned posting index this
+    aggregate plans NO exchange."""
     elem = F.transform(
         F.col("__ss"), lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s)
     )
     payload = F.concat_ws("\x1f", elem)
+    # h2 hashes the REVERSED element order (still injective: the
+    # length-prefixed encoding is, and reversal is a bijection on it), so
+    # an h1 collision gives no information about h2 — the halves differ in
+    # input bytes, not merely in seed.
+    payload_rev = F.concat_ws("\x1f", F.reverse(elem))
     return sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("__ss")
     ).withColumn(
         "__fp",
         F.struct(
             F.xxhash64(payload).alias("h1"),
-            # a distinct constant chained into the hash yields the second,
-            # independently-keyed member of the 128-bit fingerprint
-            F.xxhash64(F.lit("fp2"), payload).alias("h2"),
+            F.xxhash64(F.lit("fp2"), payload_rev).alias("h2"),
         ),
     )
 
@@ -252,7 +262,8 @@ def _verify_keyed(sets: DataFrame, keyed: DataFrame, big: bool = True) -> DataFr
     """Exact Jaccard for fingerprint-keyed candidate pairs (doc_a, doc_b,
     __fa, __fb) — run ONCE PER DISTINCT SET-FINGERPRINT PAIR, not once per
     candidate pair (the canonicalize-then-verify shape of a production
-    dedup stage).  Pairs carry only the two 32-byte fingerprints; the array
+    dedup stage).  Pairs carry only the two 16-byte struct<long,long>
+    fingerprints; the array
     payloads join only on the (≤ |distinct sets|) fingerprint-pair table,
     and the verdict joins back to pairs by fingerprint keys.
 
@@ -505,6 +516,21 @@ def _verify_pairs_small(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def lsh_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band index from shingle postings — the
+    banded bucket table a production near-dup index maintains (shared by
+    ``minhash_pairs`` and the incremental pair maintenance in pipeline.py)."""
+    sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
+    r = NUM_HASHES // BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+
+
 def minhash_pairs(
     sh: DataFrame, big: bool = True, pins: list[DataFrame] | None = None
 ) -> DataFrame:
@@ -526,15 +552,7 @@ def minhash_pairs(
     cluster optimizer makes from table stats."""
     from pyspark.sql import Window as W
 
-    sig = _hash_fields(sh).groupBy("doc_id").agg(*_minhash_cols())
-    r = NUM_HASHES // BANDS
-    band_keys = F.array(
-        *[
-            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    bands = lsh_bands(sh)
     if not big:
         rb = bands.withColumn(
             "rk", F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id"))

@@ -11,9 +11,16 @@ Lifecycle rules (the leaks a long-lived embedding host would otherwise hit):
 - entries of DEAD sessions are dropped (their persisted blocks died with the
   SparkContext; keeping references would leak DataFrame objects forever in a
   process that recreates sessions);
-- entries evicted while their session is STILL ALIVE are unpersisted first,
-  releasing executor memory (a session iterating many sf_dirs otherwise
+- entries evicted while their session is STILL ALIVE are released first,
+  freeing executor memory (a session iterating many sf_dirs otherwise
   accumulates persisted blocks without bound — per-name LRU cap below);
+- release is CHECKPOINT-AWARE (round 13, verdict r12 #3):
+  ``DataFrame.unpersist`` only reaches the Dataset cache manager, but
+  ``localCheckpoint`` blocks live on the checkpointed RDD itself and bypass
+  it — so eviction also unpersists the underlying RDD of every LogicalRDD
+  leaf in the plan (which is exactly where localCheckpoint /
+  ``iterutil.truncated_checkpoint`` park their blocks). Builders with
+  bespoke state can still attach an explicit ``release`` callback;
 - builds are serialized under a module lock so concurrent first calls cannot
   double-build and leak the loser's persisted blocks.
 """
@@ -25,20 +32,65 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHES: dict[str, dict[tuple[str, str], DataFrame]] = {}
+# name -> {(applicationId, sf_dir): (df, release_callback | None)}
+_CACHES: dict[str, dict[tuple[str, str], tuple[DataFrame, Callable[[], None] | None]]] = {}
 _LOCK = threading.RLock()
 
 # live sf_dirs kept per artifact name within one session; oldest evicted
-# (and unpersisted) beyond this
+# (and released) beyond this
 MAX_SF_DIRS_PER_NAME = 4
 
 
-def _drop(df: DataFrame) -> None:
-    """Unpersist, tolerating an already-dead SparkContext."""
+def release_blocks(df: DataFrame) -> None:
+    """Free every storage block a cached artifact holds, whether it was
+    ``persist()``-ed (Dataset cache manager) or ``localCheckpoint``-ed
+    (blocks owned by the checkpointed RDD, which ``DataFrame.unpersist``
+    does NOT release). Tolerates an already-dead SparkContext."""
     try:
         df.unpersist()
     except Exception:
         pass
+    # localCheckpoint / truncated_checkpoint frames are (or contain) a bare
+    # LogicalRDD; the blocks live on the PERSISTED ANCESTOR of its wrapped
+    # RDD (the LogicalRDD often wraps a deserializer MapPartitionsRDD over
+    # the checkpointed one), so walk a bounded slice of the lineage and
+    # unpersist every RDD whose storage level is set.
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        leaves = plan.collectLeaves()
+        frontier = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                frontier.append(leaf.rdd())
+        seen: set[int] = set()
+        for _ in range(16):  # checkpoint ancestors sit 0-2 hops up
+            nxt = []
+            for rdd in frontier:
+                rid = rdd.id()
+                if rid in seen:
+                    continue
+                seen.add(rid)
+                if rdd.getStorageLevel().isValid():
+                    rdd.unpersist(False)
+                deps = rdd.dependencies()
+                for j in range(deps.size()):
+                    nxt.append(deps.apply(j).rdd())
+            if not nxt:
+                break
+            frontier = nxt
+    except Exception:  # pragma: no cover - JVM private-API drift safety net
+        pass
+
+
+def _drop(entry: tuple[DataFrame, Callable[[], None] | None]) -> None:
+    df, release = entry
+    if release is not None:
+        try:
+            release()
+        except Exception:
+            pass
+    release_blocks(df)
 
 
 def session_cached(
@@ -46,11 +98,15 @@ def session_cached(
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    release: Callable[[], None] | None = None,
 ) -> DataFrame:
     """Get-or-build the named artifact for (this session, this sf_dir).
 
     ``build`` should return an already-persisted (or checkpointed)
-    DataFrame; it runs at most once per live session per sf_dir."""
+    DataFrame; it runs at most once per live session per sf_dir.
+    ``release``, if given, runs on eviction BEFORE the generic
+    checkpoint-aware block release (for builders holding side state the
+    plan walk cannot see)."""
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     with _LOCK:
@@ -59,18 +115,18 @@ def session_cached(
             # dead-session entries: blocks are already gone, just drop refs
             for stale in [k for k in cache if k[0] != app]:
                 cache.pop(stale)
-            cache[key] = build()
-            # live-session LRU cap: unpersist the oldest surplus entries
+            cache[key] = (build(), release)
+            # live-session LRU cap: release the oldest surplus entries
             while len(cache) > MAX_SF_DIRS_PER_NAME:
                 oldest = next(iter(cache))
                 _drop(cache.pop(oldest))
-        return cache[key]
+        return cache[key][0]
 
 
 def invalidate(name: str | None = None) -> None:
-    """Unpersist and forget cached artifacts — all of them, or one name."""
+    """Release and forget cached artifacts — all of them, or one name."""
     with _LOCK:
         names = [name] if name is not None else list(_CACHES)
         for n in names:
-            for df in _CACHES.pop(n, {}).values():
-                _drop(df)
+            for entry in _CACHES.pop(n, {}).values():
+                _drop(entry)

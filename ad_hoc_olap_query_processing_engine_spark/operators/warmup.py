@@ -36,6 +36,9 @@ _BUILDERS: list[tuple[str, str]] = [
     # CC labels: shared by dedup_cluster_cc, dedup_survivorship and
     # pipe_corpus_filter (round 12 — previously each re-ran the loop)
     ("dedup", "cc_labels"),
+    # incremental pair maintenance (round 13): the refreshed pair table and
+    # the base band/candidate/pair artifacts it maintains
+    ("pipeline", "pipe_minhash_incremental"),
     # graph family: co-purchase and capped kNN edge tables
     ("graph", "purchase_edges"),
     ("graph", "knn_copurchase_edges"),

@@ -13,12 +13,21 @@ per-query map goes to stderr and to bench_full.json next to this file.
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect). A warmup query amortizes JVM/codegen startup out of the
 per-query numbers.
+
+Round 13 (verdict r12 #1 — the bench-watch trigger fired two rounds in a
+row on "host noise"): ``--repeat N`` / ``SPARK_GRAFT_REPEAT=N`` runs every
+query N times back-to-back and reports the per-query MEDIAN (all runs kept
+in ``repeat_runs`` in bench_full.json), and every run now records a HOST
+FINGERPRINT — loadavg before/after, the /proc/stat CPU-time delta across
+the bench, and MemAvailable — so a wall-time swing can be adjudicated
+against measured host conditions instead of narrative.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,9 +38,71 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _proc_stat_cpu() -> dict[str, int] | None:
+    """Aggregate cpu jiffies from /proc/stat (user nice system idle iowait
+    irq softirq steal)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        names = ("user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal")
+        return dict(zip(names, (int(x) for x in parts[1:9])))
+    except (OSError, ValueError):
+        return None
+
+
+def _mem_available_kb() -> int | None:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1])
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def host_fingerprint_start() -> dict:
+    return {
+        "loadavg_before": [round(x, 2) for x in os.getloadavg()],
+        "cpus_online": os.cpu_count(),
+        "mem_available_kb_before": _mem_available_kb(),
+        "_stat0": _proc_stat_cpu(),
+        "_t0": time.time(),
+    }
+
+
+def host_fingerprint_finish(fp: dict) -> dict:
+    """Close the fingerprint: loadavg after, /proc/stat delta over the bench
+    interval, and the busy fraction (all-core). steal>0 or a high
+    load1_before on a 'quiet' host is the external-contention signal the
+    r11/r12 adjudications lacked."""
+    out = {k: v for k, v in fp.items() if not k.startswith("_")}
+    out["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    out["mem_available_kb_after"] = _mem_available_kb()
+    out["wall_sec"] = round(time.time() - fp["_t0"], 1)
+    s0, s1 = fp.get("_stat0"), _proc_stat_cpu()
+    if s0 and s1:
+        delta = {k: s1[k] - s0[k] for k in s0}
+        total = sum(delta.values())
+        busy = total - delta["idle"] - delta["iowait"]
+        out["proc_stat_delta"] = delta
+        out["busy_frac"] = round(busy / total, 4) if total else None
+        out["steal_frac"] = round(delta["steal"] / total, 6) if total else None
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    for i, a in enumerate(sys.argv):
+        if a == "--repeat" and i + 1 < len(sys.argv):
+            repeat = int(sys.argv[i + 1])
+        elif a.startswith("--repeat="):
+            repeat = int(a.split("=", 1)[1])
+    repeat = max(1, repeat)
+    host_fp = host_fingerprint_start()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: object = float(sf)
@@ -89,18 +160,29 @@ def main() -> None:
         )
 
     timings: dict[str, float] = {}
+    repeat_runs: dict[str, list[float]] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        try:
-            _run(qs[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep benching; a failed query shows as -1
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                _run(qs[name](spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # keep benching; a failure shows as -1
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                runs.append(-1.0)
+                break  # don't re-run a failing query
+        if any(t < 0 for t in runs):
             timings[name] = -1.0
+        else:
+            timings[name] = round(statistics.median(runs), 3)
+        if repeat > 1:
+            repeat_runs[name] = runs
 
     ok = sorted(t for t in timings.values() if t >= 0)
     total = round(sum(ok), 3)
     n_failed = sum(1 for t in timings.values() if t < 0)
+    host = host_fingerprint_finish(host_fp)
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -110,7 +192,11 @@ def main() -> None:
         "warmup_indexes_sec": warmup_sec,
         "warmup_indexes": warmup_detail,
         "value_all_in": round(total + warmup_sec, 3),
+        "repeat": repeat,
+        "host": host,
     }
+    if repeat_runs:
+        full["repeat_runs"] = repeat_runs
     print(json.dumps(full), file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as fh:
@@ -134,6 +220,9 @@ def main() -> None:
                 "median_sec": round(ok[len(ok) // 2], 3) if ok else None,
                 "warmup_indexes_sec": warmup_sec,
                 "value_all_in": round(total + warmup_sec, 3),
+                "repeat": repeat,
+                "load1_before": host.get("loadavg_before", [None])[0],
+                "busy_frac": host.get("busy_frac"),
                 "queries": slowest,
             }
         )

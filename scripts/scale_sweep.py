@@ -561,12 +561,20 @@ def main() -> None:
     # stripped the sf30 file's retraction note; evidence context is part of
     # the evidence)
     notes = None
+    if family:
+        # every row measured under --family ran on pre-warmed indexes; flag
+        # it regardless of whether a prior evidence file exists to merge
+        # into (ADVICE r12: a family run with no prior file wrote warm
+        # timings indistinguishable per-row from cold evidence)
+        for r in results.values():
+            r["amortized"] = True
     if args and os.path.exists(out_path):
         try:
             with open(out_path) as fh:
                 prior_doc = json.load(fh)
             notes = prior_doc.get("notes")
             prior = prior_doc.get("queries", {})
+            _PASS = ("exact_match", "rows_only", "spark_ok_oracle_skipped")
             if family:
                 # amortized rows sit NEXT TO the cold evidence: keep the
                 # prior cold `sec`, attach this run's seconds as
@@ -576,17 +584,23 @@ def main() -> None:
                     if n in prior and "sec" in prior[n]:
                         merged = dict(prior[n])
                         merged["sec_amortized"] = r["sec"]
+                        merged["amortized"] = True
                         if r["verdict"] in ("SPARK_FAIL", "MISMATCH"):
                             merged["verdict"] = r["verdict"]
                             merged["err"] = r.get("err")
                         results[n] = merged
-                    else:
-                        r["amortized"] = True
             # keep prior extra evidence keys (e.g. sec_at_32_partitions)
-            # that this run's row doesn't redefine
+            # that this run's row doesn't redefine — but a passing rerun
+            # must not retain the prior row's failure text (ADVICE r12: a
+            # fixed query otherwise showed verdict: exact_match with a
+            # stale err attached)
             for n, r in results.items():
                 if n in prior:
-                    results[n] = {**prior[n], **r}
+                    base = dict(prior[n])
+                    if r.get("verdict") in _PASS:
+                        base.pop("err", None)
+                        base.pop("oracle_err", None)
+                    results[n] = {**base, **r}
             prior.update(results)
             results = prior
             failures = [
