@@ -91,7 +91,10 @@ def main() -> None:
                 f"CROSS JOIN (SELECT UNNEST(RANGE({k})) AS rep) reps) "
                 f"TO '{tmp}' (FORMAT PARQUET)"
             )
-        n = con.sql(f"SELECT COUNT(*) FROM '{tmp}'").fetchone()[0]
+        # read_parquet(), not the bare-path replacement scan: the tmp name
+        # starts with a dot and DuckDB treats dot-files as hidden, so the
+        # replacement scan refuses them (CatalogException)
+        n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{tmp}')").fetchone()[0]
         os.rename(tmp, dst)
         print(f"{table}: {n} rows -> {dst}")
 
