@@ -1509,3 +1509,140 @@ def _minhash_incremental_sql() -> str:
 register(
     "pipe_minhash_incremental", pipe_minhash_incremental, _minhash_incremental_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# pipe_cc_incremental — incremental cluster-label maintenance (round 13).
+#
+# The companion to pipe_minhash_incremental: once the pair table is
+# maintained incrementally, the CLUSTER LABELS over it should be too —
+# re-running connected components over the whole refreshed graph after every
+# CDC batch throws away the fact that most components didn't change.
+#
+# EXACTNESS ARGUMENT: let P0 be the base pair table with correct labeling
+# L0 (cluster_id = min doc_id of the component), and P1 the refreshed table.
+# Define added = P1 \ P0, removed = P0 \ P1, and A = the set of OLD labels
+# of every endpoint of added ∪ removed that has one (brand-new docs have no
+# old label and need none — every edge they touch is an added edge).  Then:
+#   (1) every edge of P1 either is a kept base edge — whose endpoints share
+#       ONE old label, because L0 is edge-closed over P0 — or is an added
+#       edge, whose old-doc endpoints' labels are in A by construction;
+#   (2) an unaffected component (label ∉ A) lost no edge (a removed edge
+#       would put its label in A) and gained no edge, so its membership and
+#       min-doc-id label are unchanged — L0 restricted to it is final;
+#   (3) the affected subgraph — all P1 edges with doc_a new or labeled in A
+#       — is vertex-disjoint from the unaffected components (a kept edge
+#       into one would share its label; an added edge endpoint's label is
+#       in A), so recomputing CC on it alone yields exactly the full
+#       recompute's labels for those vertices.
+# Hence kept labels ∪ subgraph labels ≡ connected_components(P1), and the
+# DuckDB oracle is the FULL-RECOMPUTE mirror (dedup's _cc_sql over the whole
+# corpus — base + delta = all documents), not a mirror of the delta algebra.
+# No transitive closure is needed to find A: old components are edge-closed,
+# so one hop from the delta endpoints reaches every component that can
+# change.
+#
+# At 100 TB: added/removed are two anti-joins between the two MAINTAINED
+# pair tables on the narrow (doc_a, doc_b) key; A is batch-sized and
+# broadcast; classifying P1's edges is ONE join against the maintained
+# label table plus a broadcast probe of A (no shuffle of the label side
+# beyond the doc_a co-partitioning it already has); and the iterative loop
+# — the expensive part of CC at scale — runs over affected-component edges
+# only, not the corpus graph.  A batch that touches 0.1% of components
+# pays ~0.1% of the loop.
+# ---------------------------------------------------------------------------
+
+
+def _incr_base_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained cluster labels over the BASE corpus pair table — the
+    incremental family's 5th session-cached artifact."""
+    from .dedup import connected_components
+    from .session_cache import session_cached
+
+    return session_cached(
+        "cc_incr_base_labels",
+        spark,
+        sf_dir,
+        lambda: connected_components(_incr_base_pairs(spark, sf_dir)),
+    )
+
+
+def _cc_incremental_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The label-maintenance dataflow, exposed piecewise so tests can pin
+    that the iterative recompute touches only affected-component edges."""
+    from .dedup import _disk_checkpoint
+
+    base = _incr_base_pairs(spark, sf_dir)
+    refreshed = pipe_minhash_incremental(spark, sf_dir)
+    l0 = _incr_base_cc(spark, sf_dir)
+    key = ["doc_a", "doc_b"]
+    # jaccard is per-pair-static (a function of the two fixed shingle sets),
+    # so pair identity on the key columns is pair identity
+    added = refreshed.join(base.select(*key), key, "left_anti")
+    removed = base.join(refreshed.select(*key), key, "left_anti")
+    delta_nodes = (
+        added.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(added.select(F.col("doc_b").alias("doc_id")))
+        .unionByName(removed.select(F.col("doc_a").alias("doc_id")))
+        .unionByName(removed.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # batch-sized: one row per OLD component touched by the batch
+    affected = _disk_checkpoint(
+        delta_nodes.join(l0, "doc_id")
+        .select(F.col("cluster_id").alias("__al"))
+        .distinct()
+    )
+    la = l0.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("__la"))
+    hit = F.broadcast(affected.withColumn("__hit", F.lit(1)))
+    # doc_a new (no old label) → added edge → in; else in iff label ∈ A
+    sub = (
+        refreshed.join(la, "doc_a", "left")
+        .join(hit, F.col("__la") == F.col("__al"), "left")
+        .filter(F.col("__la").isNull() | F.col("__hit").isNotNull())
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    kept_lab = l0.join(
+        F.broadcast(affected), F.col("cluster_id") == F.col("__al"), "left_anti"
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "affected": affected,
+        "sub": sub,
+        "kept_lab": kept_lab,
+    }
+
+
+def pipe_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refreshed cluster listing (doc_id, cluster_id, is_keeper,
+    cluster_size) after applying the CDC batch — identical output contract
+    to dedup_cluster_cc over the refreshed pair table, computed by
+    recomputing ONLY the affected components."""
+    from .dedup import connected_components
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        frames = _cc_incremental_frames(spark, sf_dir)
+        sub_lab = connected_components(frames["sub"])
+        return frames["kept_lab"].unionByName(sub_lab)
+
+    labels = session_cached("cc_incr_labels", spark, sf_dir, build)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+        "cluster_size",
+    )
+
+
+def _cc_incremental_sql() -> str:
+    # full-recompute mirror: labels maintained through the delta algebra
+    # must be bit-identical to CC from scratch over the whole corpus
+    from .dedup import _cc_sql
+
+    return _cc_sql()
+
+
+register("pipe_cc_incremental", pipe_cc_incremental, _cc_incremental_sql())

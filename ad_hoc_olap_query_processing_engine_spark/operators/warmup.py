@@ -39,6 +39,10 @@ _BUILDERS: list[tuple[str, str]] = [
     # incremental pair maintenance (round 13): the refreshed pair table and
     # the base band/candidate/pair artifacts it maintains
     ("pipeline", "pipe_minhash_incremental"),
+    # incremental label maintenance (round 13): base labels are the
+    # maintained artifact — warming them leaves the amortized row pricing
+    # the label REFRESH (delta CC loop), the actual per-batch work
+    ("pipeline", "_incr_base_cc"),
     # graph family: co-purchase and capped kNN edge tables
     ("graph", "purchase_edges"),
     ("graph", "knn_copurchase_edges"),

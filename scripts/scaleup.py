@@ -19,8 +19,12 @@ Distribution notes (what replication preserves / changes):
 - replica 0 is byte-identical to sf0.1, so any sf0.1 result is a subset
   sanity anchor.
 
-Usage: python scripts/scaleup.py [K] [out_dir]
+Usage: python scripts/scaleup.py [K] [out_dir] [table ...]
   defaults: K=10, out_dir=/root/repo/.scaledata/sf1  (gitignored)
+  naming specific tables builds a PARTIAL dir (e.g. documents-only for the
+  sf100 dedup probes — 600M-row lineitem would crowd the disk budget for
+  nothing; scale_sweep --all-spark-only never opens the oracle views, so a
+  partial dir is sufficient there)
 """
 
 from __future__ import annotations
@@ -52,6 +56,10 @@ KEYED = {
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scaledata/sf1"
+    only = set(sys.argv[3:])
+    unknown = only - set(KEYED)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # STREAM large COPYs instead of buffering them (sf100 lesson: with
@@ -63,6 +71,8 @@ def main() -> None:
     os.makedirs(f"{out}/.duck_tmp", exist_ok=True)
     con.sql(f"SET temp_directory = '{out}/.duck_tmp'")
     for table, keys in KEYED.items():
+        if only and table not in only:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
         # COPY goes to a temp path and renames on success (ADVICE r11):

@@ -289,3 +289,68 @@ class TestMinhashIncremental:
         # sized frames with single-digit partition counts, so bound the
         # growth instead of fingerprinting ids: result + 3 base artifacts
         assert len(after - before) <= 4
+
+
+class TestCcIncremental:
+    """pipe_cc_incremental (round 13): incremental cluster-label maintenance
+    must equal CC from scratch over the refreshed pair table, and its
+    iterative recompute must touch only affected-component edges."""
+
+    def test_incremental_equals_full_recompute(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
+            dedup_cluster_cc,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.operators.pipeline import (
+            pipe_cc_incremental,
+        )
+
+        inc = {
+            (r.doc_id, r.cluster_id, r.is_keeper, r.cluster_size)
+            for r in pipe_cc_incremental(spark, SF).collect()
+        }
+        full = {
+            (r.doc_id, r.cluster_id, r.is_keeper, r.cluster_size)
+            for r in dedup_cluster_cc(spark, SF).collect()
+        }
+        assert inc == full
+        assert len(inc) > 0
+
+    def test_loop_runs_on_affected_subgraph_only(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+        frames = pipeline._cc_incremental_frames(spark, SF)
+        sub = frames["sub"].count()
+        refreshed = pipeline.pipe_minhash_incremental(spark, SF).count()
+        # the loop input is a strict subset of the refreshed graph: clean
+        # components (which exist at every sf — DELTA_MOD leaves most dup
+        # groups untouched) contribute kept labels, not edges
+        assert 0 < sub < refreshed
+        assert frames["kept_lab"].count() > 0
+        # the kept labels and the recomputed subgraph are vertex-disjoint
+        # (the union would otherwise double-label a doc)
+        sub_nodes = (
+            frames["sub"]
+            .selectExpr("doc_a AS doc_id")
+            .union(frames["sub"].selectExpr("doc_b AS doc_id"))
+            .distinct()
+        )
+        overlap = frames["kept_lab"].join(sub_nodes, "doc_id", "left_semi").count()
+        assert overlap == 0
+
+    def test_affected_set_is_one_hop(self, spark):
+        """A = old labels of delta-edge endpoints; every affected label must
+        be a real base label (no transitive expansion, no phantom ids)."""
+        from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+        frames = pipeline._cc_incremental_frames(spark, SF)
+        l0 = pipeline._incr_base_cc(spark, SF)
+        phantom = (
+            frames["affected"]
+            .join(
+                l0.select(F.col("cluster_id").alias("__al")).distinct(),
+                "__al",
+                "left_anti",
+            )
+            .count()
+        )
+        assert phantom == 0
