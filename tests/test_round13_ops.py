@@ -354,3 +354,73 @@ class TestCcIncremental:
             .count()
         )
         assert phantom == 0
+
+
+class TestIvfIncremental:
+    """sim_ivf_incremental (round 13): ANN index maintenance without refit —
+    batch vectors join the maintained IVF index via assignment only."""
+
+    def test_oracle_exact_at_dev_scale(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ad_hoc_olap_query_processing_engine_spark.oracle_lint import TABLES
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            registry,
+            similarity,
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        got = similarity.sim_ivf_incremental(spark, SF).toPandas()
+        sql = registry.oracle_sqls(["sim_ivf_incremental"])["sim_ivf_incremental"]
+        exp = con.sql(sql).df()
+
+        def norm(df):
+            df = df[sorted(df.columns)].copy()
+            return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+                drop=True
+            )
+
+        pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
+        assert len(got) > 0
+
+    def test_fit_never_sees_the_batch(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import similarity
+
+        from ad_hoc_olap_query_processing_engine_spark.sources.catalog import (
+            load_table,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        fit_slice = (
+            similarity._km_base(e)
+            .filter(similarity._km_fit_filter() & ~similarity._ivfk_delta_pred())
+            .select("vec_id")
+        )
+        leaked = fit_slice.filter(similarity._ivfk_delta_pred()).count()
+        assert leaked == 0
+        assert fit_slice.count() > 0
+
+    def test_batch_pass_is_batch_sized_and_index_is_complete(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import similarity
+        from ad_hoc_olap_query_processing_engine_spark.sources.catalog import (
+            load_table,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        n_all = e.count()
+        n_delta = e.filter(similarity._ivfk_delta_pred()).count()
+        assert 0 < n_delta < n_all
+        cents = similarity._ivfk_model_cents(spark, SF)
+        assert len(cents) == similarity.IVF_CLUSTERS
+        delta_cells = (
+            similarity._km_base(e)
+            .filter(similarity._ivfk_delta_pred())
+            .withColumn("cell", similarity._km_argmin(cents))
+        )
+        assert delta_cells.count() == n_delta
+        base_cells = similarity._ivfk_base_cells(spark, SF)
+        # refreshed index covers every vector exactly once
+        assert base_cells.count() + n_delta == n_all
