@@ -1412,11 +1412,28 @@ def _incr_base_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached("mh_incr_base_pairs", spark, sf_dir, build)
 
 
-def _incr_delta_frames(
-    spark: SparkSession, sf_dir: str, pins: list[DataFrame] | None = None
+def refresh_pair_store(
+    spark: SparkSession,
+    bands0: DataFrame,
+    cands0: DataFrame,
+    pairs0: DataFrame,
+    delta_docs: DataFrame,
+    postings_all: DataFrame,
+    big: bool,
+    pins: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
-    """The delta-maintenance dataflow, exposed piecewise so tests can pin
-    that each stage touches only delta-derived work.
+    """ONE exact maintenance step of the near-dup pair store: given a store
+    {bands0 (band index), cands0 (per-bucket provenance candidates), pairs0
+    (verified pairs)} that is correct for some corpus C, and a batch of NEW
+    documents, produce the dataflow frames plus the refreshed store
+    (bands1/cands1/result) correct for C ∪ batch.  The exactness argument
+    is the pipe_minhash_incremental header above; because each step's
+    postcondition is the next step's precondition, the refresh FOLDS over
+    any sequence of disjoint batches — which is what the streaming
+    maintenance cert (streaming/maintenance.py) exercises.
+
+    ``postings_all`` must cover C ∪ batch (verification fetches shingle
+    sets for involved doc_ids via a semi-join into it).
 
     The batch working set (delta band rows, the fresh-pair list) is
     MATERIALIZED eagerly: it is |batch|-sized, every downstream stage reads
@@ -1426,12 +1443,10 @@ def _incr_delta_frames(
     release their blocks once the refreshed pair table is materialized —
     the same discipline as dedup.minhash_pairs."""
     from .dedup import (
-        _corpus_is_big,
         _disk_checkpoint,
         _shingles,
         _verify_candidates,
         lsh_bands,
-        shingle_postings,
     )
 
     def _pin(df: DataFrame) -> DataFrame:
@@ -1440,22 +1455,39 @@ def _incr_delta_frames(
             pins.append(out)
         return out
 
-    docs = load_table(spark, "documents", sf_dir)
-    delta_sh = _shingles(docs.filter(_delta_pred()))
+    pair_key = ["doc_a", "doc_b"]
+    delta_sh = _shingles(delta_docs)
     delta_bands = _pin(lsh_bands(delta_sh))
-    base_bands = _incr_base_bands(spark, sf_dir)
     dirty = delta_bands.select("band", "key").distinct()
-    dirty_members = base_bands.join(dirty, ["band", "key"], "left_semi").unionByName(
+    dirty_members = bands0.join(dirty, ["band", "key"], "left_semi").unionByName(
         delta_bands
     )
-    cand_dirty = _windowed_bucket_pairs(dirty_members)
-    base_cands = _incr_base_cands(spark, sf_dir)
-    kept_cands = base_cands.join(dirty, ["band", "key"], "left_anti")
-    cand_full = _pin(
-        kept_cands.unionByName(cand_dirty).select("doc_a", "doc_b").distinct()
+    # read by the fresh leg, the survivor leg and cands1 — materialize once
+    cand_dirty = _pin(_windowed_bucket_pairs(dirty_members))
+    kept_cands = cands0.join(dirty, ["band", "key"], "left_anti")
+    cands1 = kept_cands.unionByName(cand_dirty)
+
+    # FRESH pairs without any store-sized shuffle (round-13 profile: the
+    # previous form's ``distinct`` + anti-join over the FULL candidate
+    # store was the dominant per-batch cost — O(|store|) shuffles for a
+    # |batch|-bounded answer).  Window-monotonicity lemma: within one
+    # bucket ordered by doc_id, inserting members can only GROW the rank
+    # distance between two existing members, so a base–base pair in a
+    # recomputed dirty window was already in that same bucket's old window
+    # — i.e. every genuinely new candidate pair involves a batch document,
+    # and batch doc_ids are disjoint from the base corpus, so none of
+    # these can already be in the store.  Hence
+    #   fresh = distinct pairs of cand_dirty touching a batch doc,
+    # built by two broadcast semi-joins against the |batch|-sized id list.
+    delta_ids = delta_docs.select("doc_id").distinct()
+    da = F.broadcast(delta_ids.select(F.col("doc_id").alias("doc_a")))
+    db = F.broadcast(delta_ids.select(F.col("doc_id").alias("doc_b")))
+    cd_pairs = cand_dirty.select(*pair_key)
+    fresh = _pin(
+        cd_pairs.join(da, "doc_a", "left_semi")
+        .unionByName(cd_pairs.join(db, "doc_b", "left_semi"))
+        .distinct()
     )
-    base_cand_set = base_cands.select("doc_a", "doc_b").distinct()
-    fresh = _pin(cand_full.join(base_cand_set, ["doc_a", "doc_b"], "left_anti"))
     # verification fetches shingle sets for the INVOLVED doc_ids only, via a
     # semi-join into the maintained posting index (base + appended delta)
     involved = (
@@ -1463,22 +1495,78 @@ def _incr_delta_frames(
         .unionByName(fresh.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_involved = shingle_postings(spark, sf_dir).join(involved, "doc_id", "left_semi")
-    fresh_verified = _verify_candidates(
-        sh_involved, fresh, big=_corpus_is_big(sf_dir)
+    sh_involved = postings_all.join(involved, "doc_id", "left_semi")
+    fresh_verified = _verify_candidates(sh_involved, fresh, big=big)
+
+    # REMOVED pairs, same discipline: a verified base pair can drop out
+    # only if EVERY bucket that contributed it is dirty and none of the
+    # recomputed dirty windows re-paired it — which is exactly what the
+    # per-bucket provenance store answers.  pairs_at_risk (distinct pairs
+    # with ≥1 dirty provenance row) and its refinements are bounded by the
+    # batch's bucket fan-out; the two cands0 passes are shuffle-free scans
+    # probing small build sides, and the final anti-join against ``removed``
+    # is a broadcast probe of the base pair table — no store-sized shuffle
+    # anywhere on the maintenance path.
+    dirty_prov = cands0.join(dirty, ["band", "key"], "left_semi")
+    pairs_at_risk = _pin(dirty_prov.select(*pair_key).distinct())
+    prov_of_risky = cands0.join(pairs_at_risk, pair_key, "left_semi")
+    clean_contrib = (
+        prov_of_risky.join(dirty, ["band", "key"], "left_anti")
+        .select(*pair_key)
+        .distinct()
     )
-    kept_base = _incr_base_pairs(spark, sf_dir).join(
-        cand_full, ["doc_a", "doc_b"], "left_semi"
+    removed = _pin(
+        pairs_at_risk.join(cd_pairs, pair_key, "left_anti").join(
+            clean_contrib, pair_key, "left_anti"
+        )
     )
+    # removed is already materialized by the pin, so sizing it is one cheap
+    # scan (the CC-loop discipline): broadcast the usual batch-bounded case,
+    # fall back to the shuffle plan for adversarial mega-batches
+    from .dedup import CC_BROADCAST_MAX_ROWS
+
+    rm = (
+        F.broadcast(removed)
+        if removed.count() <= CC_BROADCAST_MAX_ROWS
+        else removed
+    )
+    kept_base = pairs0.join(rm, pair_key, "left_anti")
     return {
         "delta_bands": delta_bands,
         "dirty": dirty,
         "dirty_members": dirty_members,
         "fresh": fresh,
         "fresh_verified": fresh_verified,
+        "removed": removed,
         "kept_base": kept_base,
+        "kept_cands": kept_cands,
+        "cand_dirty": cand_dirty,
+        "bands1": bands0.unionByName(delta_bands),
+        "cands1": cands1,
         "result": kept_base.unionByName(fresh_verified),
     }
+
+
+def _incr_delta_frames(
+    spark: SparkSession, sf_dir: str, pins: list[DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    """The one-shot delta-maintenance dataflow over the session-cached base
+    artifacts — refresh_pair_store applied to the simulated CDC batch,
+    exposed piecewise so tests can pin that each stage touches only
+    delta-derived work."""
+    from .dedup import _corpus_is_big, shingle_postings
+
+    docs = load_table(spark, "documents", sf_dir)
+    return refresh_pair_store(
+        spark,
+        _incr_base_bands(spark, sf_dir),
+        _incr_base_cands(spark, sf_dir),
+        _incr_base_pairs(spark, sf_dir),
+        docs.filter(_delta_pred()),
+        shingle_postings(spark, sf_dir),
+        big=_corpus_is_big(sf_dir),
+        pins=pins,
+    )
 
 
 def pipe_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,7 @@ def _load_all() -> None:
     from . import timeseries  # noqa: F401
     from ..functions import scalar  # noqa: F401
     from ..sources import pydatasource  # noqa: F401
+    from ..streaming import maintenance  # noqa: F401
     from ..streaming import windows  # noqa: F401
 
 

@@ -61,6 +61,10 @@ _BUILDERS: list[tuple[str, str]] = [
     ("similarity", "ivfpq_codes"),
     # text family: corpus bigram-LM fluency scores
     ("text", "bigram_lm_scores"),
+    # streaming maintenance (round 13): the maintained pair table is the
+    # stream's product; the ~20 blocking jobs of driving the micro-batch
+    # fold belong to the build, not to the consumer's read
+    ("streaming.maintenance", "stream_minhash_maintenance"),
 ]
 
 
@@ -86,9 +90,15 @@ def warm_family_indexes(
             if b[0] in modules or f"{b[0]}.{b[1]}" in modules
         ]
     )
+    top_pkg = __package__.rsplit(".", 1)[0]
     for mod_name, attr in builders:
         try:
-            mod = importlib.import_module(f"{__package__}.{mod_name}")
+            try:
+                mod = importlib.import_module(f"{__package__}.{mod_name}")
+            except ModuleNotFoundError:
+                # dotted names outside operators/ (e.g. streaming.maintenance)
+                # resolve against the top-level package
+                mod = importlib.import_module(f"{top_pkg}.{mod_name}")
             fn = getattr(mod, attr)
             t0 = time.perf_counter()
             out = fn(spark, sf_dir)

@@ -1,0 +1,205 @@
+"""Streaming near-dup index maintenance (round 13).
+
+``stream_minhash_maintenance`` drives the SAME exact maintenance algebra
+that pipe_minhash_incremental certifies for one CDC batch through a REAL
+Structured Streaming pipeline: the documents table is split into
+``N_STREAM_BATCHES`` deterministic insert batches (doc_id % N), fed through
+a file-source ``readStream`` one file per trigger, and ``foreachBatch``
+folds each micro-batch into the maintained store (band index, per-bucket
+provenance candidates, verified pairs, posting index).  After the stream
+drains, the maintained pair table is returned — and its DuckDB oracle is
+the FULL-RECOMPUTE mirror (dedup._minhash_sql), i.e. the claim is that a
+pair index maintained incrementally across a whole stream of inserts is
+bit-identical to rebuilding from scratch.
+
+Each fold step is ``pipeline.refresh_pair_store`` — correct-store(C) +
+new-docs(B) → correct-store(C ∪ B); the postcondition matches the next
+step's precondition, so the induction covers any number of micro-batches,
+and the final result is independent of how the file source happens to
+group files into triggers (any grouping is still a disjoint insert batch).
+
+At 100 TB this is the production shape for a LIVING corpus fed by a queue:
+per batch the work is |batch| shingling + band hashing, a co-located
+semi-join to fetch dirty buckets, windowed re-pairing of those buckets
+only, and verification of genuinely new candidate pairs — the base corpus
+is never rescanned.  The store frames are DISK_ONLY-checkpointed between
+batches (bounded lineage — the round-10 iterative-checkpoint lesson) and
+the previous generation's blocks are released as soon as the new
+generation is materialized, so state on the host is one store generation,
+not one per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+from ..sources.catalog import load_table
+
+N_STREAM_BATCHES = 3
+
+
+def _batch_dir(sf_dir: str) -> str:
+    return os.path.join(
+        "/tmp/spark_graft_stream_docs", sf_dir.strip("/").replace("/", "_")
+    )
+
+
+def _write_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Split documents into N_STREAM_BATCHES parquet files (doc_id % N) with
+    ascending mtimes, so the file source offers them as separate triggers in
+    a deterministic order.  Rewritten per call — the fold's result is
+    order-independent anyway (see module header)."""
+    out = _batch_dir(sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    for i in range(N_STREAM_BATCHES):
+        part = docs.filter(F.col("doc_id") % N_STREAM_BATCHES == i)
+        tmp = os.path.join(out, f".batch_{i}.tmp")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(out, f"batch_{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (i + 1, i + 1))  # ascending mtimes → stable offer order
+        shutil.rmtree(tmp)
+    return out
+
+
+def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pair table maintained across a stream of insert
+    micro-batches; ≡ a from-scratch rebuild over the whole corpus.  The
+    maintained table is a session-cached artifact (the stream IS the
+    maintenance job; consumers read its product), so repeated reads don't
+    re-drive the stream — same attribution as the family's other indexes."""
+    from ..operators.session_cache import session_cached
+
+    return session_cached(
+        "stream_maint_pairs",
+        spark,
+        sf_dir,
+        lambda: _drive_maintenance_stream(spark, sf_dir),
+    )
+
+
+def _drive_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        _corpus_is_big,
+        _disk_checkpoint,
+        _shingles,
+        _verify_candidates,
+        lsh_bands,
+    )
+    from ..operators.pipeline import _windowed_bucket_pairs, refresh_pair_store
+    from ..operators.session_cache import release_blocks
+
+    batch_src = _write_batches(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    big = _corpus_is_big(sf_dir)
+
+    # empty but schema-correct store (schemas derived from the real
+    # pipelines over a zero-row doc frame, never hardcoded): the first
+    # fold's "kept" legs are no-ops and the refresh degenerates to a
+    # from-scratch build of batch 0.  Checkpointed so generation 0 is bare
+    # LogicalRDDs like every later generation — feeding the RAW empty
+    # plans into the fold leaves the first cands1 union with legs that
+    # share subtrees/attribute ids, which trips Catalyst's union
+    # constraint rewrite (NoSuchElementException: key not found: band#N
+    # during localCheckpoint).
+    empty_sh = _shingles(docs.limit(0))
+    empty_bands = lsh_bands(empty_sh)
+    empty_cands = _windowed_bucket_pairs(empty_bands)
+    state: dict[str, object] = {
+        "bands": _disk_checkpoint(empty_bands),
+        "cands": _disk_checkpoint(empty_cands),
+        "pairs": _disk_checkpoint(
+            _verify_candidates(
+                empty_sh, empty_cands.select("doc_a", "doc_b"), big=big
+            )
+        ),
+        "postings": _disk_checkpoint(empty_sh),
+        "pins": [],
+    }
+
+    def fold(bdf: DataFrame, batch_id: int) -> None:
+        postings_all = state["postings"].unionByName(_shingles(bdf))
+        pins: list[DataFrame] = []
+        frames = refresh_pair_store(
+            spark,
+            state["bands"],
+            state["cands"],
+            state["pairs"],
+            bdf,
+            postings_all,
+            big=big,
+            pins=pins,
+        )
+        # materialize the NEW store generation, then release the batch
+        # working set and the PREVIOUS generation's blocks — live state on
+        # the host is one store generation, not one per micro-batch.
+        # Anti-join legs (kept_cands, kept_base) are checkpointed SEPARATELY
+        # and unioned as bare LogicalRDDs: checkpointing a union whose leg
+        # is an anti-join trips Catalyst's union constraint rewrite with
+        # the right side's attributes (NoSuchElementException: key not
+        # found: band#N); unions of bare LogicalRDDs rewrite cleanly.
+        cand_dirty = frames["cand_dirty"]  # pinned inside the refresh
+        kept_cands_ck = _disk_checkpoint(frames["kept_cands"])
+        kept_base_ck = _disk_checkpoint(frames["kept_base"])
+        fresh_verified_ck = _disk_checkpoint(frames["fresh_verified"])
+        new_state = {
+            "bands": _disk_checkpoint(frames["bands1"]),
+            "cands": kept_cands_ck.unionByName(cand_dirty),
+            "pairs": kept_base_ck.unionByName(fresh_verified_ck),
+            "postings": _disk_checkpoint(postings_all),
+        }
+        owned = [
+            new_state["bands"],
+            kept_cands_ck,
+            cand_dirty,  # adopted into the store — excluded from pin release
+            kept_base_ck,
+            fresh_verified_ck,
+            new_state["postings"],
+        ]
+        for df in pins:
+            if df is not cand_dirty:
+                release_blocks(df)
+        for old in state["pins"]:
+            release_blocks(old)
+        state["pins"] = owned
+        state.update(new_state)
+
+    raw_schema = spark.read.parquet(batch_src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batch_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the caller consumes only the pair table; the final generation's other
+    # artifacts would otherwise leak one block set per invocation
+    for k in ("bands", "cands", "postings"):
+        release_blocks(state[k])
+    return state["pairs"]
+
+
+def _maintenance_sql() -> str:
+    from ..operators.dedup import _minhash_sql
+
+    return _minhash_sql()
+
+
+register(
+    "stream_minhash_maintenance", stream_minhash_maintenance, _maintenance_sql()
+)

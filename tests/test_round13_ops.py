@@ -424,3 +424,48 @@ class TestIvfIncremental:
         base_cells = similarity._ivfk_base_cells(spark, SF)
         # refreshed index covers every vector exactly once
         assert base_cells.count() + n_delta == n_all
+
+
+class TestStreamMaintenance:
+    """stream_minhash_maintenance (round 13): the pair store folded across
+    real micro-batches must equal a from-scratch rebuild."""
+
+    def test_stream_fold_equals_full_recompute(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators.dedup import (
+            dedup_minhash_lsh,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.streaming.maintenance import (
+            stream_minhash_maintenance,
+        )
+
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in stream_minhash_maintenance(spark, SF).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup_minhash_lsh(spark, SF).collect()
+        }
+        assert got == full
+        assert len(got) > 0
+
+    def test_one_generation_of_state(self, spark):
+        """Folding the stream must not accumulate one block set per
+        micro-batch: after the drive, only the final pair table (plus any
+        lazily-built family artifacts) may hold blocks."""
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            session_cache,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.streaming import (
+            maintenance,
+        )
+
+        session_cache.invalidate("stream_maint_pairs")
+        before = _persisted_rdd_ids(spark)
+        df = maintenance.stream_minhash_maintenance(spark, SF)
+        df.count()
+        after = _persisted_rdd_ids(spark)
+        # the cached result is a union of two checkpointed legs (kept +
+        # fresh); each fold's intermediate generations and pins must be
+        # released — bound the residual instead of fingerprinting ids
+        assert len(after - before) <= 3
