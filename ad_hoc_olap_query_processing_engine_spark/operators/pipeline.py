@@ -1455,16 +1455,29 @@ def refresh_pair_store(
             pins.append(out)
         return out
 
+    from .dedup import CC_BROADCAST_MAX_ROWS
+
+    def _gated(df: DataFrame, n: int) -> DataFrame:
+        """Broadcast a materialized batch-derived side when its MEASURED
+        size allows (the CC-loop discipline): the store-side scans then
+        plan as shuffle-free broadcast probes instead of whatever a
+        statistics-blind planner picks for a bare LogicalRDD (Catalyst
+        defaults checkpointed frames to huge ⇒ sort-merge ⇒ a full
+        exchange of the corpus-sized store per batch)."""
+        return F.broadcast(df) if n <= CC_BROADCAST_MAX_ROWS else df
+
     pair_key = ["doc_a", "doc_b"]
     delta_sh = _shingles(delta_docs)
     delta_bands = _pin(lsh_bands(delta_sh))
-    dirty = delta_bands.select("band", "key").distinct()
-    dirty_members = bands0.join(dirty, ["band", "key"], "left_semi").unionByName(
+    # read by FOUR joins below — materialize once, size once
+    dirty = _pin(delta_bands.select("band", "key").distinct())
+    bdirty = _gated(dirty, dirty.count())
+    dirty_members = bands0.join(bdirty, ["band", "key"], "left_semi").unionByName(
         delta_bands
     )
     # read by the fresh leg, the survivor leg and cands1 — materialize once
     cand_dirty = _pin(_windowed_bucket_pairs(dirty_members))
-    kept_cands = cands0.join(dirty, ["band", "key"], "left_anti")
+    kept_cands = cands0.join(bdirty, ["band", "key"], "left_anti")
     cands1 = kept_cands.unionByName(cand_dirty)
 
     # FRESH pairs without any store-sized shuffle (round-13 profile: the
@@ -1479,9 +1492,10 @@ def refresh_pair_store(
     # these can already be in the store.  Hence
     #   fresh = distinct pairs of cand_dirty touching a batch doc,
     # built by two broadcast semi-joins against the |batch|-sized id list.
-    delta_ids = delta_docs.select("doc_id").distinct()
-    da = F.broadcast(delta_ids.select(F.col("doc_id").alias("doc_a")))
-    db = F.broadcast(delta_ids.select(F.col("doc_id").alias("doc_b")))
+    delta_ids = _pin(delta_docs.select("doc_id").distinct())
+    n_delta = delta_ids.count()
+    da = _gated(delta_ids.select(F.col("doc_id").alias("doc_a")), n_delta)
+    db = _gated(delta_ids.select(F.col("doc_id").alias("doc_b")), n_delta)
     cd_pairs = cand_dirty.select(*pair_key)
     fresh = _pin(
         cd_pairs.join(da, "doc_a", "left_semi")
@@ -1507,11 +1521,12 @@ def refresh_pair_store(
     # probing small build sides, and the final anti-join against ``removed``
     # is a broadcast probe of the base pair table — no store-sized shuffle
     # anywhere on the maintenance path.
-    dirty_prov = cands0.join(dirty, ["band", "key"], "left_semi")
+    dirty_prov = cands0.join(bdirty, ["band", "key"], "left_semi")
     pairs_at_risk = _pin(dirty_prov.select(*pair_key).distinct())
-    prov_of_risky = cands0.join(pairs_at_risk, pair_key, "left_semi")
+    brisk = _gated(pairs_at_risk, pairs_at_risk.count())
+    prov_of_risky = cands0.join(brisk, pair_key, "left_semi")
     clean_contrib = (
-        prov_of_risky.join(dirty, ["band", "key"], "left_anti")
+        prov_of_risky.join(bdirty, ["band", "key"], "left_anti")
         .select(*pair_key)
         .distinct()
     )
@@ -1520,17 +1535,7 @@ def refresh_pair_store(
             clean_contrib, pair_key, "left_anti"
         )
     )
-    # removed is already materialized by the pin, so sizing it is one cheap
-    # scan (the CC-loop discipline): broadcast the usual batch-bounded case,
-    # fall back to the shuffle plan for adversarial mega-batches
-    from .dedup import CC_BROADCAST_MAX_ROWS
-
-    rm = (
-        F.broadcast(removed)
-        if removed.count() <= CC_BROADCAST_MAX_ROWS
-        else removed
-    )
-    kept_base = pairs0.join(rm, pair_key, "left_anti")
+    kept_base = pairs0.join(_gated(removed, removed.count()), pair_key, "left_anti")
     return {
         "delta_bands": delta_bands,
         "dirty": dirty,

@@ -469,3 +469,18 @@ class TestStreamMaintenance:
         # fresh); each fold's intermediate generations and pins must be
         # released — bound the residual instead of fingerprinting ids
         assert len(after - before) <= 3
+
+
+class TestRefreshStorePlans:
+    """The maintenance path's store scans must plan as broadcast probes
+    (measured-size gates), never as a sort-merge exchange of the
+    corpus-sized store — the shuffle-free per-batch claim."""
+
+    def test_store_legs_are_broadcast_probes(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
+
+        frames = pipeline._incr_delta_frames(spark, SF)
+        for leg in ("kept_cands", "kept_base"):
+            plan = frames[leg]._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, f"{leg}: no broadcast probe"
+            assert "SortMergeJoin" not in plan, f"{leg}: store-sized merge join"
