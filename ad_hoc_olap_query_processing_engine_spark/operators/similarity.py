@@ -82,6 +82,48 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance across the session's full parallelism (guide
+    §2.5/§2.6: repartition a small filtered side before heavy per-row work).
+
+    The scoring pipelines below explode a SMALL side (a capped eval
+    universe, a code table, a fit sample) into 10^4-10^6 heavy per-row
+    computations — interpreted higher-order-function dot products — via a
+    broadcast join, so all of that work runs inside the scan stage of the
+    small input.  A small input is typically few-partition (at bench scale
+    every table is a single-row-group parquet file, so the scan stage is ONE
+    task and the whole scoring pass is single-threaded; on a cluster a
+    selective filter leaves a handful of surviving splits), which serializes
+    the expensive stage while the rest of the machine idles.  The rebalance
+    costs one exchange of the small rows and unlocks full parallelism for
+    the scoring stage.  Row placement never affects results: every
+    downstream expression in these paths is per-row deterministic, and every
+    aggregate/rank is order-insensitive (exact-integer sums, ROW_NUMBER
+    with full tie-breaks).  `defaultParallelism` tracks the session's core
+    count, so the same code sizes itself on any cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+# Size gate for the k-means family's spreads: per-row work there is only
+# K×dim (≈512) interpreted ops — measured at bench scale (A/B, one session,
+# 3 runs each), spreading a 400-row fit slice COSTS ~0.7-1.0 s/query (extra
+# exchange + a 32-task stage per Lloyd round) while the single-task compute
+# it parallelizes is ~0.2 s.  Above this row count the compute dominates the
+# fixed cost and the spread wins (an sf100 fit slice is ~400k rows ≈ 200M
+# interpreted ops — minutes single-threaded).  The explosion-style scoring
+# sites (brute/hubness/calibration: |rows|×|queries|×dim work) spread
+# unconditionally — their per-input-row work is ~500× larger.
+SPREAD_MIN_ROWS = 8192
+
+
+def _spread_if(df: DataFrame, est_rows: int) -> DataFrame:
+    """`_spread` gated on an estimated input row count (parquet-footer
+    derived — no Spark job); below the gate the input is returned as-is."""
+    return _spread(df) if est_rows >= SPREAD_MIN_ROWS else df
+
+
 def _exact_rerank(cand: DataFrame) -> DataFrame:
     """Shared exact-scoring tail: cosine (rounded to 4 dp for the cross-engine
     oracle), rank per query with vec_id tiebreak, keep top-k. ``cand`` needs
@@ -132,7 +174,7 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    cand = e.select(
+    cand = _spread(e.select("vec_id", "embedding")).select(
         F.col("vec_id"), F.col("embedding"), _norm(F.col("embedding")).alias("v_norm")
     ).join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     return _exact_rerank(cand)
@@ -167,7 +209,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = e.select(
+    cand = _spread(e.select("vec_id", "embedding")).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     ).join(F.broadcast(queries.withColumn("q_norm", _norm(F.col("q_emb")))),
            F.col("vec_id") != F.col("query_id"))
@@ -345,8 +387,12 @@ def _projections(e: DataFrame, prefix: str, n_bits: int, dim: int = MAX_DIM) -> 
     )
     elems = e.select("vec_id", F.posexplode(q).alias("d", "v"))
     planes = _plane_table(e.sparkSession, prefix, n_bits, dim)
+    # rebalance the exploded elements before the n_bits-way broadcast fan-out
+    # + partial aggregate (rows × n_bits intermediate rows otherwise all
+    # materialize inside the single-task scan stage); bigint sums are
+    # order-insensitive, so placement cannot change p
     return (
-        elems.join(F.broadcast(planes), "d")
+        _spread(elems).join(F.broadcast(planes), "d")
         .groupBy("vec_id", "bt")
         .agg(F.sum(F.col("v") * F.col("w")).alias("p"))
     )
@@ -516,12 +562,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cand = pair_ids.join(ea, "vec_a").join(eb, "vec_b")
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    # norms hoisted to once per SIDE (|V| evaluations instead of one per
+    # pair — float-identical, the _exact_rerank precedent), and the id-only
+    # pair table rebalanced before the embeddings attach so the per-pair
+    # interpreted dot runs at full parallelism instead of inside whatever
+    # single coalesced post-shuffle partition the DISTINCT left it in
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("__na"),
     )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("__nb"),
+    )
+    # no broadcast hints: at bench scale the planner broadcasts the (tiny)
+    # embedding sides off file statistics, keeping the pair partitioning —
+    # at corpus scale both sides are big and the shuffle join is correct
+    cand = _spread(pair_ids).join(ea, "vec_a").join(eb, "vec_b")
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.withColumn("score", F.round(cos, 4))
         .filter(F.col("score") >= DEDUP_COS_THRESHOLD)
@@ -803,13 +863,17 @@ def _km_base(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "embedding", qv.alias("qv"))
 
 
-def _km_fit(fit_slice: DataFrame, dim: int) -> list[list[int]]:
+def _km_fit(fit_slice: DataFrame, dim: int, est_rows: int = 0) -> list[list[int]]:
     """Integer Lloyd fit over a (vec_id, qv) fit slice; returns the K×dim
     centroid table (bounded driver-side model state — K seed rows plus
-    K×dim rows per round, the repo's collect policy)."""
+    K×dim rows per round, the repo's collect policy).  ``est_rows`` is the
+    caller's footer-derived fit-slice size estimate: big slices are spread
+    across the session's parallelism before the per-round K×dim interpreted
+    argmin (single-task scan stage otherwise); small ones are not — the
+    extra exchange + wide stage costs more than it saves (SPREAD_MIN_ROWS)."""
     # the fit slice feeds the seed scan plus one scan per Lloyd round —
     # persist it (it is 1/KMEANS_FIT_MOD of the corpus by construction)
-    fit = fit_slice.persist()
+    fit = _spread_if(fit_slice, est_rows).persist()
 
     seed_rows = (
         fit.withColumn(
@@ -858,9 +922,17 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     dim = _peek_dim(sf_dir)
     base = _km_base(e)
-    cents = _km_fit(base.filter(_km_fit_filter()).select("vec_id", "qv"), dim)
+    n = _peek_rows(sf_dir)
+    cents = _km_fit(
+        base.filter(_km_fit_filter()).select("vec_id", "qv"),
+        dim,
+        n // KMEANS_FIT_MOD,
+    )
 
-    assigned_all = base.withColumn("cell", _km_argmin(cents))
+    # the full-corpus assignment is the same K×dim interpreted argmin per
+    # row — rebalance before it (size-gated) so a big corpus does not pay
+    # the whole assignment inside the 1-task scan stage
+    assigned_all = _spread_if(base, n).withColumn("cell", _km_argmin(cents))
     return _km_serve(assigned_all, cents)
 
 
@@ -1025,7 +1097,7 @@ def _ivfk_base_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(_km_fit_filter() & ~_ivfk_delta_pred())
             .select("vec_id", "qv")
         )
-        cents = _km_fit(fit_slice, dim)
+        cents = _km_fit(fit_slice, dim, _peek_rows(sf_dir) // KMEANS_FIT_MOD)
         return spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], "cell int, qv array<bigint>"
         )
@@ -1046,10 +1118,14 @@ def _ivfk_base_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         cents = _ivfk_model_cents(spark, sf_dir)
         e = load_table(spark, "embeddings", sf_dir)
+        # spread (size-gated) before the K×dim interpreted argmin and
+        # PERSIST: this is the maintained index — without the persist every
+        # consumer run re-paid the full base-corpus assignment (the cache
+        # held only a lazy plan)
         return (
-            _km_base(e)
-            .filter(~_ivfk_delta_pred())
+            _spread_if(_km_base(e).filter(~_ivfk_delta_pred()), _peek_rows(sf_dir))
             .withColumn("cell", _km_argmin(cents))
+            .persist()
         )
 
     return session_cached("ivfk_base_cells", spark, sf_dir, build)
@@ -1063,7 +1139,11 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivfk_model_cents(spark, sf_dir)
     e = load_table(spark, "embeddings", sf_dir)
     delta_cells = (
-        _km_base(e).filter(_ivfk_delta_pred()).withColumn("cell", _km_argmin(cents))
+        _spread_if(
+            _km_base(e).filter(_ivfk_delta_pred()),
+            _peek_rows(sf_dir) // ANN_DELTA_MOD,
+        )
+        .withColumn("cell", _km_argmin(cents))
     )
     all_cells = _ivfk_base_cells(spark, sf_dir).unionByName(delta_cells)
     return _km_serve(all_cells, cents)
@@ -1531,7 +1611,7 @@ def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     scored = (
-        codes.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        _spread(codes).join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
         .withColumn("__qdist", qdist)
         .select("query_id", "vec_id", "__qdist")
     )
@@ -1669,7 +1749,7 @@ def _pq_fit(elems: DataFrame) -> DataFrame:
     seeds = elems.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
     ).select((F.col("vec_id") - N_QUERIES).alias("k"), "d", F.col("v").alias("c"))
-    train = elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    train = _spread(elems.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0))
     assign = _pq_nearest(train.join(F.broadcast(seeds), "d"))
     return (
         train.join(assign, ["vec_id", "m"])
@@ -1706,8 +1786,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = pq_codebook(spark, sf_dir)
         elems = _pq_elems(load_table(spark, "embeddings", sf_dir))
         # localCheckpoint (EAGER) — the encode pass runs once at build; the
-        # query plan then reads the materialized index, not its lineage
-        return _pq_nearest(elems.join(F.broadcast(cb.drop("m")), "d")).localCheckpoint()
+        # query plan then reads the materialized index, not its lineage.
+        # The encode pass fans each element out K ways against the broadcast
+        # codebook — rebalance first so it is not a single-task scan stage.
+        return _pq_nearest(
+            _spread(elems).join(F.broadcast(cb.drop("m")), "d")
+        ).localCheckpoint()
 
     return session_cached("pq_codes", spark, sf_dir, build)
 
@@ -2150,7 +2234,9 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("iv").alias("qiv")
     )
-    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+    scored = _spread(corpus).join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
         "query_id", "vec_id", "iv", _int_dot(F.col("iv"), F.col("qiv")).alias("rel")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -2272,7 +2358,9 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("iv").alias("qiv")
     )
-    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+    scored = _spread(corpus).join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
         "query_id",
         "vec_id",
         _int_dot(F.col("iv"), F.col("qiv")).alias("rel_full"),
@@ -2515,7 +2603,7 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
     )
-    cand = e.select("vec_id", "embedding", "label").join(
+    cand = _spread(e.select("vec_id", "embedding", "label")).join(
         F.broadcast(queries),
         (F.col("label") == F.col("q_label"))
         & (F.col("vec_id") != F.col("query_id")),
@@ -2639,7 +2727,7 @@ def embed_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    cand = e.select(
+    cand = _spread(e.select("vec_id", "embedding")).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     ).join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     topk = _exact_rerank(cand)
@@ -2706,7 +2794,7 @@ def embed_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         _norm(F.col("embedding")).alias("nb"),
     )
-    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    pairs = _spread(a).join(F.broadcast(b), F.col("va") < F.col("vb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     )
