@@ -21,8 +21,11 @@ Lifecycle rules (the leaks a long-lived embedding host would otherwise hit):
   leaf in the plan (which is exactly where localCheckpoint /
   ``iterutil.truncated_checkpoint`` park their blocks). Builders with
   bespoke state can still attach an explicit ``release`` callback;
-- builds are serialized under a module lock so concurrent first calls cannot
-  double-build and leak the loser's persisted blocks.
+- builds are serialized under a PER-ARTIFACT lock so concurrent first calls
+  cannot double-build and leak the loser's persisted blocks, while builds of
+  DIFFERENT artifacts may proceed concurrently (the bench warmup overlaps
+  independent family-index chains from a thread pool — guide §2.6; a single
+  module-wide build lock would serialize them all).
 """
 
 from __future__ import annotations
@@ -35,6 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 # name -> {(applicationId, sf_dir): (df, release_callback | None)}
 _CACHES: dict[str, dict[tuple[str, str], tuple[DataFrame, Callable[[], None] | None]]] = {}
 _LOCK = threading.RLock()
+
+# (name, applicationId, sf_dir) -> build lock: serializes the two racers of
+# ONE artifact without blocking builds of other artifacts.  RLock because a
+# builder may legitimately re-enter its own artifact via a nested call.
+_BUILD_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
 
 # live sf_dirs kept per artifact name within one session; oldest evicted
 # (and released) beyond this
@@ -111,16 +119,31 @@ def session_cached(
     key = (app, sf_dir)
     with _LOCK:
         cache = _CACHES.setdefault(name, {})
-        if key not in cache:
+        if key in cache:
+            return cache[key][0]
+        build_lock = _BUILD_LOCKS.setdefault((name, app, sf_dir), threading.RLock())
+    # build OUTSIDE the module lock (Spark jobs run here — possibly many
+    # seconds); the per-artifact lock stops double-builds of the same entry.
+    # Builder dependency chains (an artifact building another) take locks in
+    # dependency order only, so there is no cycle to deadlock on.
+    with build_lock:
+        with _LOCK:
+            if key in cache:
+                return cache[key][0]
+        df = build()
+        with _LOCK:
+            if key in cache:  # lost a race the build lock should prevent;
+                _drop((df, release))  # release the duplicate, keep the first
+                return cache[key][0]
             # dead-session entries: blocks are already gone, just drop refs
             for stale in [k for k in cache if k[0] != app]:
                 cache.pop(stale)
-            cache[key] = (build(), release)
+            cache[key] = (df, release)
             # live-session LRU cap: release the oldest surplus entries
             while len(cache) > MAX_SF_DIRS_PER_NAME:
                 oldest = next(iter(cache))
                 _drop(cache.pop(oldest))
-        return cache[key][0]
+            return cache[key][0]
 
 
 def invalidate(name: str | None = None) -> None:

@@ -125,6 +125,32 @@ def main() -> None:
             print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
             break
 
+    # Python-runtime warmup (round 13, measurement-attribution fix — noted
+    # in OPTIMIZATION_r13.md): the first query to touch each Python
+    # execution surface otherwise pays its one-time session spin-up — the
+    # pandas/Arrow worker daemon (~2 s, charged to embed_gram_matrix, the
+    # alphabetically-first pandas consumer) and the Python DataSource
+    # planner workers (~8 s, charged to src_pyds_docstats).  Same class as
+    # the JVM/codegen warmup above: session infrastructure, not query work.
+    # The cost stays visible in the bench wall clock either way.
+    try:
+        probe = spark.range(64)
+        probe.mapInPandas(lambda it: it, probe.schema).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: python-worker warmup failed: {exc}", file=sys.stderr)
+    try:
+        from ad_hoc_olap_query_processing_engine_spark.sources.pydatasource import (
+            read_pyrowgroup,
+        )
+
+        read_pyrowgroup(
+            spark, os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: python-datasource warmup failed: {exc}", file=sys.stderr)
+
     # Layout optimization (see catalog.materialize_sales): derive the sales
     # relation ONCE per bench run into year-partitioned parquet; Φ queries
     # then read the materialized layout instead of re-paying the 5-way
@@ -151,8 +177,14 @@ def main() -> None:
             warm_family_indexes,
         )
 
+        _wt0 = time.perf_counter()
         warmup_detail = warm_family_indexes(spark, sf_dir)
-        warmup_sec = round(sum(warmup_detail.values()), 3)
+        # WALL clock, not the per-builder sum: the warmup overlaps
+        # independent family chains (round 13), so per-builder timings
+        # include lock waits on shared dependencies and their sum
+        # overstates the cost; the wall is what a bench run actually pays
+        # (pre-round-13 the two were equal — builds were sequential).
+        warmup_sec = round(time.perf_counter() - _wt0, 3)
         print(
             json.dumps({"warmup_indexes_sec": warmup_sec,
                         "indexes": warmup_detail}),

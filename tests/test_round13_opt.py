@@ -1,0 +1,105 @@
+"""Round-13 optimization pins.
+
+1. ``session_cached`` builds of DIFFERENT artifacts may run concurrently
+   (the parallel bench warmup depends on it), while racing calls for the
+   SAME artifact still build exactly once.
+2. The similarity scoring rebalance (`_spread`) actually lands in the
+   physical plan: the brute-force candidate side carries a round-robin
+   exchange below the broadcast join, so the scoring stage is no longer
+   fused into the single-partition scan.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSessionCacheConcurrency:
+    def test_distinct_artifacts_build_concurrently(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            session_cache,
+        )
+
+        names = ["__opt13_conc_a", "__opt13_conc_b"]
+        for n in names:
+            session_cache.invalidate(n)
+        in_build = []
+        overlap = []
+        gate = threading.Barrier(2, timeout=30)
+
+        def builder(tag):
+            def build():
+                in_build.append(tag)
+                try:
+                    # both builders must be inside build() at once — the old
+                    # module-wide build lock deadlocks this barrier
+                    gate.wait()
+                    overlap.append(tag)
+                except threading.BrokenBarrierError:
+                    pass
+                return spark.range(10).withColumn("t", F.lit(tag)).persist()
+
+            return build
+
+        threads = [
+            threading.Thread(
+                target=lambda n=n, t=t: session_cache.session_cached(
+                    n, spark, SF, builder(t)
+                )
+            )
+            for n, t in zip(names, ["a", "b"])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert sorted(overlap) == ["a", "b"], (
+            f"distinct-artifact builds serialized (overlap={overlap})"
+        )
+        for n in names:
+            session_cache.invalidate(n)
+
+    def test_same_artifact_builds_once_under_race(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            session_cache,
+        )
+
+        name = "__opt13_race"
+        session_cache.invalidate(name)
+        builds = []
+        results = []
+
+        def build():
+            builds.append(1)
+            time.sleep(0.2)  # widen the race window
+            return spark.range(5).persist()
+
+        def call():
+            results.append(session_cache.session_cached(name, spark, SF, build))
+
+        threads = [threading.Thread(target=call) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(builds) == 1, f"artifact built {len(builds)} times"
+        assert all(r is results[0] for r in results)
+        session_cache.invalidate(name)
+
+
+class TestScoringSpreadPlan:
+    def test_brute_candidate_side_is_rebalanced(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            similarity,
+        )
+
+        df = similarity.sim_brute_topk(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+            "scoring side lost its rebalance exchange:\n" + plan[:2000]
+        )
