@@ -559,8 +559,16 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " "))
     )
-    return d.select("doc_id", "lang", "n_tokens").groupBy("lang").applyInPandas(
-        _zscore_kernel, schema="doc_id long, lang string, n_tokens int, z double"
+    # keyed repartition: without it AQE coalesces the grouped kernel's
+    # exchange to one partition and a single Python worker folds every
+    # language (parallelism is still capped by |langs|, but that beats 1)
+    return (
+        d.select("doc_id", "lang", "n_tokens")
+        .repartition(spark.sparkContext.defaultParallelism, "lang")
+        .groupBy("lang")
+        .applyInPandas(
+            _zscore_kernel, schema="doc_id long, lang string, n_tokens int, z double"
+        )
     )
 
 
@@ -618,7 +626,12 @@ def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # a GROUPED_AGG pandas UDF cannot mix with built-in aggregates in one
     # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second tiny
-    # aggregation joined on the group key
+    # aggregation joined on the group key.  Keyed repartition first: a
+    # grouped-agg pandas UDF ships every row to Python, and AQE otherwise
+    # coalesces its exchange to one partition/worker (the ts_lttb finding;
+    # parallelism is capped by |event_type| either way, but 4 workers
+    # beat 1).
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "event_type")
     wavgs = ev.groupBy("event_type").agg(wavg("micros", "w").alias("wavg_value"))
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return wavgs.join(F.broadcast(counts), "event_type")
@@ -1028,8 +1041,23 @@ def udf_cogroup_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "us")
+    # keyed repartition at the session's parallelism on BOTH cogroup sides:
+    # the cogrouped kernel's exchanges are otherwise AQE-coalesced by bytes
+    # to one post-shuffle partition, so a single Python worker walks every
+    # user's (clicks, purchases) pair sequentially (the ts_lttb finding —
+    # user-specified partition counts are exempt from AQE coalescing, and
+    # the cogroup reuses the exchanges: still one shuffle per side)
+    par = spark.sparkContext.defaultParallelism
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "us")
+        .repartition(par, "user_id")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "us")
+        .repartition(par, "user_id")
+    )
     return (
         clicks.groupBy("user_id")
         .cogroup(purchases.groupBy("user_id"))

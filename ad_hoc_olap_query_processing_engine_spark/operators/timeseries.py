@@ -1367,6 +1367,14 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("bigint").alias("y"),
     )
+    # explicit keyed repartition at the session's parallelism: the grouped
+    # kernel's exchange is otherwise AQE-coalesced by BYTES (tiny panel →
+    # ONE post-shuffle partition → one Python worker runs every per-series
+    # fold sequentially; measured at sf0.1: 3.7-4.0 s → 1.1-1.2 s).  A
+    # user-specified partition count is exempt from AQE coalescing, and
+    # groupBy on the same key reuses the exchange, so the plan keeps its
+    # single shuffle (pinned in test_plans).
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "user_id")
     return e.groupBy("user_id").applyInPandas(
         _lttb_kernel, "user_id bigint, pos int, rn bigint, x_off bigint, y_e2 bigint"
     )
