@@ -92,6 +92,57 @@ class TestSessionCacheConcurrency:
         session_cache.invalidate(name)
 
 
+class TestGatedSpreadEquivalence:
+    def test_kmeans_results_identical_with_spread_engaged(self, spark):
+        """The size gate means the k-means spreads never engage at the
+        driver's correctness scales — force the gate to 0 and pin that the
+        engaged branch (repartition before fit/assignment) produces the
+        IDENTICAL result set, so the sf≥1 path is covered by the same
+        oracle-checked arithmetic."""
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            similarity as S,
+        )
+
+        gated = sorted(
+            tuple(r) for r in S.sim_ivf_kmeans(spark, SF).collect()
+        )
+        old = S.SPREAD_MIN_ROWS
+        S.SPREAD_MIN_ROWS = 0
+        try:
+            engaged = sorted(
+                tuple(r) for r in S.sim_ivf_kmeans(spark, SF).collect()
+            )
+        finally:
+            S.SPREAD_MIN_ROWS = old
+        assert engaged == gated
+
+    def test_ivf_incremental_identical_with_spread_engaged(self, spark):
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            session_cache,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            similarity as S,
+        )
+
+        gated = sorted(
+            tuple(r) for r in S.sim_ivf_incremental(spark, SF).collect()
+        )
+        old = S.SPREAD_MIN_ROWS
+        S.SPREAD_MIN_ROWS = 0
+        # drop the maintained artifacts so the engaged branch rebuilds them
+        session_cache.invalidate("ivfk_base_model")
+        session_cache.invalidate("ivfk_base_cells")
+        try:
+            engaged = sorted(
+                tuple(r) for r in S.sim_ivf_incremental(spark, SF).collect()
+            )
+        finally:
+            S.SPREAD_MIN_ROWS = old
+            session_cache.invalidate("ivfk_base_model")
+            session_cache.invalidate("ivfk_base_cells")
+        assert engaged == gated
+
+
 class TestScoringSpreadPlan:
     def test_brute_candidate_side_is_rebalanced(self, spark):
         from ad_hoc_olap_query_processing_engine_spark.operators import (
