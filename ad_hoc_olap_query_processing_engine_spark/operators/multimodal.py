@@ -380,8 +380,12 @@ def mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it per consumer — localCheckpoint turns the join inputs into plain
     # columns (measured: candidate join went from wedged >200 s to
     # sub-second at sf0.001). A warehouse materializes this signature
-    # table anyway — it is the reusable dedup index.
-    bands = _ahash_bands(spark, sf_dir).localCheckpoint()
+    # table anyway — it is the reusable dedup index.  LAZY (round 13): the
+    # DataFrame-level truncation that stops the re-evaluation happens at
+    # call time in both modes; eager's blocking count() only serialized
+    # the Python signature pass ahead of the query job (A/B at sf0.1:
+    # 0.67-0.79 → 0.60-0.64 s, identical rows).
+    bands = _ahash_bands(spark, sf_dir).localCheckpoint(eager=False)
     sig = bands.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
     )

@@ -1455,6 +1455,19 @@ def refresh_pair_store(
             pins.append(out)
         return out
 
+    def _overlap(*thunks):
+        """Run independent blocking materializations (eager checkpoints /
+        counts) concurrently (guide §2.6: actions are only sequential
+        because the driver calls them sequentially).  The maintenance path
+        is a chain of small blocking jobs whose cost is scheduling latency,
+        not compute — overlapping the independent ones shortens the
+        per-batch critical path both here and under the streaming fold.
+        list.append from the pool threads is safe for ``pins``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            return [f.result() for f in [pool.submit(t) for t in thunks]]
+
     from .dedup import CC_BROADCAST_MAX_ROWS
 
     def _gated(df: DataFrame, n: int) -> DataFrame:
@@ -1468,10 +1481,22 @@ def refresh_pair_store(
 
     pair_key = ["doc_a", "doc_b"]
     delta_sh = _shingles(delta_docs)
-    delta_bands = _pin(lsh_bands(delta_sh))
-    # read by FOUR joins below — materialize once, size once
-    dirty = _pin(delta_bands.select("band", "key").distinct())
-    bdirty = _gated(dirty, dirty.count())
+    # the band chain and the id-list chain are independent until ``fresh``
+    # — materialize them concurrently (round 13)
+    def _band_chain():
+        delta_bands = _pin(lsh_bands(delta_sh))
+        # read by FOUR joins below — materialize once, size once
+        dirty = _pin(delta_bands.select("band", "key").distinct())
+        return delta_bands, dirty, dirty.count()
+
+    def _id_chain():
+        delta_ids = _pin(delta_docs.select("doc_id").distinct())
+        return delta_ids, delta_ids.count()
+
+    (delta_bands, dirty, n_dirty), (delta_ids, n_delta) = _overlap(
+        _band_chain, _id_chain
+    )
+    bdirty = _gated(dirty, n_dirty)
     dirty_members = bands0.join(bdirty, ["band", "key"], "left_semi").unionByName(
         delta_bands
     )
@@ -1492,16 +1517,27 @@ def refresh_pair_store(
     # these can already be in the store.  Hence
     #   fresh = distinct pairs of cand_dirty touching a batch doc,
     # built by two broadcast semi-joins against the |batch|-sized id list.
-    delta_ids = _pin(delta_docs.select("doc_id").distinct())
-    n_delta = delta_ids.count()
     da = _gated(delta_ids.select(F.col("doc_id").alias("doc_a")), n_delta)
     db = _gated(delta_ids.select(F.col("doc_id").alias("doc_b")), n_delta)
     cd_pairs = cand_dirty.select(*pair_key)
-    fresh = _pin(
-        cd_pairs.join(da, "doc_a", "left_semi")
-        .unionByName(cd_pairs.join(db, "doc_b", "left_semi"))
-        .distinct()
-    )
+
+    # ``fresh`` (added-pair list) and ``pairs_at_risk`` (removal candidates)
+    # both hang off cand_dirty but not off each other — overlap their
+    # materializations too
+    def _fresh_chain():
+        return _pin(
+            cd_pairs.join(da, "doc_a", "left_semi")
+            .unionByName(cd_pairs.join(db, "doc_b", "left_semi"))
+            .distinct()
+        )
+
+    def _risk_chain():
+        dirty_prov = cands0.join(bdirty, ["band", "key"], "left_semi")
+        pairs_at_risk = _pin(dirty_prov.select(*pair_key).distinct())
+        return pairs_at_risk, pairs_at_risk.count()
+
+    fresh, (pairs_at_risk, n_risk) = _overlap(_fresh_chain, _risk_chain)
+
     # verification fetches shingle sets for the INVOLVED doc_ids only, via a
     # semi-join into the maintained posting index (base + appended delta)
     involved = (
@@ -1521,9 +1557,7 @@ def refresh_pair_store(
     # probing small build sides, and the final anti-join against ``removed``
     # is a broadcast probe of the base pair table — no store-sized shuffle
     # anywhere on the maintenance path.
-    dirty_prov = cands0.join(bdirty, ["band", "key"], "left_semi")
-    pairs_at_risk = _pin(dirty_prov.select(*pair_key).distinct())
-    brisk = _gated(pairs_at_risk, pairs_at_risk.count())
+    brisk = _gated(pairs_at_risk, n_risk)
     prov_of_risky = cands0.join(brisk, pair_key, "left_semi")
     clean_contrib = (
         prov_of_risky.join(bdirty, ["band", "key"], "left_anti")

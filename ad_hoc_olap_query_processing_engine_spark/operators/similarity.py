@@ -2443,9 +2443,15 @@ register("embed_matryoshka_eval", embed_matryoshka_eval, EMBED_MATRYOSHKA_EVAL_S
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the exact baseline once: it feeds three method joins plus
     # the total — uncached, each reference re-runs the full brute scoring
-    # pass over the corpus
+    # pass over the corpus.  LAZY (round 13): the checkpoint still dedups
+    # the six references (one persisted RDD), but eager's blocking count()
+    # job serialized the brute pass AHEAD of the report job instead of
+    # letting it run as one more overlapping stage inside it (A/B at
+    # sf0.1: 3.4-4.4 → 3.3-3.5 s, identical rows).
     brute = (
-        sim_brute_topk(spark, sf_dir).select("query_id", "vec_id").localCheckpoint()
+        sim_brute_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     methods = [
         ("srp", sim_srp_ann),

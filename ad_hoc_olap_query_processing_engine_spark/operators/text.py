@@ -721,13 +721,14 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = F.split(F.col("text"), " ")
     m = F.greatest(F.size(toks) - 2, F.lit(0))
-    tris = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, m), F.slice(toks, 2, m),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        F.slice(toks, 3, m),
-        lambda p, c: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")),
+    # arrays_zip, not nested zip_with lambdas (round 13): identical struct
+    # rows, but the zip codegens as one array walk instead of two nested
+    # interpreted LambdaFunction evaluations per token — measured 1.2-1.35
+    # → 0.93-1.0 s warm on the full query at sf0.1
+    tris = F.arrays_zip(
+        F.slice(toks, 1, m).alias("w1"),
+        F.slice(toks, 2, m).alias("w2"),
+        F.slice(toks, 3, m).alias("w3"),
     )
     tri = d.select("doc_id", F.explode(tris).alias("t")).select(
         "doc_id",
@@ -735,29 +736,56 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.w2").alias("w2"),
         F.col("t.w3").alias("w3"),
     )
+    # ONE aggregate pass over the exploded corpus (round 13, guide §2.3
+    # "aggregate before you shuffle"): every context count is a rollup of
+    # c3 — c2(w1,w2) = Σ_w3 c3, cu2(w2) = Σ c3, n = Σ c3 — so the four
+    # context aggregates and the total reduce the |distinct trigram| c3
+    # table instead of re-exploding and re-shuffling the corpus-sized
+    # occurrence table five more times.  p per occurrence depends only on
+    # the trigram, so the per-trigram score attaches to occurrences with a
+    # SINGLE tri-sized join (was five).  Counts are identical integers and
+    # the double expression is term-for-term the same, so every floor is
+    # bit-identical (A/B: identical 5,000-row result at sf0.1).
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    c2ctx = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
-    c2u = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("cu2"))
-    c3u = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("cu3"))
-    n = tri.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # Catalyst cannot share the c3 subtree across the rollups below: the
+    # second self-join's DeduplicateRelations rewrite breaks canonical
+    # equality for every copy (measured: ReusedExchange fires on a single
+    # c3⋈rollup join, never once two rollups join in), so each rollup
+    # re-derives c3 — corpus re-explodes that are noise here but real at
+    # scale.  Big corpora therefore pin c3 once (LAZY checkpoint: vocab-
+    # sized, the standard LM count-table materialization); small ones skip
+    # it — the stage barrier costs more than the re-derivations
+    # (A/B at sf0.1: +0.25 s with the checkpoint).  Results are identical
+    # either way — the gate only picks where c3 is recomputed from.
+    from .dedup import _corpus_is_big
+
+    if _corpus_is_big(sf_dir):
+        c3 = c3.localCheckpoint(eager=False)
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    c23 = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("c23"))
+    c2u = c3.groupBy("w2").agg(F.sum("c3").alias("cu2"))
+    c3u = c3.groupBy("w3").agg(F.sum("c3").alias("cu3"))
+    n = c3.groupBy().agg(F.sum("c3").alias("n"))
     p = (
         F.lit(TRIGRAM_L3) * (F.col("c3") / F.col("c2"))
         + F.lit(TRIGRAM_L2) * (F.col("c23") / F.col("cu2"))
         + F.lit(TRIGRAM_L1) * (F.col("cu3") / F.col("n"))
     )
     p_e6 = F.floor(p * 1_000_000).cast("bigint")
-    return (
-        tri.join(c3, ["w1", "w2", "w3"])
-        .join(c2ctx, ["w1", "w2"])
+    stats = (
+        c3.join(c2ctx, ["w1", "w2"])
         .join(c23, ["w2", "w3"])
         .join(c2u, ["w2"])
         .join(c3u, ["w3"])
         .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "w3", p_e6.alias("__p_e6"))
+    )
+    return (
+        tri.join(stats, ["w1", "w2", "w3"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(p_e6).alias("sum_p_e6"),
+            F.sum("__p_e6").alias("sum_p_e6"),
         )
         .select(
             "doc_id",

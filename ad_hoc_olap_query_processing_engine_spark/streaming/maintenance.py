@@ -59,7 +59,8 @@ def _write_batches(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(out, exist_ok=True)
     for f in os.listdir(out):
         os.remove(os.path.join(out, f))
-    for i in range(N_STREAM_BATCHES):
+
+    def write_one(i: int) -> None:
         part = docs.filter(F.col("doc_id") % N_STREAM_BATCHES == i)
         tmp = os.path.join(out, f".batch_{i}.tmp")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -70,6 +71,14 @@ def _write_batches(spark: SparkSession, sf_dir: str) -> str:
         os.rename(src, dst)
         os.utime(dst, (i + 1, i + 1))  # ascending mtimes → stable offer order
         shutil.rmtree(tmp)
+
+    # the N batch writes are independent single-file jobs — overlap them
+    # (guide §2.6); mtimes are set per file after its write, so the offer
+    # order stays deterministic regardless of write completion order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=N_STREAM_BATCHES) as pool:
+        list(pool.map(write_one, range(N_STREAM_BATCHES)))
     return out
 
 
@@ -113,18 +122,32 @@ def _drive_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share subtrees/attribute ids, which trips Catalyst's union
     # constraint rewrite (NoSuchElementException: key not found: band#N
     # during localCheckpoint).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _par(*thunks):
+        """Overlap independent blocking checkpoints (guide §2.6) — the fold
+        path is scheduling-latency-bound, not compute-bound."""
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            return [f.result() for f in [pool.submit(t) for t in thunks]]
+
     empty_sh = _shingles(docs.limit(0))
     empty_bands = lsh_bands(empty_sh)
     empty_cands = _windowed_bucket_pairs(empty_bands)
-    state: dict[str, object] = {
-        "bands": _disk_checkpoint(empty_bands),
-        "cands": _disk_checkpoint(empty_cands),
-        "pairs": _disk_checkpoint(
+    g0_bands, g0_cands, g0_pairs, g0_postings = _par(
+        lambda: _disk_checkpoint(empty_bands),
+        lambda: _disk_checkpoint(empty_cands),
+        lambda: _disk_checkpoint(
             _verify_candidates(
                 empty_sh, empty_cands.select("doc_a", "doc_b"), big=big
             )
         ),
-        "postings": _disk_checkpoint(empty_sh),
+        lambda: _disk_checkpoint(empty_sh),
+    )
+    state: dict[str, object] = {
+        "bands": g0_bands,
+        "cands": g0_cands,
+        "pairs": g0_pairs,
+        "postings": g0_postings,
         "pins": [],
     }
 
@@ -150,14 +173,20 @@ def _drive_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the right side's attributes (NoSuchElementException: key not
         # found: band#N); unions of bare LogicalRDDs rewrite cleanly.
         cand_dirty = frames["cand_dirty"]  # pinned inside the refresh
-        kept_cands_ck = _disk_checkpoint(frames["kept_cands"])
-        kept_base_ck = _disk_checkpoint(frames["kept_base"])
-        fresh_verified_ck = _disk_checkpoint(frames["fresh_verified"])
+        # the five generation legs are independent of each other once the
+        # refresh frames exist — materialize them concurrently
+        kept_cands_ck, kept_base_ck, fresh_verified_ck, bands1_ck, postings_ck = _par(
+            lambda: _disk_checkpoint(frames["kept_cands"]),
+            lambda: _disk_checkpoint(frames["kept_base"]),
+            lambda: _disk_checkpoint(frames["fresh_verified"]),
+            lambda: _disk_checkpoint(frames["bands1"]),
+            lambda: _disk_checkpoint(postings_all),
+        )
         new_state = {
-            "bands": _disk_checkpoint(frames["bands1"]),
+            "bands": bands1_ck,
             "cands": kept_cands_ck.unionByName(cand_dirty),
             "pairs": kept_base_ck.unionByName(fresh_verified_ck),
-            "postings": _disk_checkpoint(postings_all),
+            "postings": postings_ck,
         }
         owned = [
             new_state["bands"],

@@ -154,3 +154,28 @@ class TestScoringSpreadPlan:
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
             "scoring side lost its rebalance exchange:\n" + plan[:2000]
         )
+
+
+class TestTrigramGatedCheckpointEquivalence:
+    def test_trigram_results_identical_with_c3_pinned(self, spark):
+        """text_trigram_lm pins its c3 count table (lazy localCheckpoint)
+        only above the big-corpus gate, so the driver's correctness scales
+        exercise the unpinned branch — force the gate down and pin that the
+        pinned branch returns the identical result set."""
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            dedup,
+        )
+        from ad_hoc_olap_query_processing_engine_spark.operators import (
+            text as T,
+        )
+
+        ungated = sorted(tuple(r) for r in T.text_trigram_lm(spark, SF).collect())
+        old = dedup.PAIR_HINT_MIN_DOCS
+        dedup.PAIR_HINT_MIN_DOCS = 0
+        try:
+            pinned = sorted(
+                tuple(r) for r in T.text_trigram_lm(spark, SF).collect()
+            )
+        finally:
+            dedup.PAIR_HINT_MIN_DOCS = old
+        assert pinned == ungated
