@@ -1106,8 +1106,19 @@ def _ivfk_base_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfk_model_cents(spark: SparkSession, sf_dir: str) -> list[list[int]]:
-    rows = _ivfk_base_model(spark, sf_dir).orderBy("cell").collect()
-    return [list(r["qv"]) for r in rows]
+    """Centroids of the maintained quantizer as the literal K×dim list the
+    serving expressions bake in.  The list rides on the session-cached model
+    DataFrame object itself (round 13): `sim_ivf_incremental` otherwise
+    re-paid a blocking K-row collect per invocation to re-read an artifact
+    that cannot change within a cache generation — the attribute dies with
+    the cache entry, so eviction/invalidate naturally drops it too."""
+    model = _ivfk_base_model(spark, sf_dir)
+    cents = getattr(model, "_ivfk_cents", None)
+    if cents is None:
+        rows = model.orderBy("cell").collect()
+        cents = [list(r["qv"]) for r in rows]
+        model._ivfk_cents = cents
+    return cents
 
 
 def _ivfk_base_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

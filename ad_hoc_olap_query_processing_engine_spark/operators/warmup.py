@@ -20,51 +20,60 @@ import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
-# (module, attr) builder functions; each takes (spark, sf_dir) and returns
-# the session-cached index (DataFrame builders are forced with count()).
-_BUILDERS: list[tuple[str, str]] = [
+# (chain, module, attr) builder functions; each takes (spark, sf_dir) and
+# returns the session-cached index (DataFrame builders are forced with
+# count()).  ``chain`` groups builders that MUST run in order (later ones
+# read earlier artifacts); distinct chains run concurrently from the pool —
+# round 13 split the per-module chains into true dependency chains (the
+# similarity module alone held four independent index families whose
+# sequential build was a ~21 s pole; any residual cross-chain read is
+# serialized safely by session_cache's per-artifact build locks).
+_BUILDERS: list[tuple[str, str, str]] = [
     # dedup family: shingle postings feed MinHash/SimHash/containment;
     # verified pairs feed LSH output, clustering and corpus filters
-    ("dedup", "shingle_postings"),
-    ("dedup", "verified_minhash_pairs"),
-    ("dedup", "pair_overlap_table"),
-    ("dedup", "capped_postings"),
+    ("dedup.pairs", "dedup", "shingle_postings"),
+    ("dedup.pairs", "dedup", "verified_minhash_pairs"),
+    # CC labels: shared by dedup_cluster_cc, dedup_survivorship and
+    # pipe_corpus_filter (round 12 — previously each re-ran the loop)
+    ("dedup.pairs", "dedup", "cc_labels"),
+    # exact-overlap index (reads shingle_postings — the per-artifact lock
+    # serializes that handoff if this chain gets there first)
+    ("dedup.overlap", "dedup", "pair_overlap_table"),
     # the recall report's LSH side (capped-universe verified pairs): without
     # the prebuild the report re-ran the full capped sketch per invocation
     # (round-11 bench variance, 3.3 ↔ 7.0 s)
-    ("dedup", "verified_minhash_pairs_capped"),
-    # CC labels: shared by dedup_cluster_cc, dedup_survivorship and
-    # pipe_corpus_filter (round 12 — previously each re-ran the loop)
-    ("dedup", "cc_labels"),
+    ("dedup.capped", "dedup", "capped_postings"),
+    ("dedup.capped", "dedup", "verified_minhash_pairs_capped"),
     # incremental pair maintenance (round 13): the refreshed pair table and
     # the base band/candidate/pair artifacts it maintains
-    ("pipeline", "pipe_minhash_incremental"),
+    ("pipeline", "pipeline", "pipe_minhash_incremental"),
     # incremental label maintenance (round 13): base labels are the
     # maintained artifact — warming them leaves the amortized row pricing
     # the label REFRESH (delta CC loop), the actual per-batch work
-    ("pipeline", "_incr_base_cc"),
-    # graph family: co-purchase and capped kNN edge tables
-    ("graph", "purchase_edges"),
-    ("graph", "knn_copurchase_edges"),
-    # ANN family: projections, IVF assignments, PQ/IVFPQ codebooks + codes
-    ("similarity", "srp_projections"),
+    ("pipeline", "pipeline", "_incr_base_cc"),
+    # graph family: co-purchase and capped kNN edge tables (independent)
+    ("graph.purchase", "graph", "purchase_edges"),
+    ("graph.knn", "graph", "knn_copurchase_edges"),
+    # ANN family, four independent index families:
+    ("sim.srp", "similarity", "srp_projections"),
     # incremental IVF maintenance (round 13): the base quantizer + cell
     # index are the maintained artifacts; the timed query then prices the
     # batch assignment + serve, the actual per-batch work
-    ("similarity", "_ivfk_base_model"),
-    ("similarity", "_ivfk_base_cells"),
-    ("similarity", "_ivf_assignments"),
-    ("similarity", "pq_codebook"),
-    ("similarity", "pq_codes"),
-    ("similarity", "_ivfpq_ccent"),
-    ("similarity", "_ivfpq_codebook"),
-    ("similarity", "ivfpq_codes"),
+    ("sim.kmeans", "similarity", "_ivfk_base_model"),
+    ("sim.kmeans", "similarity", "_ivfk_base_cells"),
+    # IVFPQ reads the IVF assignments — one chain
+    ("sim.ivf", "similarity", "_ivf_assignments"),
+    ("sim.ivf", "similarity", "_ivfpq_ccent"),
+    ("sim.ivf", "similarity", "_ivfpq_codebook"),
+    ("sim.ivf", "similarity", "ivfpq_codes"),
+    ("sim.pq", "similarity", "pq_codebook"),
+    ("sim.pq", "similarity", "pq_codes"),
     # text family: corpus bigram-LM fluency scores
-    ("text", "bigram_lm_scores"),
+    ("text", "text", "bigram_lm_scores"),
     # streaming maintenance (round 13): the maintained pair table is the
     # stream's product; the ~20 blocking jobs of driving the micro-batch
     # fold belong to the build, not to the consumer's read
-    ("streaming.maintenance", "stream_minhash_maintenance"),
+    ("stream", "streaming.maintenance", "stream_minhash_maintenance"),
 ]
 
 
@@ -87,7 +96,7 @@ def warm_family_indexes(
         if modules is None
         else [
             b for b in _BUILDERS
-            if b[0] in modules or f"{b[0]}.{b[1]}" in modules
+            if b[1] in modules or f"{b[1]}.{b[2]}" in modules
         ]
     )
     top_pkg = __package__.rsplit(".", 1)[0]
@@ -122,11 +131,11 @@ def warm_family_indexes(
     # WALL-CLOCK warmup (what bench.py folds into value_all_in) is what the
     # overlap shrinks.
     chains: dict[str, list[tuple[str, str]]] = {}
-    for mod_name, attr in builders:
-        chains.setdefault(mod_name, []).append((mod_name, attr))
+    for chain_key, mod_name, attr in builders:
+        chains.setdefault(chain_key, []).append((mod_name, attr))
 
     if len(chains) <= 1:
-        for mod_name, attr in builders:
+        for chain_key, mod_name, attr in builders:
             run_builder(mod_name, attr)
         return timings
 
@@ -139,7 +148,16 @@ def warm_family_indexes(
     # most-expensive-first keeps the slowest chain from starting last (the
     # streaming micro-batch fold and the incremental pair maintenance are
     # the measured long poles; ties fall back to chain length)
-    cost_rank = {"streaming.maintenance": 0, "pipeline": 1, "dedup": 2}
+    cost_rank = {
+        "stream": 0,
+        "pipeline": 1,
+        "dedup.pairs": 2,
+        "sim.kmeans": 3,
+        "sim.ivf": 4,
+        "dedup.capped": 5,
+        "sim.pq": 6,
+        "graph.knn": 7,
+    }
     order = sorted(
         chains.items(), key=lambda kv: (cost_rank.get(kv[0], 9), -len(kv[1]))
     )
