@@ -561,12 +561,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     edges = purchase_edges(spark, sf_dir)
+    # Round 13: per-round checkpoints are LAZY (eager=False) — same contract
+    # as graph_kcore/graph_bfs_layers: the round count is fixed (no
+    # data-dependent driver branch), so eager's blocking count() job per
+    # round is pure serialization; truncation + persistence (seeds has ~5
+    # readers across the rounds) are identical in both modes.
     seeds = (
         load_table(spark, "supplier", sf_dir)
         .filter(F.col("s_suppkey") % LPA_SEED_MOD == 0)
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = seeds
     for _ in range(LPA_ROUNDS):
@@ -580,7 +585,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = seeds.unionByName(
             winners.join(seeds.select("node"), "node", "left_anti")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.expr("CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END")).alias(
