@@ -641,6 +641,13 @@ def main() -> None:
             with open(out_path) as fh:
                 prior_doc = json.load(fh)
             notes = prior_doc.get("notes")
+            # warmup_sec is emitted only by --family runs; a targeted
+            # non-family rerun must carry the prior file's block forward
+            # (ADVICE r13: the r13 merge silently deleted sf30's structured
+            # per-index warmup breakdown — same evidence-stripping class as
+            # the round-11 notes lesson)
+            if warmup_sec is None:
+                warmup_sec = prior_doc.get("warmup_sec")
             prior = prior_doc.get("queries", {})
             _PASS = ("exact_match", "rows_only", "spark_ok_oracle_skipped")
             if family:
