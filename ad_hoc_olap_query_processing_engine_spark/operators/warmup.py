@@ -44,9 +44,13 @@ _BUILDERS: list[tuple[str, str, str]] = [
     # (round-11 bench variance, 3.3 ↔ 7.0 s)
     ("dedup.capped", "dedup", "capped_postings"),
     ("dedup.capped", "dedup", "verified_minhash_pairs_capped"),
-    # incremental pair maintenance (round 13): the refreshed pair table and
-    # the base band/candidate/pair artifacts it maintains
-    ("pipeline", "pipeline", "pipe_minhash_incremental"),
+    # incremental pair maintenance (round 14, verdict r13 #1): warm ONLY the
+    # maintained BASE artifacts — round 13 warmed the full query product
+    # here, which left the timed pipe_minhash_incremental a 0.03 s cache
+    # read; the timed query now performs the delta fold itself
+    ("pipeline", "pipeline", "_incr_base_bands"),
+    ("pipeline", "pipeline", "_incr_base_cands"),
+    ("pipeline", "pipeline", "_incr_base_pairs"),
     # incremental label maintenance (round 13): base labels are the
     # maintained artifact — warming them leaves the amortized row pricing
     # the label REFRESH (delta CC loop), the actual per-batch work
@@ -70,10 +74,11 @@ _BUILDERS: list[tuple[str, str, str]] = [
     ("sim.pq", "similarity", "pq_codes"),
     # text family: corpus bigram-LM fluency scores
     ("text", "text", "bigram_lm_scores"),
-    # streaming maintenance (round 13): the maintained pair table is the
-    # stream's product; the ~20 blocking jobs of driving the micro-batch
-    # fold belong to the build, not to the consumer's read
-    ("stream", "streaming.maintenance", "stream_minhash_maintenance"),
+    # streaming maintenance (round 14, verdict r13 #1): warm ONLY the
+    # generation-0 empty store (schema-correct empty checkpoints — also a
+    # tiny same-shape codegen pass for the fold's pipelines); the timed
+    # stream_minhash_maintenance now drives the micro-batch fold itself
+    ("stream", "streaming.maintenance", "_stream_empty_store"),
 ]
 
 
@@ -145,18 +150,19 @@ def warm_family_indexes(
         for mod_name, attr in chain:
             run_builder(mod_name, attr)
 
-    # most-expensive-first keeps the slowest chain from starting last (the
-    # streaming micro-batch fold and the incremental pair maintenance are
-    # the measured long poles; ties fall back to chain length)
+    # most-expensive-first keeps the slowest chain from starting last
+    # (round 14 re-measure after the stream/pipeline product builds left
+    # the warmup: the IVF k-means fit chain ~19 s and the dedup pair chain
+    # ~18 s are the poles; ties fall back to chain length)
     cost_rank = {
-        "stream": 0,
-        "pipeline": 1,
-        "dedup.pairs": 2,
-        "sim.kmeans": 3,
+        "sim.kmeans": 0,
+        "dedup.pairs": 1,
+        "pipeline": 2,
+        "graph.knn": 3,
         "sim.ivf": 4,
         "dedup.capped": 5,
         "sim.pq": 6,
-        "graph.knn": 7,
+        "stream": 7,
     }
     order = sorted(
         chains.items(), key=lambda kv: (cost_rank.get(kv[0], 9), -len(kv[1]))

@@ -269,6 +269,9 @@ class TestMinhashIncremental:
         finally:
             for df in pins:
                 session_cache.release_blocks(df)
+            # round 14: the verified fresh-pair leg comes back checkpointed
+            # and unpinned (adopted by the callers) — release it here too
+            session_cache.release_blocks(frames["fresh_verified"])
 
     def test_batch_working_set_released(self, spark):
         """The registered query materializes the batch working set and must
@@ -284,11 +287,12 @@ class TestMinhashIncremental:
         df.count()
         after = _persisted_rdd_ids(spark)
         # exactly the cached result artifact (and any base artifacts built
-        # lazily) may remain — the three _pin() checkpoints of the build
-        # (delta_bands, cand_full, fresh) must be gone; they are |batch|-
-        # sized frames with single-digit partition counts, so bound the
-        # growth instead of fingerprinting ids: result + 3 base artifacts
-        assert len(after - before) <= 4
+        # lazily) may remain — the _pin() checkpoints of the build
+        # (delta_bands, cand_dirty, fresh, …) must be gone; they are
+        # |batch|-sized frames with single-digit partition counts, so bound
+        # the growth instead of fingerprinting ids: the result's two
+        # checkpointed legs (kept + fresh, round 14) + 3 base artifacts
+        assert len(after - before) <= 5
 
 
 class TestCcIncremental:
@@ -318,9 +322,13 @@ class TestCcIncremental:
     def test_loop_runs_on_affected_subgraph_only(self, spark):
         from ad_hoc_olap_query_processing_engine_spark.operators import pipeline
 
+        # count the refreshed table BEFORE building the frames: round 14's
+        # invalidate-first refresh releases the previous store generation on
+        # every pipe_minhash_incremental call, so frames built against one
+        # generation must not be read across a later call
+        refreshed = pipeline.pipe_minhash_incremental(spark, SF).count()
         frames = pipeline._cc_incremental_frames(spark, SF)
         sub = frames["sub"].count()
-        refreshed = pipeline.pipe_minhash_incremental(spark, SF).count()
         # the loop input is a strict subset of the refreshed graph: clean
         # components (which exist at every sf — DELTA_MOD leaves most dup
         # groups untouched) contribute kept labels, not edges
@@ -460,7 +468,10 @@ class TestStreamMaintenance:
             maintenance,
         )
 
-        session_cache.invalidate("stream_maint_pairs")
+        # the generation-0 empty store is a session-cached family artifact
+        # (round 14) — build it ahead of the snapshot so the bound below
+        # measures the drive's residual, not the g0 artifact's four frames
+        maintenance._stream_empty_store(spark, SF)
         before = _persisted_rdd_ids(spark)
         df = maintenance.stream_minhash_maintenance(spark, SF)
         df.count()
