@@ -948,13 +948,25 @@ BASKET_TOP_K = 20
 
 def rel_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir)
+    # items is read FOUR times (basket count, per-part supports, both self-
+    # join sides) and Catalyst performs no cross-plan CSE — the executed
+    # plan evaluated the scan+dedup pipeline once per reference (5 parquet
+    # scans, 9 exchanges, zero reuse; round-14 profile).  Checkpoint it
+    # once: at fact scale that is ONE scan + ONE dedup shuffle instead of
+    # four (guide §2.4), and the ok-partitioned layout survives into the
+    # self-join.  supports feeds both rule sides (the graph-deg precedent).
     items = (
         l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .repartition("ok")
         .dropDuplicates(["ok", "pk"])
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select(F.countDistinct("ok").alias("__n"))
-    supports = items.groupBy("pk").agg(F.count(F.lit(1)).alias("__sup"))
+    supports = (
+        items.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .localCheckpoint(eager=False)
+    )
     i2 = items.select("ok", F.col("pk").alias("pk2"))
     pairs = (
         items.join(i2, "ok")
