@@ -713,10 +713,16 @@ PARETO_BUCKETS = 32
 def rel_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _with_revenue(load_table(spark, "lineitem", sf_dir))
     o = load_table(spark, "orders", sf_dir)
+    # per_cust feeds bounds, the bucketed cumsum AND the bucket sizes (and
+    # sizes feeds both sides of the offsets join) — without a checkpoint the
+    # fact join+aggregate executed ~4× (12 parquet scans, 13 exchanges, zero
+    # reuse; round-14 profile).  Checkpoint the customer-sized frame once:
+    # at fact scale that is ONE fact join instead of four (guide §2.4).
     per_cust = (
         l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg((F.sum(_REV) * 10000).cast("bigint").alias("__cents"))
+        .localCheckpoint(eager=False)
     )
     # partition-safe global cumsum (same technique as rel_decile_spend's
     # global NTILE): value-range buckets → per-bucket local rank/cumsum →
@@ -743,9 +749,10 @@ def rel_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wb).alias("__rk_l"),
         F.sum("__cents").over(wb.rowsBetween(W.unboundedPreceding, 0)).alias("__cum_l"),
     )
+    # ≤ PARETO_BUCKETS rows, read by both sides of the offsets join
     sizes = b.groupBy("__bkt").agg(
         F.count(F.lit(1)).alias("__sz"), F.sum("__cents").alias("__bsum")
-    )
+    ).localCheckpoint(eager=False)
     higher = sizes.select(
         F.col("__bkt").alias("__hb"), F.col("__sz").alias("__hsz"), F.col("__bsum").alias("__hbs")
     )

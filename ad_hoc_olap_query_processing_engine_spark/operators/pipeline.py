@@ -596,9 +596,16 @@ def pipe_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     base = pipe_corpus_filter(spark, sf_dir)
     contaminated = pipe_decontaminate(spark, sf_dir).select("doc_id")
+    # clean is a NARROW metadata frame (doc_id, lang, n_tokens, source — no
+    # document text) read twice: the mixture-weight strata and the final
+    # manifest join.  Without a checkpoint the whole filter+decontaminate
+    # pipeline executed once per reference (18 parquet scans, 21 exchanges,
+    # zero reuse; round-14 profile) — materialize the metadata once
+    # (guide §8: decide with small rows; the heavy text never moves twice).
     clean = (
         base.join(contaminated, "doc_id", "left_anti")
         .join(d.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     strata = clean.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("__n_str"))
     tot = strata.agg(
